@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The implementations live in ``nycitibike_data_transform_spark``; this
+module is a thin shim over its query registry.
 """
 
 from __future__ import annotations
@@ -13,26 +15,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nycitibike_data_transform_spark.models.rides import stage_rides
+from nycitibike_data_transform_spark.queries import all_queries
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (the reference's AUX_TLC_RIDES re-expressed):
+    conform-union of 3 heterogeneous feeds + filtered broadcast dim
+    joined twice + CASE decode. See models/rides.py."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    lineitem = spark.read.parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    nation = spark.read.parquet(f"{SMOKE_SF_DIR}/nation.parquet")
+    region = spark.read.parquet(f"{SMOKE_SF_DIR}/region.parquet")
+    return stage_rides(lineitem, nation, region)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ §2.9
+    north-star additions)."""
+    return {name: spec.spark for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; hash-sketch operators
+    (minhash/simhash/LSH-ANN, engine-specific hash bits) and HLL
+    sketches are intentionally omitted → rows-only checks."""
+    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle}

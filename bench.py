@@ -1,0 +1,70 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query runs end-to-end (scan → plan → execute) and is fully
+materialized through the ``noop`` sink (executes every partition,
+writes nothing — pure engine throughput, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nycitibike_data_transform_spark.queries import all_queries
+from nycitibike_data_transform_spark.session import get_spark
+
+HEADLINE = [
+    "stage_rides",
+    "pricing_summary",
+    "revenue_by_nation",
+    "window_topk_orders",
+    "events_sessionize",
+    "dedup_exact",
+    "text_stats",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name].spark(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()  # warm (JIT, page cache)
+        t0 = time.time()
+        df2 = registry[name].spark(spark, sf_dir)
+        df2.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Catalog conventions + testdata registration.
+
+The reference encodes a 4-level medallion hierarchy in BigQuery dataset
+names — ``{ENV}_{LevelNumeral}_{LevelID}___{descriptor}`` (reference
+``README.md:18-29``, ``terraform/terraform.tfvars:47-61``) with two
+environments CORE/DEV realized by dataset-name prefixes
+(``terraform/a2_config_second_apply/main.tf:239-255``).
+
+Spark mapping: a flat naming convention ``{env}_{layer}__{table}`` over
+catalog-registered tables, plus a directory convention for persisted
+layers ``{warehouse}/{env}/{layer}/{table}/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+LAYERS = (
+    "1_src",
+    "2_stg",
+    "2_dim",
+    "3_prep",
+    "4_mart",
+)
+
+ENVS = ("core", "dev")
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_name(env: str, layer: str, table: str) -> str:
+    """``{env}_{layer}__{table}``, validated against the declared envs
+    and layers (mirrors the reference's compile-time validation idiom,
+    ``macros/dist_lat_lng.sql:4-5``: fail at plan-build time)."""
+    env = env.lower()
+    layer = layer.lower()
+    if env not in ENVS:
+        raise ValueError(f"unknown env {env!r}; expected one of {ENVS}")
+    if layer not in LAYERS:
+        raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
+    return f"{env}_{layer}__{table.lower()}"
+
+
+def layer_path(warehouse: str, env: str, layer: str, table: str) -> str:
+    return f"{warehouse}/{env}/{layer}/{table}"
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables (TESTDATA.md) as
+    DataFrames keyed by table name."""
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TESTDATA_TABLES}
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (for the SQL API)
+    and return the DataFrames. Idempotent."""
+    dfs = load_testdata(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,35 @@
+"""Column-function library — all Catalyst-native ``Column -> Column``.
+
+The reference's extension mechanism is Jinja macros (compile-time SQL
+templating, reference ``macros/``); the Spark-idiomatic equivalent is
+plain Python functions that build Column expressions — zero runtime
+cost, fully optimizable by Catalyst, and validated at plan-build time
+(the analogue of dbt's ``raise_compiler_error``).
+"""
+
+from nycitibike_data_transform_spark.functions.decode import decode, payment_type_description
+from nycitibike_data_transform_spark.functions.geo import haversine
+from nycitibike_data_transform_spark.functions.text import (
+    language_id,
+    quality_score_columns,
+    text_fingerprint,
+    token_count,
+)
+from nycitibike_data_transform_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+__all__ = [
+    "decode",
+    "payment_type_description",
+    "haversine",
+    "token_count",
+    "language_id",
+    "quality_score_columns",
+    "text_fingerprint",
+    "cosine_similarity",
+    "dot_product",
+    "l2_norm",
+]

@@ -1,0 +1,219 @@
+"""Deduplication operator family (north-star, SURVEY.md §2.9).
+
+Four tiers, cheapest first — all pure DataFrame ops, no Python UDFs:
+
+- **exact**: group on a normalized-text fingerprint; keep the min-id
+  representative. One shuffle on the (md5) fingerprint — uniformly
+  distributed, skew-free at any scale.
+- **n-gram Jaccard**: exact shingle-set similarity via explode +
+  self-join on shingle. Quadratic in the worst case — correct
+  semantics baseline for the approximate tiers, and the one the
+  DuckDB oracle can verify.
+- **MinHash + LSH**: k permutation-hashed min-signatures, banded into
+  LSH buckets; candidate pairs only join within a bucket. This is the
+  100 TB path: shuffle cost is O(docs × bands), never O(docs²).
+- **SimHash**: 64-bit weighted token hash; near-dups differ in few
+  bits; grouping on band substrings finds candidates.
+
+MinHash/SimHash use xxhash64/murmur (engine-specific bit patterns) so
+they are rows-only checks for the driver; their *semantics* are pinned
+by unit tests on known near-duplicate fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.functions.text import normalize_text, text_fingerprint
+
+# ----------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per distinct normalized text: representative id (min),
+    copy count, and the fingerprint. Map-side partial agg keeps the
+    shuffle to one row per distinct fingerprint."""
+    return (
+        df.select(F.col(id_col), text_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep only the min-id representative row of each duplicate group
+    (window-free: semi-join against the winners, preserving all source
+    columns without shuffling the full payload through a window)."""
+    winners = exact_dedup(df, text_col, id_col).select(id_col)
+    return df.join(winners, id_col, "left_semi")
+
+
+# -------------------------------------------------------- shingles / jaccard
+
+def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:
+    return df.withColumn(out_col, F.split(normalize_text(text_col), " "))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles from a token array (higher-order
+    functions only — runs inside codegen). Arrays shorter than ``n``
+    yield an empty set (guarded: F.sequence(0, -1) would count *down*)."""
+    idx = F.when(F.size(col) >= n, F.sequence(F.lit(0), F.size(col) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    joined = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(col, i + 1, n)))
+    return F.array_distinct(joined)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over n-gram shingle sets.
+
+    Plan: explode shingles → self-join on shingle (ids ordered to halve
+    the pair space) → count common → join per-doc set sizes → filter by
+    threshold. The shingle join is the scale hazard (hot shingles ⇒
+    skew); the MinHash tier replaces it beyond moderate corpus sizes.
+    """
+    sh = (
+        tokenize(df, text_col)
+        .select(F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------ minhash + lsh
+
+def _minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` minima of seeded xxhash64 over the
+    shingle set. Seeded hashing ≙ independent permutations."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: equal band-slices of the MinHash signature
+    land in the same bucket; only bucket-mates pair up.
+
+    Shuffle profile: explode to (doc × bands) rows, hash-shuffle on
+    (band, slice) — linear in corpus size. Downstream, verify
+    candidates with ``ngram_jaccard_pairs`` semantics on the candidate
+    subset only.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    sig = (
+        tokenize(df, text_col)
+        .select(F.col(id_col), shingles(F.col("tokens"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(F.col(id_col), _minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: sum ±1 per bit over token hashes,
+    take the sign. Expressed with explode + groupBy bit-sums (two-phase
+    agg; one shuffle on doc id)."""
+    toks = tokenize(df, text_col).select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("tokens"))).alias("tok")
+    )
+    hashed = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,104 @@
+"""Dependency-ordered materialization runner — the dbt DAG analogue.
+
+The reference's lifecycle (reference ``setup_script.sh:7``,
+``dbt_project.yml:28-29``): topo-sort models by ``ref()`` edges, then
+``CREATE OR REPLACE TABLE`` each in order (full refresh every run).
+
+Spark mapping: a registry of model functions; execution resolves each
+model's declared deps, runs them in topological order, and
+materializes with ``write.mode("overwrite")`` — optionally
+``partitionBy`` (the partition-pruning upgrade the reference's
+external tables could not have, ``main.tf:301-304``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Model:
+    name: str
+    build: Callable[..., DataFrame]  # (spark, **dep_dataframes) -> DataFrame
+    deps: tuple[str, ...] = ()
+    partition_by: tuple[str, ...] = ()
+
+
+@dataclass
+class Pipeline:
+    """Model registry + runner.
+
+    ``sources`` provides the raw inputs (name -> loader); models
+    reference sources or other models by name. Materialization is
+    parquet-per-model under ``warehouse_dir`` with full-refresh
+    semantics (``mode="overwrite"``), matching the reference's
+    ``CREATE OR REPLACE TABLE`` cadence.
+    """
+
+    warehouse_dir: str | None = None
+    sources: dict[str, Callable[[SparkSession], DataFrame]] = field(default_factory=dict)
+    models: dict[str, Model] = field(default_factory=dict)
+
+    def add_source(self, name: str, loader: Callable[[SparkSession], DataFrame]) -> None:
+        if name in self.sources or name in self.models:
+            raise ValueError(f"duplicate node {name!r}")
+        self.sources[name] = loader
+
+    def add_model(
+        self,
+        name: str,
+        build: Callable[..., DataFrame],
+        deps: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        if name in self.sources or name in self.models:
+            raise ValueError(f"duplicate node {name!r}")
+        self.models[name] = Model(name, build, deps, partition_by)
+
+    def topo_order(self) -> list[str]:
+        """Model names in dependency order (sources excluded);
+        raises CycleError on cyclic refs at plan time, not run time."""
+        ts = TopologicalSorter()
+        for m in self.models.values():
+            ts.add(m.name, *[d for d in m.deps])
+        order = [n for n in ts.static_order() if n in self.models]
+        missing = {
+            d
+            for m in self.models.values()
+            for d in m.deps
+            if d not in self.models and d not in self.sources
+        }
+        if missing:
+            raise ValueError(f"models reference undeclared deps: {sorted(missing)}")
+        return order
+
+    def run(self, spark: SparkSession, materialize: bool = True) -> dict[str, DataFrame]:
+        """Build every model in topo order; optionally persist each as
+        parquet (full refresh). Returns name -> DataFrame."""
+        built: dict[str, DataFrame] = {}
+
+        def resolve(name: str) -> DataFrame:
+            if name in built:
+                return built[name]
+            if name in self.sources:
+                built[name] = self.sources[name](spark)
+                return built[name]
+            raise KeyError(name)
+
+        for name in self.topo_order():
+            model = self.models[name]
+            inputs = {d: resolve(d) for d in model.deps}
+            df = model.build(spark, **inputs)
+            if materialize and self.warehouse_dir:
+                path = f"{self.warehouse_dir}/{name}"
+                writer = df.write.mode("overwrite")
+                if model.partition_by:
+                    writer = writer.partitionBy(*model.partition_by)
+                writer.parquet(path)
+                df = spark.read.parquet(path)
+            built[name] = df
+        return built

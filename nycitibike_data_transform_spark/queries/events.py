@@ -1,0 +1,144 @@
+"""Event-stream queries over the ``events`` table (batch semantics).
+
+The reference has no streaming path (its freshness model is a 4-hour
+full re-run, SURVEY.md §2.7); the driver's ``events`` table is served
+batch-style here, with the same logic mirrored as a Structured
+Streaming job in ``nycitibike_data_transform_spark.streaming`` (tested
+separately; streaming output is not oracle-comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.queries import QuerySpec, load
+
+# ------------------------------------------------------ tumbling window agg
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch equivalent of the
+    streaming windowed agg; date_trunc keeps the bucket engine-portable)."""
+    t = load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+# ------------------------------------------------------------ sessionization
+
+_GAP_MINUTES = 30
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + gap flag +
+    running count assigns session ids — one shuffle on user_id, then
+    narrow window math. The streaming analogue is session_window(ts)."""
+    t = load(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.when(F.lag("ts").over(order).isNull(), F.lit(1))
+        .when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+            > _GAP_MINUTES * 60 * 1_000_000,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    with_session = t["events"].withColumn(
+        "session_id",
+        F.sum(gap).over(order.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_MINUTES * 60 * 1_000_000} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY 1, 2
+"""
+
+# ------------------------------------------------------- event funnel decode
+
+def _q_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type counts + share-of-day (window over aggregate)."""
+    t = load(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .groupBy(
+            # cast to date: DuckDB's date_trunc('day') yields DATE
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day")
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias("share"),
+    )
+
+
+_EVENT_TYPE_DAILY_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE) AS share
+FROM daily
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_hourly": QuerySpec(_q_events_hourly, _EVENTS_HOURLY_SQL),
+    "events_sessionize": QuerySpec(_q_sessionize, _SESSIONIZE_SQL),
+    "event_type_daily": QuerySpec(_q_event_type_daily, _EVENT_TYPE_DAILY_SQL),
+}

@@ -1,0 +1,318 @@
+"""LLM-data-pipeline queries — dedup, text analysis, similarity,
+multimodal plumbing (north-star additions, SURVEY.md §2.9), over the
+driver's ``documents`` and ``embeddings`` tables.
+
+Oracle policy: exact/deterministic operators (exact dedup, n-gram
+Jaccard, text stats, brute-force cosine) carry full SQL oracles;
+hash-sketch operators (MinHash-LSH, SimHash) use engine-specific hash
+bit patterns, so they are rows-only checks with semantics pinned by
+unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.functions.text import (
+    language_id,
+    quality_score_columns,
+    text_fingerprint,
+)
+from nycitibike_data_transform_spark.functions.vectors import l2_norm
+from nycitibike_data_transform_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from nycitibike_data_transform_spark.operators.multimodal import attach_payload
+from nycitibike_data_transform_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from nycitibike_data_transform_spark.queries import QuerySpec, load
+
+# -------------------------------------------------------------- exact dedup
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents")
+    return exact_dedup(t["documents"])
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------- text stats
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents")
+    cols = quality_score_columns(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_tokens"].alias("n_tokens"),
+        F.round(cols["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(cols["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+# occurrence counting must mirror functions/text.py exactly:
+# non-overlapping replace-based counts over ' '-padded normalized text.
+_TEXT_STATS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, n_chars, nt,
+         CASE WHEN length(nt) = 0 THEN 0
+              ELSE CAST(len(string_split(nt, ' ')) AS INTEGER) END AS n_tokens,
+         ' ' || nt || ' ' AS padded
+  FROM norm
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE CAST(length(replace(nt, ' ', '')) AS DOUBLE) / n_tokens END, 6)
+           AS mean_token_len,
+       round(CASE WHEN n_chars = 0 THEN 0.0
+             ELSE CAST(n_chars - length(regexp_replace(CAST(nt AS VARCHAR),
+                  '[.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE) / n_chars END, 6)
+           AS punct_ratio,
+       round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE (
+           (length(padded) - length(replace(padded, ' the ', ''))) / 5.0
+         + (length(padded) - length(replace(padded, ' and ', ''))) / 5.0
+         + (length(padded) - length(replace(padded, ' of ', ''))) / 4.0
+         + (length(padded) - length(replace(padded, ' a ', ''))) / 3.0
+         + (length(padded) - length(replace(padded, ' to ', ''))) / 4.0
+         + (length(padded) - length(replace(padded, ' in ', ''))) / 4.0
+       ) / n_tokens END, 6) AS stopword_ratio
+FROM tok
+"""
+
+# ------------------------------------------------------------- language id
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents")
+    return t["documents"].select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    terms = [
+        f"(length(padded) - length(replace(padded, '{m}', ''))) / {float(len(m))}"
+        for m in markers
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_LANG_MARKERS = {
+    "de": (" der ", " die ", " und "),
+    "en": (" the ", " and ", " of "),
+    "es": (" el ", " la ", " de "),
+    "fr": (" le ", " la ", " et "),
+}
+
+_LANGUAGE_ID_SQL = r"""
+WITH padded_docs AS (
+  SELECT doc_id, ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' ' AS padded
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         {scores}
+  FROM padded_docs
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN NULL
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+       END AS lang_pred
+FROM scored
+""".format(
+    scores=",\n         ".join(
+        f"{_lang_score_sql(m)} AS s_{lang}" for lang, m in _LANG_MARKERS.items()
+    )
+)
+
+# -------------------------------------------------------------- fingerprint
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents")
+    return t["documents"].select("doc_id", text_fingerprint("text").alias("fingerprint"))
+
+
+_DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+# ----------------------------------------------------------- n-gram jaccard
+
+_JACCARD_N = 3
+_JACCARD_THRESHOLD = 0.6
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        t["documents"], n=_JACCARD_N, threshold=_JACCARD_THRESHOLD
+    )
+
+
+_NGRAM_JACCARD_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_set
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(shingle_set) AS shingle
+  FROM sh_list
+  WHERE len(shingle_set) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+"""
+
+# ------------------------------------------------- minhash / simhash (rows-only)
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs. xxhash64 signatures are
+    Spark-specific bit patterns → no SQL oracle; semantics pinned by
+    tests/test_dedup.py on known near-dup fixtures."""
+    t = load(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(t["documents"], n=_JACCARD_N)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc (rows-only for the same reason)."""
+    t = load(spark, sf_dir, "documents")
+    return simhash64(t["documents"])
+
+
+# -------------------------------------------------------- cosine similarity
+
+_TOPK = 5
+_N_QUERIES = 50  # query subset keeps the oracle's pair space bounded
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_TOPK)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+              THEN NULL
+              ELSE list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         END AS cosine
+  FROM c, q
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOPK}
+"""
+
+
+def _q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN tier (SRP buckets). Recall < 1 by construction →
+    not oracle-comparable against exact top-k; rows-only, with recall
+    measured in tests/test_similarity.py."""
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), dim=64, k=_TOPK, bits=4, bands=8
+    )
+
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "embeddings")
+    return t["embeddings"].select(
+        "vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm")
+    )
+
+
+_EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+FROM embeddings
+"""
+
+# ---------------------------------------------------------------- multimodal
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: opaque bytes + typed metadata struct
+    (flattened here so the oracle can compare it)."""
+    t = load(spark, sf_dir, "documents")
+    with_payload = attach_payload(t["documents"])
+    return with_payload.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum_md5").alias("checksum_md5"),
+    )
+
+
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum_md5
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(_q_dedup_exact, _DEDUP_EXACT_SQL),
+    "text_stats": QuerySpec(_q_text_stats, _TEXT_STATS_SQL),
+    "language_id": QuerySpec(_q_language_id, _LANGUAGE_ID_SQL),
+    "doc_fingerprint": QuerySpec(_q_doc_fingerprint, _DOC_FINGERPRINT_SQL),
+    "ngram_jaccard": QuerySpec(_q_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "minhash_pairs": QuerySpec(_q_minhash_pairs, None),
+    "simhash": QuerySpec(_q_simhash, None),
+    "cosine_topk": QuerySpec(_q_cosine_topk, _COSINE_TOPK_SQL),
+    "cosine_topk_lsh": QuerySpec(_q_cosine_topk_lsh, None),
+    "embedding_norms": QuerySpec(_q_embedding_norms, _EMBEDDING_NORMS_SQL),
+    "multimodal_meta": QuerySpec(_q_multimodal_meta, _MULTIMODAL_META_SQL),
+}

@@ -1,0 +1,316 @@
+"""MART-layer queries — SURVEY.md §2.5 (A1-A5).
+
+The reference *declares* PREP/MART analysis layers but never landed a
+model in them (reference ``README.md:28-29``, ``terraform.tfvars:59-60``);
+these queries are that missing query surface, built as first-class
+engine capabilities.
+
+Determinism: every money/quantity aggregate accumulates in exact
+DECIMAL (double summation is partition-order-dependent) and casts to
+double once at the end. Widths are chosen so no intermediate exceeds
+DECIMAL(38,·) in either engine: measures at (18,2), rates at (4,2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.queries import QuerySpec, load
+
+
+def _dec(c: str, scale: str = "decimal(18,2)") -> Column:
+    return F.col(c).cast(scale)
+
+
+def _rate(c: str) -> Column:
+    return F.col(c).cast("decimal(4,2)")
+
+
+# ------------------------------------------------------- TPC-H Q1 style agg
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 hash aggregation: 2 group cols × 8 aggregates over lineitem.
+    Map-side partial agg + single shuffle on the (tiny) group domain."""
+    t = load(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(4,2)") + _rate("l_tax"))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       max(l_quantity) AS max_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ----------------------------------------------- TPC-H Q5 style star join
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+J1 star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region,
+    revenue per nation. Dims broadcast; the fact-side joins shuffle on
+    their keys with AQE sizing — the canonical 100 TB star-join shape."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+# ------------------------------------------------------------ distinct (A2)
+
+def _q_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 exact distinct aggregation (expand + two-phase agg in Spark)."""
+    t = load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY 1
+"""
+
+# ------------------------------------------------------- rollup / cube (A2)
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# ------------------------------------------------------------- windows (A3)
+
+def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 top-k per group via ranking window (tie-broken on the
+    unique key so results are deterministic)."""
+    t = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 running frame: cumulative quantity per supplier in ship order
+    (DECIMAL accumulation — window sums may use segment trees whose
+    association order differs between engines)."""
+    t = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t["lineitem"].select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(_dec("l_quantity")).over(w).cast("double").alias("running_qty"),
+        F.lag("l_quantity", 1).over(
+            Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        ).alias("prev_qty"),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+       lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+FROM lineitem
+"""
+
+# ------------------------------------------------------ order/limit (A4)
+
+def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 global top-k (TakeOrderedAndProject — no full sort at scale)."""
+    t = load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+# ------------------------------------------------------------- pivot
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (explicit value list so the plan
+    needs no discovery pass — mandatory at scale)."""
+    t = load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+# ----------------------------------------------- approx sketches (A5)
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 HLL++ sketch — algorithm-specific estimates, so no SQL oracle
+    (DuckDB's approx_count_distinct uses a different sketch); the
+    driver records rows-only. Exact-distinct parity is covered by
+    ``distinct_parts_per_flag``."""
+    t = load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
+                "price_quantiles"
+            ),
+        )
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_SUMMARY_SQL),
+    "revenue_by_nation": QuerySpec(_q_revenue_by_nation, _REVENUE_BY_NATION_SQL),
+    "distinct_parts_per_flag": QuerySpec(_q_distinct_parts_per_flag, _DISTINCT_SQL),
+    "rollup_qty": QuerySpec(_q_rollup, _ROLLUP_SQL),
+    "cube_orders": QuerySpec(_q_cube, _CUBE_SQL),
+    "window_topk_orders": QuerySpec(_q_window_topk, _WINDOW_TOPK_SQL),
+    "window_running_qty": QuerySpec(_q_window_running, _WINDOW_RUNNING_SQL),
+    "top_orders": QuerySpec(_q_top_orders, _TOP_ORDERS_SQL),
+    "pivot_qty_by_status": QuerySpec(_q_pivot, _PIVOT_SQL),
+    "approx_distinct": QuerySpec(_q_approx_distinct, None),
+}

@@ -1,0 +1,62 @@
+"""Pipeline runner: DAG ordering, validation, materialization."""
+
+from __future__ import annotations
+
+import graphlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.pipeline import Pipeline
+
+
+def _pipe(tmp_path, sf_dir):
+    p = Pipeline(warehouse_dir=str(tmp_path / "warehouse"))
+    p.add_source("nation", lambda s: s.read.parquet(f"{sf_dir}/nation.parquet"))
+    p.add_source("region", lambda s: s.read.parquet(f"{sf_dir}/region.parquet"))
+    p.add_model(
+        "dim_nations",
+        lambda s, nation, region: nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name", "r_name"),
+        deps=("nation", "region"),
+    )
+    p.add_model(
+        "nation_counts",
+        lambda s, dim_nations: dim_nations.groupBy("r_name").agg(F.count("*").alias("n")),
+        deps=("dim_nations",),
+    )
+    return p
+
+
+def test_topo_order(tmp_path, sf_dir):
+    p = _pipe(tmp_path, sf_dir)
+    order = p.topo_order()
+    assert order.index("dim_nations") < order.index("nation_counts")
+
+
+def test_run_materializes_parquet(spark, tmp_path, sf_dir):
+    p = _pipe(tmp_path, sf_dir)
+    built = p.run(spark)
+    assert built["nation_counts"].count() == 5
+    assert (tmp_path / "warehouse" / "dim_nations").exists()
+    # full-refresh semantics: re-run overwrites cleanly
+    built2 = p.run(spark)
+    assert built2["dim_nations"].count() == 25
+
+
+def test_duplicate_and_missing_deps_rejected(tmp_path, sf_dir):
+    p = _pipe(tmp_path, sf_dir)
+    with pytest.raises(ValueError, match="duplicate"):
+        p.add_source("nation", lambda s: None)
+    p.add_model("broken", lambda s, nope: nope, deps=("nope",))
+    with pytest.raises(ValueError, match="undeclared"):
+        p.topo_order()
+
+
+def test_cycle_detection(tmp_path, sf_dir):
+    p = Pipeline()
+    p.add_model("a", lambda s, b: b, deps=("b",))
+    p.add_model("b", lambda s, a: a, deps=("a",))
+    with pytest.raises(graphlib.CycleError):
+        p.topo_order()

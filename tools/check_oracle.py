@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and, when an ``oracle_sql()``
+entry exists, the oracle on DuckDB over the same parquet tables, then
+compares row count, column names, and an order-insensitive multiset of
+canonicalized values. Stricter than the driver is likely to be:
+values must match exactly after canonicalization (floats by repr).
+
+Usage: python tools/check_oracle.py [SF_DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from nycitibike_data_transform_spark.catalog import TESTDATA_TABLES
+from nycitibike_data_transform_spark.session import get_spark
+
+
+def canon_value(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s or "0"
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> Counter:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return Counter("|".join(canon_value(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures: list[str] = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            o_cols = list(rel.columns)
+            o_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+        if not problems:
+            sc = canon_rows(s_cols, s_rows)
+            oc = canon_rows(o_cols, o_rows)
+            if sc != oc:
+                extra_s = list((sc - oc).items())[:3]
+                extra_o = list((oc - sc).items())[:3]
+                problems.append(f"values spark-only={extra_s} oracle-only={extra_o}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
