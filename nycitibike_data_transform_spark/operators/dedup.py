@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.functions.text import normalize_text, text_fingerprint
+from nycitibike_data_transform_spark.operators.util import fan_out
 
 # ----------------------------------------------------------------- exact
 
@@ -87,6 +88,9 @@ def ngram_jaccard_pairs(
     threshold. The shingle join is the scale hazard (hot shingles ⇒
     skew); the MinHash tier replaces it beyond moderate corpus sizes.
     """
+    # NOTE: no fan_out here — `sh` feeds three consumers (sizes, both
+    # join sides), so any extra upstream shuffle is re-executed 3×; the
+    # .distinct() shuffle already spreads the join across the cluster.
     sh = (
         tokenize(df, text_col)
         .select(F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle"))
@@ -123,14 +127,26 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------ minhash + lsh
 
-def _minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
-    """Array of ``num_hashes`` minima of seeded xxhash64 over the
-    shingle set. Seeded hashing ≙ independent permutations."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature per document.
+
+    Shape matters here: explode the shingle set once, hash each shingle
+    row ``num_hashes`` ways, then two-phase ``min`` aggregation.
+    (The tempting alternative — ``array_min(transform(shingles, hash))``
+    per hash — re-inlines the shingle-construction expression into all
+    k transforms after Catalyst's projection collapse: k× the work.)
+    Map-side partial mins reduce the shuffle to k longs per doc."""
+    sh = tokenize(fan_out(df), text_col).select(
+        F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle")
+    )
+    return sh.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -153,12 +169,7 @@ def minhash_candidate_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
-    sig = (
-        tokenize(df, text_col)
-        .select(F.col(id_col), shingles(F.col("tokens"), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(F.col(id_col), _minhash_signature(F.col("sh"), num_hashes).alias("sig"))
-    )
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -166,9 +177,13 @@ def minhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
-                            "bucket"
-                        ),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{i}")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -195,7 +210,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash per document: sum ±1 per bit over token hashes,
     take the sign. Expressed with explode + groupBy bit-sums (two-phase
     agg; one shuffle on doc id)."""
-    toks = tokenize(df, text_col).select(
+    toks = tokenize(fan_out(df), text_col).select(
         F.col(id_col), F.explode(F.array_distinct(F.col("tokens"))).alias("tok")
     )
     hashed = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))

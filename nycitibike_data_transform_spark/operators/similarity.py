@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.functions.vectors import cosine_similarity
+from nycitibike_data_transform_spark.operators.util import fan_out
 
 # ------------------------------------------------------- brute force top-k
 
@@ -40,7 +41,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec"))
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -132,7 +133,7 @@ def cosine_topk_lsh(
     equi-join on (band, bucket) — broadcastable when the query side is
     small; never O(corpus²). Tune bits↑ for precision (fewer
     candidates), bands↑ for recall."""
-    cb = _banded_buckets(corpus, "neighbor_id", dim, bits, bands, id_col, vec_col)
+    cb = _banded_buckets(fan_out(corpus), "neighbor_id", dim, bits, bands, id_col, vec_col)
     qb = _banded_buckets(queries, "query_id", dim, bits, bands, id_col, vec_col)
     candidates = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
