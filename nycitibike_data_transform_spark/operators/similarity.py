@@ -10,12 +10,16 @@ Two tiers:
   buckets (SimHash for vectors) prune the candidate space; exact
   cosine re-ranks within buckets. Recall is tunable via bands/bits.
 
-All math in double via higher-order functions; no Python UDF in the
-hot path.
+Scoring math runs in double via JVM higher-order functions; the only
+Python is the SRP bucketing matmul — an Arrow-batched pandas_udf kept
+deliberately (see ``_banded_buckets`` for why a Column-literal version
+is pathological).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,24 +99,63 @@ def srp_bucket(
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def _srp_bucket_expr(vec_col: str, dim: int, bits: int, seed: int):
+    """Bucket-id Column for one SRP table (int in [0, 2^bits))."""
+    planes = _projection_vectors(dim, bits, seed)
+    bucket = None
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def _banded_buckets(
     df: DataFrame, out_id: str, dim: int, bits: int, bands: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, vec, band, bucket) rows — one per band, each band an
-    independent SRP table (seed varies per band)."""
-    out = None
-    for band in range(bands):
-        b = (
-            srp_bucket(df, vec_col, dim, bits, seed=7 + 101 * band)
-            .select(
-                F.col(id_col).alias(out_id),
-                F.col(vec_col).alias(f"{out_id}_vec"),
-                F.lit(band).alias("band"),
-                "bucket",
-            )
+    independent SRP table (seed varies per band).
+
+    All bands×bits projections are evaluated as ONE Arrow-vectorized
+    matmul in a pandas_udf. This is the deliberate exception to the
+    built-ins-first rule: expressing 8 bands × 4 bits × 64 dims as
+    Column literals builds a ~2000-literal expression tree whose
+    analysis/codegen cost dominates the query (~10 s fixed overhead,
+    independent of data size); the numpy path is a microsecond-scale
+    (n, dim) @ (dim, bands·bits) product per batch and keeps the plan
+    tiny. Still fully deterministic: planes come from the same LCG.
+    """
+    planes = np.array(
+        [
+            _projection_vectors(dim, bits, seed=7 + 101 * band)
+            for band in range(bands)
+        ],
+        dtype=np.float64,
+    ).reshape(bands * bits, dim)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def band_buckets(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (x @ planes.T) >= 0.0  # (n, bands*bits)
+        bucketed = signs.reshape(len(x), bands, bits) @ weights  # (n, bands)
+        return pd.Series(list(bucketed.astype(np.int32)))
+
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"{out_id}_vec"),
+            F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket"),
         )
-        out = b if out is None else out.unionByName(b)
-    return out
+    )
 
 
 def cosine_topk_lsh(
@@ -133,7 +176,10 @@ def cosine_topk_lsh(
     equi-join on (band, bucket) — broadcastable when the query side is
     small; never O(corpus²). Tune bits↑ for precision (fewer
     candidates), bands↑ for recall."""
-    cb = _banded_buckets(fan_out(corpus), "neighbor_id", dim, bits, bands, id_col, vec_col)
+    # No fan_out before the pandas_udf: each extra partition costs a
+    # Python-worker round trip that dwarfs the vectorized matmul at
+    # moderate row counts, and wide inputs at scale are already wide.
+    cb = _banded_buckets(corpus, "neighbor_id", dim, bits, bands, id_col, vec_col)
     qb = _banded_buckets(queries, "query_id", dim, bits, bands, id_col, vec_col)
     candidates = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
