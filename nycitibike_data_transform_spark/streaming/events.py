@@ -1,0 +1,105 @@
+"""Streaming analogues of the batch event queries.
+
+The reference has NO streaming path — its freshness model is a 4-hour
+full re-run on Cloud Scheduler (reference
+``terraform/a2_config_second_apply/main.tf:196-216``; SURVEY.md §2.7).
+This module is the capability *upgrade* the Spark target makes
+natural: the same event logic as ``queries/events.py``, expressed as
+Structured Streaming with watermarks, so a deployment can replace the
+4-hour re-run with incremental micro-batches (or ``availableNow`` for
+the same scheduled-batch cadence with incremental state).
+
+Streaming output is not DuckDB-oracle-comparable (the driver contract
+is batch); parity with the batch queries is pinned by
+tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events schema, post ns→µs conversion (readStream needs an explicit
+#: schema; TIMESTAMP(NANOS) parquet arrives as bigint under the
+#: nanosAsLong conf and is truncated to match the batch path).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos (legacy conf)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-directory source for the events feed (one file per
+    micro-batch discovery; real deployments point this at Kafka)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts per event type with a 2-hour
+    watermark (late data beyond that is dropped — state stays bounded,
+    the property that matters on an unbounded stream)."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Native session windows (the streaming analogue of the batch
+    lag/cumsum sessionization in queries/events.py)."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming frame to completion over the available input
+    (availableNow ≙ the reference's scheduled-batch cadence) and return
+    the materialized result as a batch DataFrame."""
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

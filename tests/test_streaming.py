@@ -1,0 +1,55 @@
+"""Streaming/batch parity: the streaming queries must agree with the
+batch event queries on the same (bounded) input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.queries import all_queries
+from nycitibike_data_transform_spark.streaming import (
+    hourly_counts_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+)
+
+
+def test_hourly_stream_matches_batch(spark, sf_dir):
+    stream_out = run_stream_to_memory(hourly_counts_stream(spark, sf_dir), "hourly_test")
+    batch = all_queries()["events_hourly"].spark(spark, sf_dir)
+    s = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in stream_out.collect()
+    }
+    b = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert s == b
+
+
+def test_session_stream_matches_batch_counts(spark, sf_dir):
+    stream_out = run_stream_to_memory(sessionize_stream(spark, sf_dir), "session_test")
+    batch = all_queries()["events_sessionize"].spark(spark, sf_dir)
+    # session_window end = last_ts + gap, the batch query reports the
+    # last event ts; compare session structure (count per user, sizes)
+    s = sorted(
+        (r["user_id"], r["n_events"], r["session_value"]) for r in stream_out.collect()
+    )
+    b = sorted(
+        (r["user_id"], r["n_events"], r["session_value"]) for r in batch.collect()
+    )
+    assert s == b
+
+
+def test_stream_watermark_metadata(spark, sf_dir):
+    df = hourly_counts_stream(spark, sf_dir)
+    assert df.isStreaming
+    assert "window" not in df.columns  # flattened projection
+    assert set(df.columns) == {"hour", "event_type", "n_events", "sum_value"}
+
+
+def test_session_stream_gap_semantics(spark, sf_dir):
+    out = run_stream_to_memory(sessionize_stream(spark, sf_dir, gap_minutes=30), "gap_test")
+    row = out.filter(F.col("n_events") > 1).first()
+    # session window spans [first_ts, last_ts + gap)
+    assert (row["session_end"] - row["session_start"]).total_seconds() >= 30 * 60
