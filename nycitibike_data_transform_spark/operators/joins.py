@@ -1,0 +1,108 @@
+"""Join operators beyond plain equi-joins (SURVEY.md §2.4 J4 — absent
+in the reference, required for a complete query surface).
+
+- ``broadcast_dim_join``: the reference's fact→dim enrichment pattern
+  with the broadcast pinned (J1/J2).
+- ``as_of_join``: most-recent-match join (time-series enrichment).
+  Spark has no native ASOF; this is the union + ordered-window
+  formulation: one shuffle on (key), no per-group Python. Equivalent
+  to DuckDB/QuestDB ASOF JOIN semantics: for each left row, the right
+  row with the greatest right_ts <= left_ts.
+- ``range_join``: non-equi interval join expressed so Catalyst can
+  still broadcast the (small) range side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Fact→dimension enrichment with an explicit broadcast pin
+    (reference ``AUX_TLC_RIDES.sql:72-75``; BigQuery did this choice
+    invisibly, we make it deterministic)."""
+    return fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key], how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row: values of the latest right row at-or-before
+    its timestamp (per key). NULLs when no prior right row exists.
+
+    Plan shape: tag + unionByName + one window over (key) ordered by
+    (ts, side) — a single hash shuffle on the key, linear state, no
+    O(n²) condition join. Right rows sort before left rows at equal
+    timestamps, so an exactly-simultaneous right row IS visible
+    (``right_ts <= left_ts`` semantics, matching SQL ASOF JOIN).
+    """
+    overlap = set(right_values) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right value columns collide with left columns: {sorted(overlap)}")
+
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    for v in right_values:
+        l_tagged = l_tagged.withColumn(v, F.lit(None))
+    r_tagged = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("__ts"),
+            F.lit(0).alias("__side"),
+            *[F.col(v) for v in right_values],
+        )
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in right_values],
+        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in right_values],
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__matched_ts"),
+    ).filter(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        in_range = (
+            F.col("__matched_ts").isNotNull()
+            & (
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__matched_ts"))
+                <= tolerance_seconds * 1_000_000
+            )
+        )
+        filled = filled.select(
+            *[c for c in filled.columns if c not in right_values],
+            *[F.when(in_range, F.col(v)).otherwise(F.lit(None)).alias(v) for v in right_values],
+        )
+
+    return filled.drop("__side", "__ts", "__matched_ts")
+
+
+def range_join(
+    fact: DataFrame,
+    ranges: DataFrame,
+    value: Column,
+    lo: Column,
+    hi: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """value ∈ [lo, hi) interval join; the range side is broadcast (it
+    is a banding/tier table by construction — small)."""
+    return fact.join(F.broadcast(ranges), (value >= lo) & (value < hi), how)

@@ -57,10 +57,10 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from nycitibike_data_transform_spark.queries import core, events, llmdata, marts
+    from nycitibike_data_transform_spark.queries import advanced, core, events, llmdata, marts
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, marts, events, llmdata):
+    for mod in (core, marts, advanced, events, llmdata):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

@@ -1,0 +1,327 @@
+"""Advanced relational coverage — operators beyond the reference's own
+surface that a complete engine needs (SURVEY.md §2.4 J4, §2.5 A2-A5
+extensions): as-of join, range join, grouping sets, correlated
+subqueries, exact quantiles, deterministic stddev, arg-min/max,
+collect+sort, unpivot, date/string scalar surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.operators.joins import as_of_join, range_join
+from nycitibike_data_transform_spark.queries import QuerySpec, load
+
+# ------------------------------------------------------------- as-of join
+
+def _q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the value of that user's most recent
+    click at-or-before the purchase (union+window formulation — one
+    shuffle on user_id; operators/joins.py)."""
+    t = load(spark, sf_dir, "events")
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click_value")
+    )
+    return as_of_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["last_click_value"],
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+       c.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+# ------------------------------------------------------------ range join
+
+_TIERS = [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 1.0e9)]
+
+
+def _q_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (non-equi) join of orders into price tiers; the tier
+    side broadcasts (BroadcastNestedLoopJoin over 3 rows)."""
+    t = load(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    return range_join(
+        t["orders"], tiers, F.col("o_totalprice"), F.col("lo"), F.col("hi")
+    ).select("o_orderkey", "o_totalprice", "tier")
+
+
+_RANGE_JOIN_SQL = f"""
+WITH tiers(tier, lo, hi) AS (
+  VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)}
+)
+SELECT o_orderkey, o_totalprice, tier
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+"""
+
+# --------------------------------------------------------- grouping sets
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 GROUPING SETS via the SQL API (same Catalyst plan as the
+    DataFrame expand; the SQL text is engine-portable here)."""
+    t = load(spark, sf_dir, "lineitem")
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# -------------------------------------------------- correlated subquery
+
+_CORRELATED_SQL = """
+SELECT c_custkey, c_name,
+       COALESCE((SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey), 0)
+           AS n_orders,
+       (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_order_price
+FROM customer c
+"""
+
+
+def _q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (Catalyst decorrelates to outer
+    joins + aggregates — SURVEY.md §4 'subquery decorrelation')."""
+    t = load(spark, sf_dir, "customer", "orders")
+    t["customer"].createOrReplaceTempView("customer")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
+# ------------------------------------------------------- exact quantiles
+
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 exact percentiles (linear interpolation), per group. Rounded:
+    both engines interpolate in double with potentially different
+    expression forms."""
+    t = load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+_QUANTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY 1
+"""
+
+# ------------------------------------------------- deterministic stddev
+
+def _q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev with deterministic cross-engine values: exact
+    DECIMAL sums of x and x², then the closed-form sample variance in
+    double (built-in stddev accumulates doubles in partition order —
+    not reproducible across engines)."""
+    t = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 6).alias("stddev_price"),
+    )
+
+
+_DISPERSION_SQL = """
+WITH agg AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round((s2 - s1 * s1 / n) / (n - 1), 4) AS var_price,
+       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_price
+FROM agg
+"""
+
+# ------------------------------------------------------------ arg max
+
+def _q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by per customer (tie-broken with a composite ordering
+    key so both engines agree deterministically)."""
+    t = load(spark, sf_dir, "orders")
+    tiebreak = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e9)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", tiebreak).alias("best_order"),
+            F.min_by("o_orderkey", tiebreak).alias("worst_order"),
+            F.max("o_totalprice").alias("best_price"),
+        )
+    )
+
+
+_ARGMAX_SQL = """
+SELECT o_custkey,
+       arg_max(o_orderkey, o_totalprice + o_orderkey / 1e9) AS best_order,
+       arg_min(o_orderkey, o_totalprice + o_orderkey / 1e9) AS worst_order,
+       max(o_totalprice) AS best_price
+FROM orders
+GROUP BY 1
+"""
+
+# ----------------------------------------------------- collect + sort
+
+def _q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted line-number list (array agg), emitted as a
+    joined string (portable comparison form)."""
+    t = load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("l_linenumber")))).alias(
+                "line_numbers"
+            ),
+            F.concat_ws(",", F.sort_array(F.collect_set(F.col("l_returnflag")))).alias(
+                "flags"
+            ),
+        )
+    )
+
+
+_COLLECT_SORTED_SQL = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+       array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+FROM lineitem
+GROUP BY 1
+"""
+
+# ------------------------------------------------------------- unpivot
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of lineitem money columns via stack()."""
+    t = load(spark, sf_dir, "lineitem")
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'extendedprice', l_extendedprice, 'discount', l_discount,"
+            " 'tax', l_tax) AS (metric, value)"
+        ),
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric, l_extendedprice AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+"""
+
+# ------------------------------------------------------ date functions
+
+def _q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    return t["orders"].select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month_start"),
+        F.last_day(F.col("o_orderdate")).alias("order_month_end"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_1999"
+        ),
+    )
+
+
+_DATE_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS order_month_end,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER)
+           AS days_to_1999
+FROM orders
+"""
+
+# ---------------------------------------------------- string functions
+
+def _q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer")
+    return t["customer"].select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("c_name")).cast("int").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
+        F.instr(F.col("c_name"), "0").cast("int").alias("zero_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    )
+
+
+_STRING_FUNCTIONS_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substring(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+       CAST(strpos(c_name, '0') AS INTEGER) AS zero_pos,
+       reverse(c_mktsegment) AS seg_rev
+FROM customer
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "asof_purchase_click": QuerySpec(_q_asof_purchase_click, _ASOF_SQL),
+    "range_join_tiers": QuerySpec(_q_range_join_tiers, _RANGE_JOIN_SQL),
+    "grouping_sets": QuerySpec(_q_grouping_sets, _GROUPING_SETS_SQL),
+    "correlated_subquery": QuerySpec(_q_correlated_subquery, _CORRELATED_SQL),
+    "quantiles": QuerySpec(_q_quantiles, _QUANTILES_SQL),
+    "dispersion": QuerySpec(_q_dispersion, _DISPERSION_SQL),
+    "argmax_orders": QuerySpec(_q_argmax, _ARGMAX_SQL),
+    "collect_sorted": QuerySpec(_q_collect_sorted, _COLLECT_SORTED_SQL),
+    "unpivot_money": QuerySpec(_q_unpivot, _UNPIVOT_SQL),
+    "date_functions": QuerySpec(_q_date_functions, _DATE_FUNCTIONS_SQL),
+    "string_functions": QuerySpec(_q_string_functions, _STRING_FUNCTIONS_SQL),
+}
