@@ -312,8 +312,32 @@ FROM customer
 """
 
 
+# --------------------------------------------------- array explode / agg
+
+def _q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → aggregate (the array/lateral surface): word
+    frequencies over part type descriptions."""
+    t = load(spark, sf_dir, "part")
+    return (
+        t["part"]
+        .select(F.explode(F.split(F.col("p_type"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_WORD_FREQUENCIES_SQL = """
+SELECT w AS word, count(*) AS n
+FROM part, unnest(string_split(p_type, ' ')) AS t(w)
+WHERE length(w) > 0
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "asof_purchase_click": QuerySpec(_q_asof_purchase_click, _ASOF_SQL),
+    "word_frequencies": QuerySpec(_q_word_frequencies, _WORD_FREQUENCIES_SQL),
     "range_join_tiers": QuerySpec(_q_range_join_tiers, _RANGE_JOIN_SQL),
     "grouping_sets": QuerySpec(_q_grouping_sets, _GROUPING_SETS_SQL),
     "correlated_subquery": QuerySpec(_q_correlated_subquery, _CORRELATED_SQL),

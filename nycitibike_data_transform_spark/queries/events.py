@@ -137,8 +137,42 @@ FROM daily
 """
 
 
+# --------------------------------------------------------- JSON extraction
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction + typed
+    aggregation (the schema-on-read side door every event pipeline
+    needs; stays JVM-side via get_json_object)."""
+    t = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 END)
+           AS n_high
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_hourly": QuerySpec(_q_events_hourly, _EVENTS_HOURLY_SQL),
     "events_sessionize": QuerySpec(_q_sessionize, _SESSIONIZE_SQL),
     "event_type_daily": QuerySpec(_q_event_type_daily, _EVENT_TYPE_DAILY_SQL),
+    "events_json": QuerySpec(_q_events_json, _EVENTS_JSON_SQL),
 }
