@@ -95,6 +95,43 @@ def as_of_join(
     return filled.drop("__side", "__ts", "__matched_ts")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the fact side gets a deterministic
+    per-row salt in [0, salt), the dim side is replicated ×salt, and
+    the join runs on (key, salt) — a hot key's rows spread over
+    ``salt`` reducers instead of one.
+
+    Use when a shuffle join has a pathological hot key and the dim is
+    too big to broadcast (otherwise broadcast and salting are both
+    unnecessary); AQE's skew-join handles moderate skew automatically,
+    salting is the explicit big hammer. Deterministic: salt comes from
+    a hash of the fact row's key + a monotonic discriminator, so
+    re-runs produce identical partitioning.
+    """
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()), F.lit(salt)).cast(
+            "int"
+        ),
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    cond = (salted_fact[fact_key] == replicated_dim[dim_key]) & (
+        salted_fact["__salt"] == replicated_dim["__salt"]
+    )
+    return salted_fact.join(replicated_dim, cond, how).drop("__salt")
+
+
 def range_join(
     fact: DataFrame,
     ranges: DataFrame,

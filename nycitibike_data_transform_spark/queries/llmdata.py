@@ -303,8 +303,49 @@ FROM documents
 """
 
 
+# ------------------------------------------------- BPE-ish token count
+
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting: letter runs, digit runs, and
+    single punctuation marks as separate tokens (the portable core of
+    a GPT-2-style pre-tokenizer regex)."""
+    t = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+_BPE_TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS INTEGER)
+           AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))) AS INTEGER)
+           AS n_unique_tokens
+FROM documents
+"""
+
+# -------------------------------------------------- deterministic sampling
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample by id hash (operators/sampling).
+    xxhash64 bucket values are Spark-specific → rows-only check;
+    determinism & disjointness pinned in tests/test_sampling.py."""
+    from nycitibike_data_transform_spark.operators.sampling import hash_sample
+
+    t = load(spark, sf_dir, "documents")
+    return hash_sample(t["documents"], 0.2, "doc_id").select("doc_id", "lang", "n_chars")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_q_dedup_exact, _DEDUP_EXACT_SQL),
+    "bpe_token_count": QuerySpec(_q_bpe_token_count, _BPE_TOKEN_COUNT_SQL),
+    "hash_sample": QuerySpec(_q_hash_sample, None),
     "text_stats": QuerySpec(_q_text_stats, _TEXT_STATS_SQL),
     "language_id": QuerySpec(_q_language_id, _LANGUAGE_ID_SQL),
     "doc_fingerprint": QuerySpec(_q_doc_fingerprint, _DOC_FINGERPRINT_SQL),

@@ -282,6 +282,67 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+# ------------------------------------------- TPC-H classics (Q3 / Q6)
+
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both join sides (pushed to
+    the scans), join on orderkey, revenue agg, top-10. The filters
+    prune before the shuffle — the property that matters at 100 TB."""
+    t = load(spark, sf_dir, "customer", "orders", "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the
+    pushdown benchmark (all three predicates reach the parquet scan)."""
+    t = load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _rate("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_FORECAST_REVENUE_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
 # ----------------------------------------------- approx sketches (A5)
 
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,8 +363,50 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- histogram
+
+_HIST_LO, _HIST_STEP, _HIST_BINS = 0.0, 50000.0, 12
+
+
+def _q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning (portable floor arithmetic, clamped top
+    bin) — the groundwork for any distribution dashboard at scale:
+    one pass, one tiny shuffle."""
+    t = load(spark, sf_dir, "orders")
+    bin_id = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(_HIST_LO)) / F.lit(_HIST_STEP)).cast("int"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        t["orders"]
+        .select(bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin_id",
+            (F.lit(_HIST_LO) + F.col("bin_id") * F.lit(_HIST_STEP)).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+_PRICE_HISTOGRAM_SQL = f"""
+WITH binned AS (
+  SELECT least(CAST(floor((o_totalprice - {_HIST_LO}) / {_HIST_STEP}) AS INTEGER),
+               {_HIST_BINS - 1}) AS bin_id
+  FROM orders
+)
+SELECT bin_id, CAST({_HIST_LO} + bin_id * {_HIST_STEP} AS DOUBLE) AS bin_lo, count(*) AS n
+FROM binned
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_SUMMARY_SQL),
+    "price_histogram": QuerySpec(_q_price_histogram, _PRICE_HISTOGRAM_SQL),
+    "shipping_priority": QuerySpec(_q_shipping_priority, _SHIPPING_PRIORITY_SQL),
+    "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
     "revenue_by_nation": QuerySpec(_q_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "distinct_parts_per_flag": QuerySpec(_q_distinct_parts_per_flag, _DISTINCT_SQL),
     "rollup_qty": QuerySpec(_q_rollup, _ROLLUP_SQL),

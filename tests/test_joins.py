@@ -72,3 +72,23 @@ def test_broadcast_dim_join_plan(spark, sf_dir):
     out = broadcast_dim_join(fact, dim, "c_nationkey", "n_nationkey")
     assert has_broadcast_join(out)
     assert out.count() == fact.count()  # left join never drops facts
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from nycitibike_data_transform_spark.operators.joins import salted_join
+
+    fact = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plain = fact.join(dim, fact.o_custkey == dim.c_custkey)
+    salted = salted_join(fact, dim, "o_custkey", "c_custkey", salt=4)
+    assert salted.count() == plain.count()
+    a = {(r["o_orderkey"], r["c_custkey"]) for r in plain.select("o_orderkey", "c_custkey").collect()}
+    b = {(r["o_orderkey"], r["c_custkey"]) for r in salted.select("o_orderkey", "c_custkey").collect()}
+    assert a == b
+
+
+def test_salted_join_validation(spark):
+    from nycitibike_data_transform_spark.operators.joins import salted_join
+
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(None, None, "a", "b", salt=0)
