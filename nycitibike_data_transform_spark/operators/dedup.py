@@ -204,6 +204,44 @@ def minhash_candidate_pairs(
     )
 
 
+# ----------------------------------------------------- embedding near-dup
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs: cosine similarity over the
+    embedding column at/above ``threshold``.
+
+    This is the exact (all-pairs) tier — broadcast one side, evaluate
+    the dot product in codegen, keep ordered pairs. At corpus scale,
+    gate it behind ``similarity.cosine_topk_lsh``-style SRP blocking
+    and run this only within candidate buckets.
+    """
+    from nycitibike_data_transform_spark.functions.vectors import dot_product, l2_norm
+
+    # norms precomputed per vector BEFORE the pair join: the pair space
+    # is O(n²), so anything computable per-row must not run per-pair
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), l2_norm(vec_col).alias("na")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), l2_norm(vec_col).alias("nb")
+    )
+    denom = F.col("na") * F.col("nb")
+    cosine = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        dot_product(F.col("vec_a"), F.col("vec_b")) / denom
+    )
+    return (
+        fan_out(a)
+        .join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

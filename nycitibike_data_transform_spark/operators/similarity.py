@@ -23,7 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nycitibike_data_transform_spark.functions.vectors import cosine_similarity
+from nycitibike_data_transform_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 from nycitibike_data_transform_spark.operators.util import fan_out
 
 # ------------------------------------------------------- brute force top-k
@@ -43,16 +47,23 @@ def cosine_topk(
     partitioned and never shuffles.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        l2_norm(vec_col).alias("qn"),
     )
-    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec"))
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        l2_norm(vec_col).alias("cn"),
+    )
+    # norms are per-row; only the dot product runs per-pair
+    denom = F.col("qn") * F.col("cn")
+    cosine = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        dot_product(F.col("query_vec"), F.col("cand_vec")) / denom
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("query_vec"), F.col("cand_vec")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -18,6 +18,28 @@ from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Incremental MERGE (delete-insert emulation): rows from
+    ``existing`` whose key has no update, plus all ``updates``.
+
+    The reference's freshness story is a full ``CREATE OR REPLACE``
+    every 4 hours (reference ``setup_script.sh:7``); this is the
+    incremental upgrade SURVEY.md §4 flags as optional — an anti-join
+    + union, no table format required (Delta/Iceberg would make it a
+    metadata operation, but their jars aren't in this environment).
+    Shuffle profile: one hash shuffle of each side on the key.
+    """
+    if not keys:
+        raise ValueError("merge_upsert needs at least one key column")
+    if existing.columns != updates.columns:
+        raise ValueError(
+            f"schema mismatch: existing={existing.columns} updates={updates.columns}"
+        )
+    kept = existing.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates)
 
 
 @dataclass(frozen=True)

@@ -170,7 +170,92 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------------- funnel
+
+_FUNNEL_WINDOW_HOURS = 72
+
+
+def _q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users whose first signup is followed by a
+    purchase within 72h. One aggregation per side + an equi-join on
+    user — no range-join explosion."""
+    t = load(spark, sf_dir, "events")
+    ev = t["events"]
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = signups.join(purchases, "user_id", "left")
+    converted = (
+        F.col("purchase_ts").isNotNull()
+        & (F.col("purchase_ts") >= F.col("first_signup"))
+        & (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("first_signup"))
+            <= _FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
+        )
+    )
+    return (
+        joined.groupBy("user_id", "first_signup")
+        .agg(F.max(F.when(converted, 1).otherwise(0)).alias("converted"))
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH signups AS (
+  SELECT user_id, min(ts) AS first_signup
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+purchases AS (
+  SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT s.user_id, s.first_signup,
+       max(CASE WHEN p.purchase_ts IS NOT NULL
+                 AND p.purchase_ts >= s.first_signup
+                 AND epoch_us(p.purchase_ts) - epoch_us(s.first_signup)
+                     <= {_FUNNEL_WINDOW_HOURS * 3600 * 1_000_000}
+            THEN 1 ELSE 0 END) AS converted
+FROM signups s LEFT JOIN purchases p ON s.user_id = p.user_id
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------- window variants
+
+def _q_window_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / first_value / ntile over per-user event sequences (the
+    analytic-window surface beyond row_number/running sums)."""
+    t = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(Window.partitionBy("user_id").orderBy("event_type", "event_id")).alias(
+            "type_rank"
+        ),
+    )
+
+
+_WINDOW_VARIANTS_SQL = """
+SELECT user_id, event_id,
+       lead(event_type, 1) OVER w AS next_type,
+       first_value(event_type) OVER w AS first_type,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type, event_id) AS INTEGER)
+           AS type_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "signup_purchase_funnel": QuerySpec(_q_signup_purchase_funnel, _FUNNEL_SQL),
+    "window_variants": QuerySpec(_q_window_variants, _WINDOW_VARIANTS_SQL),
     "events_hourly": QuerySpec(_q_events_hourly, _EVENTS_HOURLY_SQL),
     "events_sessionize": QuerySpec(_q_sessionize, _SESSIONIZE_SQL),
     "event_type_daily": QuerySpec(_q_event_type_daily, _EVENT_TYPE_DAILY_SQL),

@@ -21,6 +21,7 @@ from nycitibike_data_transform_spark.functions.text import (
 )
 from nycitibike_data_transform_spark.functions.vectors import l2_norm
 from nycitibike_data_transform_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
@@ -265,6 +266,30 @@ def _q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEAR_DUP_THRESHOLD = 0.45
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs tier;
+    the SRP-blocked variant is the scale path)."""
+    t = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(t["embeddings"], _NEAR_DUP_THRESHOLD)
+
+
+_EMBEDDING_NEAR_DUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "embeddings")
     return t["embeddings"].select(
@@ -353,6 +378,7 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_pairs": QuerySpec(_q_minhash_pairs, None),
     "simhash": QuerySpec(_q_simhash, None),
     "cosine_topk": QuerySpec(_q_cosine_topk, _COSINE_TOPK_SQL),
+    "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL),
     "cosine_topk_lsh": QuerySpec(_q_cosine_topk_lsh, None),
     "embedding_norms": QuerySpec(_q_embedding_norms, _EMBEDDING_NORMS_SQL),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _MULTIMODAL_META_SQL),

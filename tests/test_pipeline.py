@@ -60,3 +60,25 @@ def test_cycle_detection(tmp_path, sf_dir):
     p.add_model("b", lambda s, a: a, deps=("a",))
     with pytest.raises(graphlib.CycleError):
         p.topo_order()
+
+
+def test_merge_upsert(spark):
+    from nycitibike_data_transform_spark.pipeline import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, "old"), (2, "keep"), (3, "stale")], "k int, v string"
+    )
+    updates = spark.createDataFrame([(1, "new"), (4, "insert")], "k int, v string")
+    out = {r["k"]: r["v"] for r in merge_upsert(existing, updates, ["k"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "stale", 4: "insert"}
+
+
+def test_merge_upsert_validation(spark):
+    from nycitibike_data_transform_spark.pipeline import merge_upsert
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    other = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(df, other, ["k"])
+    with pytest.raises(ValueError, match="at least one key"):
+        merge_upsert(df, df, [])
