@@ -25,8 +25,11 @@ HEADLINE = [
     "stage_rides",
     "pricing_summary",
     "revenue_by_nation",
+    "shipping_priority",
+    "forecast_revenue",
     "window_topk_orders",
     "events_sessionize",
+    "asof_purchase_click",
     "dedup_exact",
     "text_stats",
     "ngram_jaccard",
