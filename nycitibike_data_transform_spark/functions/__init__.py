@@ -11,7 +11,9 @@ from nycitibike_data_transform_spark.functions.decode import decode, payment_typ
 from nycitibike_data_transform_spark.functions.geo import haversine
 from nycitibike_data_transform_spark.functions.text import (
     language_id,
+    normalize_text,
     quality_score_columns,
+    scrub_pii,
     text_fingerprint,
     token_count,
 )
@@ -25,6 +27,8 @@ __all__ = [
     "decode",
     "payment_type_description",
     "haversine",
+    "normalize_text",
+    "scrub_pii",
     "token_count",
     "language_id",
     "quality_score_columns",

@@ -117,6 +117,25 @@ def quality_score_columns(col: Column | str) -> dict[str, Column]:
     }
 
 
+#: portable scrub patterns (same regex dialect subset works in Java
+#: regex and RE2): emails, URLs, long digit runs (phone/ID-ish).
+SCRUB_PATTERNS: Mapping[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+", "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "long_number": (r"[0-9][0-9][0-9][0-9][0-9][0-9]+", "<NUM>"),
+}
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace emails, URLs and long digit runs with typed placeholder
+    tokens — the standard pre-training text-cleaning pass. Pure
+    regexp_replace chain (codegen'd, shuffle-free)."""
+    c = _as_col(col)
+    for pattern, replacement in SCRUB_PATTERNS.values():
+        c = F.regexp_replace(c, pattern, replacement)
+    return c
+
+
 def text_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 hex of the normalized
     text. Engine-portable (md5 is standardized) unlike murmur-based

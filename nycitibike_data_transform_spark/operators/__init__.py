@@ -1,5 +1,51 @@
 """Relational/dataflow operators beyond single-column functions."""
 
 from nycitibike_data_transform_spark.operators.conform import ConformSpec, conform, conform_union
+from nycitibike_data_transform_spark.operators.dedup import (
+    drop_exact_duplicates,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from nycitibike_data_transform_spark.operators.joins import (
+    as_of_join,
+    broadcast_dim_join,
+    range_join,
+    salted_join,
+)
+from nycitibike_data_transform_spark.operators.multimodal import attach_payload, extract_features
+from nycitibike_data_transform_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+)
+from nycitibike_data_transform_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from nycitibike_data_transform_spark.operators.util import fan_out
 
-__all__ = ["ConformSpec", "conform", "conform_union"]
+__all__ = [
+    "ConformSpec",
+    "conform",
+    "conform_union",
+    "exact_dedup",
+    "drop_exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash64",
+    "embedding_near_dup_pairs",
+    "as_of_join",
+    "broadcast_dim_join",
+    "range_join",
+    "salted_join",
+    "attach_payload",
+    "extract_features",
+    "hash_sample",
+    "stratified_sample",
+    "train_test_split",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "fan_out",
+]

@@ -15,8 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.functions.text import (
+    SCRUB_PATTERNS,
     language_id,
     quality_score_columns,
+    scrub_pii,
     text_fingerprint,
 )
 from nycitibike_data_transform_spark.functions.vectors import l2_norm
@@ -198,6 +200,35 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= {_JACCARD_THRESHOLD}
 """
 
+# ----------------------------------------------------------- PII scrub
+
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning: emails/URLs/long numbers → placeholder tokens;
+    emits the scrubbed fingerprint + a changed flag (the synthetic
+    corpus is clean, so `changed` doubles as a false-positive check)."""
+    t = load(spark, sf_dir, "documents")
+    scrubbed = scrub_pii(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (scrubbed != F.col("text")).alias("changed"),
+    )
+
+
+def _scrub_sql_chain() -> str:
+    expr = "text"
+    for pattern, replacement in SCRUB_PATTERNS.values():
+        expr = f"regexp_replace({expr}, '{pattern}', '{replacement}', 'g')"
+    return expr
+
+
+_SCRUB_PII_SQL = f"""
+SELECT doc_id,
+       md5({_scrub_sql_chain()}) AS scrubbed_md5,
+       {_scrub_sql_chain()} <> text AS changed
+FROM documents
+"""
+
 # ------------------------------------------------- minhash / simhash (rows-only)
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,6 +402,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_q_dedup_exact, _DEDUP_EXACT_SQL),
     "bpe_token_count": QuerySpec(_q_bpe_token_count, _BPE_TOKEN_COUNT_SQL),
     "hash_sample": QuerySpec(_q_hash_sample, None),
+    "scrub_pii": QuerySpec(_q_scrub_pii, _SCRUB_PII_SQL),
     "text_stats": QuerySpec(_q_text_stats, _TEXT_STATS_SQL),
     "language_id": QuerySpec(_q_language_id, _LANGUAGE_ID_SQL),
     "doc_fingerprint": QuerySpec(_q_doc_fingerprint, _DOC_FINGERPRINT_SQL),

@@ -108,3 +108,20 @@ def test_vector_math(spark):
 def test_cosine_zero_vector_is_null(spark):
     df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "a array<float>, b array<float>")
     assert df.select(cosine_similarity("a", "b").alias("c")).first()["c"] is None
+
+
+def test_scrub_pii(spark):
+    from nycitibike_data_transform_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("contact bob@example.com or visit https://foo.io/x?id=1 now",),
+            ("call 5551234567 today",),
+            ("clean text stays clean",),
+        ],
+        "t string",
+    )
+    got = [r["s"] for r in df.select(scrub_pii("t").alias("s")).collect()]
+    assert got[0] == "contact <EMAIL> or visit <URL> now"
+    assert got[1] == "call <NUM> today"
+    assert got[2] == "clean text stays clean"
