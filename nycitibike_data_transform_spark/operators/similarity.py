@@ -169,6 +169,123 @@ def _banded_buckets(
     )
 
 
+def _assign_udf(centroids: "np.ndarray", nprobe: int):
+    """pandas_udf: nprobe nearest centroid ids (by dot with L2-normalized
+    centroids ≙ cosine order) per vector — one matmul per Arrow batch."""
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    normed = centroids / norms[:, None]
+
+    @F.pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        sims = x @ normed.T  # (n, k)
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Init: the ``n_centroids`` corpus vectors with smallest id-hash
+    (deterministic, uniform). Each iteration: assign every vector to
+    its nearest centroid (Arrow matmul), then recompute centroids as
+    member means via posexplode + groupBy — the shuffle carries
+    (centroid, position, partial sums), i.e. O(k·dim) per partition,
+    never the vectors themselves. Returns a (k, dim) numpy array —
+    index metadata, small by construction, lives driver-side like any
+    ANN index's quantizer."""
+    seed_rows = (
+        corpus.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+
+    for _ in range(iterations):
+        assign = _assign_udf(centroids, nprobe=1)
+        assigned = corpus.select(
+            F.element_at(assign(F.col(vec_col)), 1).alias("cid"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+        )
+        sums = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        counts = np.zeros(len(centroids))
+        for r in sums:
+            new[r["cid"], r["pos"]] = r["s"] / r["n"]
+            counts[r["cid"]] = r["n"]
+        # empty clusters keep their previous centroid
+        centroids = new
+    return centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's inverted list; each query probes its ``nprobe`` nearest
+    lists and exact cosine re-ranks the candidates.
+
+    Recall ≈ P(true neighbor's list ∈ query's nprobe lists) — tune
+    nprobe↑ for recall, n_centroids↑ for selectivity. Shuffle profile:
+    equi-join on centroid id (corpus side unexploded — each vector is
+    in exactly one list), linear in corpus size."""
+    centroids = train_ivf_centroids(
+        corpus, dim, n_centroids, iterations, id_col, vec_col
+    )
+    c_assign = _assign_udf(centroids, nprobe=1)
+    q_assign = _assign_udf(centroids, nprobe=nprobe)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        l2_norm(vec_col).alias("cn"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("cid"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        l2_norm(vec_col).alias("qn"),
+        F.explode(q_assign(F.col(vec_col))).alias("cid"),
+    )
+    denom = F.col("qn") * F.col("cn")
+    cosine = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        dot_product(F.col("query_vec"), F.col("cand_vec")) / denom
+    )
+    scored = (
+        cb.join(F.broadcast(qb), ["cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -30,7 +30,11 @@ from nycitibike_data_transform_spark.operators.dedup import (
     simhash64,
 )
 from nycitibike_data_transform_spark.operators.multimodal import attach_payload
-from nycitibike_data_transform_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from nycitibike_data_transform_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 from nycitibike_data_transform_spark.queries import QuerySpec, load
 
 # -------------------------------------------------------------- exact dedup
@@ -321,6 +325,22 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN tier (distributed-kmeans coarse quantizer + nprobe
+    inverted lists). Approximate → rows-only; recall pinned in
+    tests/test_similarity.py."""
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return cosine_topk_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        dim=64,
+        k=_TOPK,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "embeddings")
     return t["embeddings"].select(
@@ -412,6 +432,7 @@ QUERIES: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(_q_cosine_topk, _COSINE_TOPK_SQL),
     "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL),
     "cosine_topk_lsh": QuerySpec(_q_cosine_topk_lsh, None),
+    "cosine_topk_ivf": QuerySpec(_q_cosine_topk_ivf, None),
     "embedding_norms": QuerySpec(_q_embedding_norms, _EMBEDDING_NORMS_SQL),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _MULTIMODAL_META_SQL),
 }

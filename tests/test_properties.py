@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the pure plan-construction
+layer — cheap per-example (no Spark actions), so examples can be many —
+plus a couple of low-example end-to-end invariants."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nycitibike_data_transform_spark.catalog import ENVS, LAYERS, table_name
+from nycitibike_data_transform_spark.operators.similarity import _projection_vectors
+
+# --------------------------------------------------- pure constructors
+
+
+@given(st.sampled_from(ENVS), st.sampled_from(LAYERS), st.text(min_size=1, max_size=20))
+def test_table_name_total_on_valid_inputs(env, layer, table):
+    name = table_name(env, layer, table)
+    assert name == name.lower()
+    assert name.startswith(f"{env}_{layer}__")
+
+
+@given(
+    st.integers(min_value=1, max_value=128),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_projection_vectors_shape_and_determinism(dim, bits, seed):
+    p1 = _projection_vectors(dim, bits, seed)
+    p2 = _projection_vectors(dim, bits, seed)
+    assert p1 == p2  # same seed → identical hyperplanes
+    assert len(p1) == bits and all(len(row) == dim for row in p1)
+    assert all(-1.0 <= v <= 1.0 and math.isfinite(v) for row in p1 for v in row)
+
+
+@given(st.integers(min_value=0, max_value=2**31), st.integers(min_value=0, max_value=2**31))
+def test_projection_vectors_seed_sensitivity(s1, s2):
+    if s1 == s2:
+        return
+    assert _projection_vectors(8, 2, s1) != _projection_vectors(8, 2, s2)
+
+
+# ------------------------------------------- end-to-end invariants (few examples)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.floats(0, 1e6, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_conform_union_preserves_bag_cardinality(spark, rows):
+    from nycitibike_data_transform_spark.operators.conform import ConformSpec, conform_union
+
+    spec = ConformSpec(columns={"id": "bigint", "x": "double", "pad": "string"})
+    df = spark.createDataFrame(rows, "id bigint, x double")
+    out = conform_union(
+        {"a": (df, {"id": "id", "x": "x"}), "b": (df, {"id": "id"})}, spec
+    )
+    collected = out.collect()
+    assert len(collected) == 2 * len(rows)  # UNION ALL: no dedup ever
+    assert all(r["pad"] is None for r in collected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(-90, 90, allow_nan=False).map(lambda v: round(v, 4)), min_size=1, max_size=8
+    ),
+    st.floats(-90, 90, allow_nan=False).map(lambda v: round(v, 4)),
+    st.floats(-180, 180, allow_nan=False).map(lambda v: round(v, 4)),
+)
+def test_haversine_nonnegative_and_bounded(spark, lats, lat2, lng2):
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.functions.geo import haversine
+
+    df = spark.createDataFrame([(la, 10.0) for la in lats], "lat double, lng double")
+    vals = [
+        r["d"]
+        for r in df.select(
+            haversine("lat", "lng", F.lit(lat2), F.lit(lng2), "km").alias("d")
+        ).collect()
+    ]
+    half_circumference = math.pi * 6371.0
+    for v in vals:
+        assert 0.0 <= v <= half_circumference + 1e-6
+        assert not math.isnan(v)  # the [-1,1] clamp guarantee

@@ -62,3 +62,31 @@ def test_lsh_recall_on_testdata(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ANN recall collapsed: {recall}"
+
+
+def test_ivf_recall_on_testdata(spark, sf_dir):
+    """IVF (kmeans coarse quantizer + nprobe lists) recall vs exact
+    top-5 — approximate by construction; probe depth trades recall."""
+    from nycitibike_data_transform_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(emb, queries, dim=64, k=5, n_centroids=16, nprobe=6).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from nycitibike_data_transform_spark.operators.similarity import train_ivf_centroids
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, dim=64, n_centroids=8, iterations=1)
+    c2 = train_ivf_centroids(emb, dim=64, n_centroids=8, iterations=1)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 64)
