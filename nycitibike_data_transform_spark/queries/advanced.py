@@ -335,8 +335,38 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------ NULL semantics
+
+def _q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / null-safe equality — the three-valued-logic
+    surface (NULLs manufactured via nullif since testdata is clean)."""
+    t = load(spark, sf_dir, "customer")
+    masked = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return t["customer"].select(
+        "c_custkey",
+        F.coalesce(masked, F.lit("<masked>")).alias("segment_or_masked"),
+        masked.isNull().alias("is_building"),
+        masked.eqNullSafe(F.lit("MACHINERY")).alias("is_machinery_nullsafe"),
+        F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "acctbal_or_neg1"
+        ),
+    )
+
+
+_NULL_SEMANTICS_SQL = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '<masked>') AS segment_or_masked,
+       nullif(c_mktsegment, 'BUILDING') IS NULL AS is_building,
+       nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY'
+           AS is_machinery_nullsafe,
+       coalesce(nullif(c_acctbal, 0.0), -1.0) AS acctbal_or_neg1
+FROM customer
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "asof_purchase_click": QuerySpec(_q_asof_purchase_click, _ASOF_SQL),
+    "null_semantics": QuerySpec(_q_null_semantics, _NULL_SEMANTICS_SQL),
     "word_frequencies": QuerySpec(_q_word_frequencies, _WORD_FREQUENCIES_SQL),
     "range_join_tiers": QuerySpec(_q_range_join_tiers, _RANGE_JOIN_SQL),
     "grouping_sets": QuerySpec(_q_grouping_sets, _GROUPING_SETS_SQL),
