@@ -204,6 +204,43 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= {_JACCARD_THRESHOLD}
 """
 
+# ------------------------------------------------------------ chunking
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 16, 4
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token windows per document
+    (operators/chunking.py) — the pre-training/RAG text prep step."""
+    from nycitibike_data_transform_spark.operators.chunking import chunk_documents
+
+    t = load(spark, sf_dir, "documents")
+    return chunk_documents(t["documents"], _CHUNK_SIZE, _CHUNK_OVERLAP)
+
+
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_CHUNK_DOCUMENTS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, w, len(w) AS nt,
+         greatest(CAST(ceil((len(w) - {_CHUNK_OVERLAP}) * 1.0 / {_CHUNK_STEP}) AS INTEGER), 1)
+             AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       array_to_string(w[(i * {_CHUNK_STEP} + 1):(i * {_CHUNK_STEP} + {_CHUNK_SIZE})], ' ')
+           AS chunk_text,
+       CAST(len(w[(i * {_CHUNK_STEP} + 1):(i * {_CHUNK_STEP} + {_CHUNK_SIZE})]) AS INTEGER)
+           AS n_chunk_tokens
+FROM sized, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+"""
+
 # ----------------------------------------------------------- PII scrub
 
 def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +460,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_token_count": QuerySpec(_q_bpe_token_count, _BPE_TOKEN_COUNT_SQL),
     "hash_sample": QuerySpec(_q_hash_sample, None),
     "scrub_pii": QuerySpec(_q_scrub_pii, _SCRUB_PII_SQL),
+    "chunk_documents": QuerySpec(_q_chunk_documents, _CHUNK_DOCUMENTS_SQL),
     "text_stats": QuerySpec(_q_text_stats, _TEXT_STATS_SQL),
     "language_id": QuerySpec(_q_language_id, _LANGUAGE_ID_SQL),
     "doc_fingerprint": QuerySpec(_q_doc_fingerprint, _DOC_FINGERPRINT_SQL),
