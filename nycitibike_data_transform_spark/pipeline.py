@@ -42,6 +42,58 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> Da
     return kept.unionByName(updates)
 
 
+def scd2_apply(
+    dim: DataFrame | None,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    end_col: str = "valid_to",
+    start_col: str = "valid_from",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge, emulated without a table
+    format (Delta's MERGE would be the managed path; the jars aren't in
+    this environment):
+
+    - ``dim`` rows whose key has an update get their open interval
+      closed at the update's timestamp;
+    - every update becomes a new current row (open interval).
+
+    ``dim=None`` bootstraps from updates alone. Shuffle: each side
+    hashes once on the key. History stays append-only — re-running
+    with the same updates is idempotent IF callers de-duplicate
+    updates per (key, ts) first.
+    """
+    if not keys:
+        raise ValueError("scd2_apply needs at least one key column")
+    new_rows = (
+        updates.withColumn(start_col, F.col(ts_col))
+        .withColumn(end_col, F.lit(None).cast("timestamp"))
+        .withColumn(current_col, F.lit(True))
+        .drop(ts_col)
+    )
+    if dim is None:
+        return new_rows
+    first_update = updates.groupBy(*keys).agg(F.min(ts_col).alias("__new_start"))
+    closed = (
+        dim.join(first_update, keys, "left")
+        .withColumn(
+            end_col,
+            F.when(
+                F.col(current_col) & F.col("__new_start").isNotNull(), F.col("__new_start")
+            ).otherwise(F.col(end_col)),
+        )
+        .withColumn(
+            current_col,
+            F.when(F.col("__new_start").isNotNull(), F.lit(False)).otherwise(
+                F.col(current_col)
+            ),
+        )
+        .drop("__new_start")
+    )
+    return closed.unionByName(new_rows)
+
+
 @dataclass(frozen=True)
 class Model:
     name: str

@@ -204,6 +204,124 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= {_JACCARD_THRESHOLD}
 """
 
+# -------------------------------------------------------------- tf-idf
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: token explode → per-doc TF,
+    doc-frequency join, smooth-IDF score, ranking window with
+    deterministic tie-break. Two shuffles (doc agg, term agg) + one
+    broadcastable DF join — the classic bag-of-words pipeline shape."""
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    n_docs = docs.count()  # scalar (index metadata, like IVF centroids)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text_col(), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    from pyspark.sql import Window
+
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.ln(F.lit(float(n_docs + 1)) / (F.col("df").cast("double") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("doc_id")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("term"))).alias("top_terms"))
+    )
+
+
+def normalize_text_col():
+    from nycitibike_data_transform_spark.functions.text import normalize_text
+
+    return normalize_text(F.col("text"))
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS u(t)
+  WHERE length(t) > 0
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df_ AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(CAST(tf.tf AS DOUBLE) * ln((n.n_docs + 1) / (CAST(df_.df AS DOUBLE) + 1.0)), 6)
+             AS tfidf
+  FROM tf JOIN df_ USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id,
+       array_to_string(list_sort(list(term)), ',') AS top_terms
+FROM ranked WHERE rn <= 3
+GROUP BY 1
+"""
+
+# ----------------------------------------------------- repetition ratio
+
+def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signal: share of the document taken by its single most
+    frequent trigram (repetitious docs score high). Explode → per-doc
+    trigram counts → max/sum."""
+    from nycitibike_data_transform_spark.operators.dedup import tokenize
+
+    t = load(spark, sf_dir, "documents")
+    toks = F.col("tokens")
+    # non-distinct trigrams (unlike dedup.shingles — repetition needs
+    # multiplicity); docs with <3 tokens yield no trigrams on either engine
+    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = tokenize(t["documents"], "text").select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+        ).alias("tri"),
+    )
+    counts = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.max("n").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("repetition_ratio"),
+        F.sum("n").alias("n_trigrams"),
+    )
+
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+counts AS (SELECT doc_id, tri, count(*) AS n FROM tri GROUP BY 1, 2)
+SELECT doc_id,
+       round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS repetition_ratio,
+       sum(n) AS n_trigrams
+FROM counts
+GROUP BY 1
+"""
+
 # ------------------------------------------------------------ chunking
 
 _CHUNK_SIZE, _CHUNK_OVERLAP = 16, 4
@@ -461,6 +579,8 @@ QUERIES: dict[str, QuerySpec] = {
     "hash_sample": QuerySpec(_q_hash_sample, None),
     "scrub_pii": QuerySpec(_q_scrub_pii, _SCRUB_PII_SQL),
     "chunk_documents": QuerySpec(_q_chunk_documents, _CHUNK_DOCUMENTS_SQL),
+    "tfidf_top_terms": QuerySpec(_q_tfidf_top_terms, _TFIDF_SQL),
+    "repetition_ratio": QuerySpec(_q_repetition_ratio, _REPETITION_SQL),
     "text_stats": QuerySpec(_q_text_stats, _TEXT_STATS_SQL),
     "language_id": QuerySpec(_q_language_id, _LANGUAGE_ID_SQL),
     "doc_fingerprint": QuerySpec(_q_doc_fingerprint, _DOC_FINGERPRINT_SQL),

@@ -82,3 +82,32 @@ def test_merge_upsert_validation(spark):
         merge_upsert(df, other, ["k"])
     with pytest.raises(ValueError, match="at least one key"):
         merge_upsert(df, df, [])
+
+
+def test_scd2_bootstrap_and_update(spark):
+    import datetime as dt
+
+    from nycitibike_data_transform_spark.pipeline import scd2_apply
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    u1 = spark.createDataFrame(
+        [(1, "Alpha", t1), (2, "Beta", t1)], "k int, name string, ts timestamp"
+    )
+    dim = scd2_apply(None, u1, ["k"], "ts")
+    assert dim.filter("is_current").count() == 2
+
+    u2 = spark.createDataFrame([(1, "Alpha v2", t2)], "k int, name string, ts timestamp")
+    dim2 = scd2_apply(dim, u2, ["k"], "ts")
+    rows = sorted(dim2.collect(), key=lambda r: (r["k"], r["valid_from"]))
+    assert len(rows) == 3
+    k1_old, k1_new, k2 = rows[0], rows[1], rows[2]
+    assert not k1_old["is_current"] and k1_old["valid_to"] == t2  # closed at update ts
+    assert k1_new["is_current"] and k1_new["name"] == "Alpha v2" and k1_new["valid_to"] is None
+    assert k2["is_current"] and k2["valid_to"] is None  # untouched key stays open
+
+
+def test_scd2_validation(spark):
+    from nycitibike_data_transform_spark.pipeline import scd2_apply
+
+    with pytest.raises(ValueError, match="at least one key"):
+        scd2_apply(None, None, [], "ts")
