@@ -111,3 +111,32 @@ def test_scd2_validation(spark):
 
     with pytest.raises(ValueError, match="at least one key"):
         scd2_apply(None, None, [], "ts")
+
+
+def test_full_reference_pipeline_end_to_end(spark, tmp_path, sf_dir):
+    """The whole DAG: sources → dim → partitioned stage → partitioned
+    mart, with pruning live on the mart's date partitions."""
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.models.pipeline_def import testdata_pipeline
+    from nycitibike_data_transform_spark.plans import formatted_plan
+
+    p = testdata_pipeline(sf_dir, str(tmp_path / "wh"))
+    built = p.run(spark)
+
+    li_count = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert built["stage_rides"].count() == li_count
+    mart = built["mart_borough_daily"]
+    assert mart.count() > 0
+    # revenue conservation: mart total == staged total (NULL boroughs included)
+    staged_rev = built["stage_rides"].agg(
+        F.sum(F.col("fare_amount").cast("decimal(18,2)")).cast("double").alias("r")
+    ).first()["r"]
+    mart_rev = mart.agg(F.sum("revenue").alias("r")).first()["r"]
+    assert abs(staged_rev - mart_rev) < 1e-6
+
+    # partition pruning on the mart's date partitions
+    some_date = mart.select("ride_date").first()["ride_date"]
+    pruned = mart.filter(F.col("ride_date") == some_date)
+    assert "PartitionFilters" in formatted_plan(pruned)
+    assert (tmp_path / "wh" / "mart_borough_daily").exists()
