@@ -90,6 +90,14 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     )
 
 
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: drop replayed event ids within the
+    watermark horizon (state is bounded by the watermark — the
+    at-least-once-source → exactly-once-pipeline building block)."""
+    events = read_events_stream(spark, sf_dir)
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming frame to completion over the available input
     (availableNow ≙ the reference's scheduled-batch cadence) and return

@@ -53,3 +53,22 @@ def test_session_stream_gap_semantics(spark, sf_dir):
     row = out.filter(F.col("n_events") > 1).first()
     # session window spans [first_ts, last_ts + gap)
     assert (row["session_end"] - row["session_start"]).total_seconds() >= 30 * 60
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    from nycitibike_data_transform_spark.streaming.events import dedup_stream
+
+    df = dedup_stream(spark, sf_dir)
+    assert df.isStreaming
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_stream_test").first()
+    batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out["n"] == out["d"]  # no duplicate ids emitted
+    assert out["n"] == batch_n  # testdata has unique ids: nothing dropped
