@@ -30,6 +30,7 @@ from nycitibike_data_transform_spark.operators.dedup import (
     simhash64,
 )
 from nycitibike_data_transform_spark.operators.multimodal import attach_payload
+from nycitibike_data_transform_spark.operators.util import fan_out
 from nycitibike_data_transform_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
@@ -57,7 +58,7 @@ GROUP BY 1
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
     cols = quality_score_columns(F.col("text"))
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id",
         cols["n_chars"].alias("n_chars"),
         cols["n_tokens"].alias("n_tokens"),
@@ -106,7 +107,7 @@ FROM tok
 
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
-    return t["documents"].select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+    return fan_out(t["documents"]).select("doc_id", language_id(F.col("text")).alias("lang_pred"))
 
 
 def _lang_score_sql(markers: tuple[str, ...]) -> str:
@@ -152,7 +153,7 @@ FROM scored
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
-    return t["documents"].select("doc_id", text_fingerprint("text").alias("fingerprint"))
+    return fan_out(t["documents"]).select("doc_id", text_fingerprint("text").alias("fingerprint"))
 
 
 _DOC_FINGERPRINT_SQL = r"""
@@ -367,7 +368,7 @@ def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is clean, so `changed` doubles as a false-positive check)."""
     t = load(spark, sf_dir, "documents")
     scrubbed = scrub_pii(F.col("text"))
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id",
         F.md5(scrubbed).alias("scrubbed_md5"),
         (scrubbed != F.col("text")).alias("changed"),
@@ -545,7 +546,7 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a GPT-2-style pre-tokenizer regex)."""
     t = load(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id",
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
