@@ -88,9 +88,14 @@ def ngram_jaccard_pairs(
     threshold. The shingle join is the scale hazard (hot shingles ⇒
     skew); the MinHash tier replaces it beyond moderate corpus sizes.
     """
-    # NOTE: no fan_out here — `sh` feeds three consumers (sizes, both
-    # join sides), so any extra upstream shuffle is re-executed 3×; the
-    # .distinct() shuffle already spreads the join across the cluster.
+    # The .distinct() below looks redundant (shingles() already dedups
+    # within a doc) but is deliberately load-bearing: it plans as an
+    # aggregate whose shuffle exchange AQE REUSES for all three
+    # consumers (both self-join sides and the sizes aggregation), so
+    # the shingle explosion is computed once, cluster-wide. Measured
+    # alternatives — carrying sizes through the explode, repartition on
+    # the join key, shuffle-hash hints — all re-plan to broadcast +
+    # serial recomputation and run 3-9× slower at sf0.1.
     sh = (
         tokenize(df, text_col)
         .select(F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle"))

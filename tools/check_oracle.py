@@ -46,6 +46,41 @@ def canon_value(v: object) -> str:
     return str(v)
 
 
+def spark_type_class(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("array"):
+        return "list"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    return dt
+
+
+def duck_type_class(dt: str) -> str:
+    dt = dt.upper()
+    if dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "UTINYINT",
+              "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if dt in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt.endswith("[]") or dt.startswith("LIST"):
+        return "list"
+    if dt.startswith("TIMESTAMP"):
+        return "timestamp"
+    if dt == "VARCHAR":
+        return "string"
+    if dt == "BLOB":
+        return "binary"
+    return dt.lower()
+
+
 def canon_rows(columns: list[str], rows: list[tuple]) -> Counter:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     return Counter("|".join(canon_value(r[i]) for i in order) for r in rows)
@@ -83,6 +118,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             o_cols = list(rel.columns)
+            o_types = [str(t) for t in rel.types]
             o_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
@@ -91,6 +127,16 @@ def main() -> int:
         problems = []
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        else:
+            s_classes = {c: spark_type_class(t) for c, t in sdf.dtypes}
+            o_classes = {c: duck_type_class(t) for c, t in zip(o_cols, o_types)}
+            mismatched = {
+                c: (s_classes[c], o_classes[c])
+                for c in s_classes
+                if s_classes[c] != o_classes[c]
+            }
+            if mismatched:
+                problems.append(f"type-class mismatch {mismatched}")
         if len(s_rows) != len(o_rows):
             problems.append(f"rowcount spark={len(s_rows)} oracle={len(o_rows)}")
         if not problems:
