@@ -511,6 +511,82 @@ SELECT vec_id,
 FROM embeddings
 """
 
+# ------------------------------------------------------- cross-modal dups
+
+def _q_crossmodal_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose text-similarity and embedding-similarity evidence:
+    n-gram-Jaccard near-dup pairs annotated with the same pair's
+    embedding cosine (documents and embeddings share ids in testdata).
+    The multi-signal dedup decision every serious corpus pipeline
+    makes — here as one declarative plan."""
+    t = load(spark, sf_dir, "documents", "embeddings")
+    text_pairs = ngram_jaccard_pairs(t["documents"], n=_JACCARD_N, threshold=_JACCARD_THRESHOLD)
+    from nycitibike_data_transform_spark.functions.vectors import dot_product
+
+    e = t["embeddings"]
+    ea = e.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("va"),
+        l2_norm("embedding").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("vb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    cosine = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        dot_product(F.col("va"), F.col("vb")) / denom
+    )
+    return (
+        text_pairs.join(F.broadcast(ea), "doc_a")
+        .join(F.broadcast(eb), "doc_b")
+        .select("doc_a", "doc_b", "jaccard", cosine.alias("embedding_cosine"))
+    )
+
+
+_CROSSMODAL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_set
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(shingle_set) AS shingle FROM sh_list WHERE len(shingle_set) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+        >= {_JACCARD_THRESHOLD}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT j.doc_a, j.doc_b, j.jaccard,
+       CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0
+            THEN NULL
+            ELSE list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+       END AS embedding_cosine
+FROM jac j
+JOIN e ea ON j.doc_a = ea.vec_id
+JOIN e eb ON j.doc_b = eb.vec_id
+"""
+
 # ---------------------------------------------------------------- multimodal
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,6 +666,7 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash": QuerySpec(_q_simhash, None),
     "cosine_topk": QuerySpec(_q_cosine_topk, _COSINE_TOPK_SQL),
     "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL),
+    "crossmodal_dup_check": QuerySpec(_q_crossmodal_dup_check, _CROSSMODAL_SQL),
     "cosine_topk_lsh": QuerySpec(_q_cosine_topk_lsh, None),
     "cosine_topk_ivf": QuerySpec(_q_cosine_topk_ivf, None),
     "embedding_norms": QuerySpec(_q_embedding_norms, _EMBEDDING_NORMS_SQL),

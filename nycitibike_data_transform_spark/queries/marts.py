@@ -343,6 +343,84 @@ FROM lineitem
 WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """
 
+def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between (supplier nation, customer
+    nation) pairs by ship year — two role-playing nation dims
+    (broadcast) + fact-side key joins."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_VOLUME_SHIPPING_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue
+    (selective filter → joins → agg → deterministic top-k)."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_RETURNED_ITEMS_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
 # ----------------------------------------------- approx sketches (A5)
 
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,6 +485,8 @@ QUERIES: dict[str, QuerySpec] = {
     "price_histogram": QuerySpec(_q_price_histogram, _PRICE_HISTOGRAM_SQL),
     "shipping_priority": QuerySpec(_q_shipping_priority, _SHIPPING_PRIORITY_SQL),
     "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
+    "volume_shipping": QuerySpec(_q_volume_shipping, _VOLUME_SHIPPING_SQL),
+    "returned_items": QuerySpec(_q_returned_items, _RETURNED_ITEMS_SQL),
     "revenue_by_nation": QuerySpec(_q_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "distinct_parts_per_flag": QuerySpec(_q_distinct_parts_per_flag, _DISTINCT_SQL),
     "rollup_qty": QuerySpec(_q_rollup, _ROLLUP_SQL),
