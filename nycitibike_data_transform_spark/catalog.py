@@ -14,6 +14,7 @@ layers ``{warehouse}/{env}/{layer}/{table}/``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 LAYERS = (
     "1_src",
@@ -56,10 +57,25 @@ def layer_path(warehouse: str, env: str, layer: str, table: str) -> str:
     return f"{warehouse}/{env}/{layer}/{table}"
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table.
+
+    ``events`` carries TIMESTAMP(NANOS) parquet timestamps, which
+    Spark's reader rejects; read them as nanos longs and truncate to
+    microsecond timestamps (matching DuckDB's ns→µs cast)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load the driver-generated parquet tables (TESTDATA.md) as
-    DataFrames keyed by table name."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TESTDATA_TABLES}
+    """Load every driver-generated parquet table (TESTDATA.md) keyed
+    by table name."""
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -43,17 +43,11 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
     which Spark's vectorized reader rejects; we read them as nanos
     longs and truncate to microsecond timestamps (identical to what
     DuckDB's ns→µs cast does on the oracle side)."""
+    from nycitibike_data_transform_spark.catalog import load_table
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names = tables or TESTDATA_TABLES
-    out: dict[str, DataFrame] = {}
-    for t in names:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        for field in df.schema.fields:
-            if t == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        out[t] = df
-    return out
+    return {t: load_table(spark, sf_dir, t) for t in names}
 
 
 def all_queries() -> dict[str, QuerySpec]:
