@@ -1,0 +1,176 @@
+"""WKB geometry surface — the reference's latent geo dimension.
+
+The reference ships an NTA-zones parquet with a WKB ``geometry:
+binary`` column it never reads in SQL (reference
+``ref/2_DIM___AUX_NYC|nyc_nta_zones.parquet``; SURVEY.md §2.1 S6) —
+the obvious intended use is point-in-polygon enrichment of ride
+coordinates. This module implements exactly that slice without any
+geo library (none in this container): a pure-struct WKB parser for
+Point/Polygon/MultiPolygon and a numpy ray-casting point-in-polygon,
+run as an Arrow-batched ``mapInPandas``.
+
+Scale shape: the zone dimension (thousands of polygons) is parsed
+ONCE driver-side and shipped in the task closure — index metadata,
+like an ANN quantizer; the point table streams through in Arrow
+batches with a bbox prefilter before exact ray casting. No shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_WKB_POINT = 1
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+
+class WkbError(ValueError):
+    pass
+
+
+def _reader(buf: bytes):
+    pos = 0
+
+    def read(fmt_le: str, fmt_be: str, size: int, order: str):
+        nonlocal pos
+        fmt = fmt_le if order == "<" else fmt_be
+        (val,) = struct.unpack_from(fmt, buf, pos)
+        pos += size
+        return val
+
+    def read_header():
+        nonlocal pos
+        order = "<" if buf[pos] == 1 else ">"
+        pos += 1
+        gtype = read("<I", ">I", 4, order)
+        return order, gtype & 0xFF  # mask off SRID/Z flags
+
+    def read_u32(order):
+        return read("<I", ">I", 4, order)
+
+    def read_xy(order, n):
+        nonlocal pos
+        fmt = f"{order}{2 * n}d"
+        vals = struct.unpack_from(fmt, buf, pos)
+        pos += 16 * n
+        arr = np.asarray(vals, dtype=np.float64).reshape(n, 2)
+        return arr
+
+    return read_header, read_u32, read_xy
+
+
+def parse_wkb_point(wkb: bytes) -> tuple[float, float]:
+    read_header, _, read_xy = _reader(wkb)
+    order, gtype = read_header()
+    if gtype != _WKB_POINT:
+        raise WkbError(f"expected Point (1), got geometry type {gtype}")
+    xy = read_xy(order, 1)
+    return float(xy[0, 0]), float(xy[0, 1])
+
+
+def _parse_polygon_body(order, read_u32, read_xy) -> list[np.ndarray]:
+    n_rings = read_u32(order)
+    return [read_xy(order, read_u32(order)) for _ in range(n_rings)]
+
+
+def parse_wkb_polygons(wkb: bytes) -> list[list[np.ndarray]]:
+    """Parse Polygon or MultiPolygon WKB into a list of polygons, each
+    a list of rings (ring 0 = outer shell, rest = holes), each ring an
+    (n, 2) float64 array."""
+    read_header, read_u32, read_xy = _reader(wkb)
+    order, gtype = read_header()
+    if gtype == _WKB_POLYGON:
+        return [_parse_polygon_body(order, read_u32, read_xy)]
+    if gtype == _WKB_MULTIPOLYGON:
+        polys = []
+        for _ in range(read_u32(order)):
+            inner_order, inner_type = read_header()
+            if inner_type != _WKB_POLYGON:
+                raise WkbError(f"MultiPolygon member has type {inner_type}")
+            polys.append(_parse_polygon_body(inner_order, read_u32, read_xy))
+        return polys
+    raise WkbError(f"expected (Multi)Polygon, got geometry type {gtype}")
+
+
+def _ring_contains(ring: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized ray casting: for each point, odd edge-crossings of a
+    rightward ray ⇒ inside. Loops over edges (small), vectorizes over
+    points (large)."""
+    inside = np.zeros(len(xs), dtype=bool)
+    vx, vy = ring[:, 0], ring[:, 1]
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        cond = (vy[i] > ys) != (vy[j] > ys)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_cross = (vx[j] - vx[i]) * (ys - vy[i]) / (vy[j] - vy[i]) + vx[i]
+        inside ^= cond & (xs < x_cross)
+        j = i
+    return inside
+
+
+def _polygons_contain(polys: list[list[np.ndarray]], xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(xs), dtype=bool)
+    for rings in polys:
+        if not rings:
+            continue
+        hit = _ring_contains(rings[0], xs, ys)
+        for hole in rings[1:]:
+            hit &= ~_ring_contains(hole, xs, ys)
+        out |= hit
+    return out
+
+
+def tag_points_with_zones(
+    points: DataFrame,
+    zones: list[tuple[object, bytes]],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Append ``zone_id`` to each point row — the id of the first zone
+    polygon containing (x, y), NULL when none match.
+
+    ``zones``: (zone_id, wkb_polygon_bytes) pairs, dimension-sized
+    (collect the geo dim driver-side first — 2,327 NTA zones in the
+    reference). Parsed once here; each Arrow batch gets a bbox
+    prefilter per zone, then exact ray casting on the survivors.
+    """
+    parsed = []
+    for zone_id, wkb in zones:
+        polys = parse_wkb_polygons(bytes(wkb))
+        shell_pts = np.vstack([rings[0] for rings in polys if rings])
+        bbox = (
+            shell_pts[:, 0].min(),
+            shell_pts[:, 0].max(),
+            shell_pts[:, 1].min(),
+            shell_pts[:, 1].max(),
+        )
+        parsed.append((zone_id, polys, bbox))
+
+    out_fields = list(points.schema.fields) + [T.StructField("zone_id", T.StringType(), True)]
+    out_schema = T.StructType(out_fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            xs = pdf[x_col].to_numpy(dtype=np.float64)
+            ys = pdf[y_col].to_numpy(dtype=np.float64)
+            zone = np.full(len(pdf), None, dtype=object)
+            unassigned = np.ones(len(pdf), dtype=bool)
+            for zone_id, polys, (x0, x1, y0, y1) in parsed:
+                cand = unassigned & (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+                if not cand.any():
+                    continue
+                idx = np.nonzero(cand)[0]
+                hit = _polygons_contain(polys, xs[idx], ys[idx])
+                matched = idx[hit]
+                zone[matched] = str(zone_id)
+                unassigned[matched] = False
+            yield pdf.assign(zone_id=pd.Series(zone, index=pdf.index, dtype=object))
+
+    return points.mapInPandas(run, schema=out_schema)
