@@ -98,6 +98,29 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
 
 
+def write_stream_exactly_once(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once parquet sink via foreachBatch: each micro-batch
+    writes to a batch-id-named directory, so a replayed batch (restart
+    between write and commit) overwrites its own output instead of
+    duplicating it — idempotent writes + the checkpoint's offset log
+    give end-to-end exactly-once for an at-least-once source."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming frame to completion over the available input
     (availableNow ≙ the reference's scheduled-batch cadence) and return

@@ -72,3 +72,26 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert out["n"] == out["d"]  # no duplicate ids emitted
     assert out["n"] == batch_n  # testdata has unique ids: nothing dropped
+
+
+def test_foreachbatch_exactly_once_sink(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: restartable (checkpoint) and
+    idempotent (batch-id dirs); rerunning with the same checkpoint
+    writes nothing new."""
+    from nycitibike_data_transform_spark.streaming.events import (
+        read_events_stream,
+        write_stream_exactly_once,
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    write_stream_exactly_once(stream, out, ckpt)
+    first = spark.read.parquet(out)
+    batch_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert first.count() == batch_total
+    assert first.select("event_id").distinct().count() == batch_total
+
+    # re-run with same checkpoint: no new input -> no new rows
+    stream2 = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    write_stream_exactly_once(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == batch_total

@@ -128,3 +128,38 @@ def test_dim_filter_happens_before_join_not_after(spark, tmp_path):
     staged = aux_tlc_rides(_feeds(spark), _seed_dim(spark, tmp_path))
     unknown_rides = staged.filter(F.col("pickup_location_id").isin([264, 265]))
     assert unknown_rides.count() == 1
+
+
+def test_tlc_pipeline_via_parquet_roundtrip(spark, tmp_path):
+    """Schema-on-read end-to-end: feeds written as parquet files (the
+    lake layout), read back via read_parquet_source, staged, and
+    materialized — the full reference deployment path on disk."""
+    from nycitibike_data_transform_spark.sources.readers import read_parquet_source
+
+    feeds = _feeds(spark)
+    lake = tmp_path / "lake"
+    for name, df in feeds.items():
+        df.write.mode("overwrite").parquet(str(lake / name))
+    reread = {name: read_parquet_source(spark, str(lake / name)) for name in feeds}
+    staged = aux_tlc_rides(reread, _seed_dim(spark, tmp_path))
+    out = tmp_path / "warehouse" / "aux_tlc_rides"
+    staged.write.mode("overwrite").partitionBy("source").parquet(str(out))
+    back = spark.read.parquet(str(out))
+    assert back.count() == 5
+    assert {d.name for d in out.iterdir() if d.is_dir()} == {
+        "source=yellow", "source=green", "source=fhv", "source=fhvhv",
+    }
+
+
+def test_env_qualified_materialization(spark, tmp_path):
+    """CORE/DEV environment isolation via the catalog path convention
+    (the reference's dataset-prefix scheme, terraform main.tf:239-255)."""
+    from nycitibike_data_transform_spark.catalog import layer_path
+
+    staged = aux_tlc_rides(_feeds(spark), _seed_dim(spark, tmp_path))
+    for env in ("core", "dev"):
+        path = layer_path(str(tmp_path / "wh"), env, "2_stg", "aux_tlc_rides")
+        staged.write.mode("overwrite").parquet(path)
+    core = spark.read.parquet(str(tmp_path / "wh" / "core" / "2_stg" / "aux_tlc_rides"))
+    dev = spark.read.parquet(str(tmp_path / "wh" / "dev" / "2_stg" / "aux_tlc_rides"))
+    assert core.count() == dev.count() == 5
