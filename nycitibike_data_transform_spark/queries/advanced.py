@@ -335,6 +335,40 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------- fuzzy join
+
+_FUZZY_KEYS = 60  # bounded pair space for the exact all-pairs tier
+_FUZZY_MAX_DIST = 2
+
+
+def _q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string self-join: part-name pairs within Levenshtein
+    distance 2 (exact all-pairs tier on a bounded subset; at corpus
+    scale, block first — length buckets or q-gram LSH — then apply
+    this exact predicate within blocks)."""
+    t = load(spark, sf_dir, "part")
+    p = t["part"].filter(F.col("p_partkey") < _FUZZY_KEYS).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= _FUZZY_MAX_DIST)
+    )
+
+
+_FUZZY_SQL = f"""
+WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < {_FUZZY_KEYS})
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+"""
+
 # ------------------------------------------------------ NULL semantics
 
 def _q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +401,7 @@ FROM customer
 QUERIES: dict[str, QuerySpec] = {
     "asof_purchase_click": QuerySpec(_q_asof_purchase_click, _ASOF_SQL),
     "null_semantics": QuerySpec(_q_null_semantics, _NULL_SEMANTICS_SQL),
+    "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, _FUZZY_SQL),
     "word_frequencies": QuerySpec(_q_word_frequencies, _WORD_FREQUENCIES_SQL),
     "range_join_tiers": QuerySpec(_q_range_join_tiers, _RANGE_JOIN_SQL),
     "grouping_sets": QuerySpec(_q_grouping_sets, _GROUPING_SETS_SQL),
