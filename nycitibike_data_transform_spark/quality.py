@@ -67,6 +67,21 @@ def expression_violations(df: DataFrame, expr: Column) -> DataFrame:
     return df.filter(~F.coalesce(expr, F.lit(False)))
 
 
+def freshness_violation(
+    df: DataFrame, ts_col: str, max_age_seconds: int, now: object
+) -> DataFrame:
+    """Source-freshness check (the dbt ``source freshness`` analogue,
+    matching the reference's 4-hour cadence SLO): returns a one-row
+    violation frame when the newest row is older than ``max_age``.
+    ``now`` is passed in (a datetime) so checks are reproducible."""
+    age = F.unix_micros(F.lit(now).cast("timestamp")) - F.unix_micros(F.max(F.col(ts_col)))
+    out = df.agg(
+        F.max(ts_col).alias("newest_row"),
+        (age / 1_000_000).alias("age_seconds"),
+    )
+    return out.filter(F.col("age_seconds") > max_age_seconds)
+
+
 class QualityError(AssertionError):
     pass
 

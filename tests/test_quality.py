@@ -56,3 +56,19 @@ def test_expression_and_check_all(spark, sf_dir):
     with pytest.raises(QualityError, match="discount_gt_one"):
         check_all({"qty_positive": ok, "discount_gt_one": bad})
     check_all({"qty_positive": ok})  # passing set raises nothing
+
+
+def test_freshness(spark, sf_dir):
+    import datetime as dt
+
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.quality import freshness_violation
+
+    events = load_table(spark, sf_dir, "events")
+    newest = events.agg(F.max("ts").alias("m")).first()["m"]
+    fresh_now = newest + dt.timedelta(hours=1)
+    stale_now = newest + dt.timedelta(hours=10)
+    four_hours = 4 * 3600
+    assert freshness_violation(events, "ts", four_hours, fresh_now).count() == 0
+    v = freshness_violation(events, "ts", four_hours, stale_now).collect()
+    assert len(v) == 1 and v[0]["age_seconds"] == 36000.0

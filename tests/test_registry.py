@@ -1,0 +1,35 @@
+"""Registry-wide guards: every declared query must at least build its
+plan (catches API breakage without paying execution time), and the
+shuffle counts of the key single-shuffle operators are pinned."""
+
+from __future__ import annotations
+
+import pytest
+
+from nycitibike_data_transform_spark.plans import count_exchanges
+from nycitibike_data_transform_spark.queries import all_queries
+
+REGISTRY = all_queries()
+
+
+def test_registry_shape():
+    assert len(REGISTRY) >= 60
+    for name, spec in REGISTRY.items():
+        assert callable(spec.spark), name
+        assert spec.oracle is None or "SELECT" in spec.oracle.upper(), name
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_plan_builds(spark, sf_dir, name):
+    """Plan construction + analysis only — no job runs. Catalyst
+    resolution errors (renamed columns, bad casts) surface here."""
+    df = REGISTRY[name].spark(spark, sf_dir)
+    assert df.schema.fields  # analyzed schema exists
+    assert len(df.columns) == len(set(df.columns)), "duplicate output columns"
+
+
+def test_single_shuffle_operators(spark, sf_dir):
+    """Operators documented as one-shuffle must stay one-shuffle."""
+    for name in ("dedup_exact", "events_sessionize", "asof_purchase_click"):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        assert count_exchanges(df) == 1, name
