@@ -1,0 +1,70 @@
+"""Exact-and-fast money aggregation.
+
+Problem: ``sum(CAST(x AS DECIMAL(18,2)))`` is exact and
+engine-portable, but Spark's sum buffer gets precision 28 (> 18
+digits), which leaves the compact-long representation and allocates a
+BigDecimal per row — measured 7-20× slower than a long sum at 6M rows.
+
+Fix: fixed-point integer aggregation. The inputs are k-decimal values
+stored as doubles, so ``round(x·10^k)`` recovers the exact integer
+units; ``sum(long)`` runs on the fast codegen path; ONE decimal
+division per output group converts back (exact — the quotient needs
+≤ 2k decimals, far under the result scale), and the final
+double cast is the same correctly-rounded value the DECIMAL
+formulation produces — DuckDB-oracle hash parity preserved.
+
+Overflow envelope (documented, checked against int64 max 9.2e18):
+- plain money sums (units 10^-2): safe to 9.2e16 currency units per
+  group — beyond any real aggregate;
+- rate products like price·(1-disc) (units 10^-4, ≤1e9/row): safe to
+  ~9e9 rows per group;
+- double-rate products like price·(1-disc)·(1+tax) (units 10^-6,
+  ≤1e11/row): safe to ~9e7 rows per group.
+For groups beyond those bounds, fall back to the DECIMAL(18,2)
+formulation (the ``queries`` docstring's default recipe) — exactness
+is non-negotiable, speed is a strategy choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_units(col: Column | str, decimals: int = 2) -> Column:
+    """Exact integer units of a k-decimal value stored as double
+    (round recovers the integer the double is the nearest neighbor
+    of — no tie ambiguity for data that IS k-decimal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10**decimals)).cast("long")
+
+
+def units_to_amount(sum_units: Column, decimals: int) -> Column:
+    """long Σunits → double amount, via one exact decimal division per
+    aggregated row (dividing the long→double directly would double-
+    round above 2^53 units)."""
+    return (sum_units.cast("decimal(38,0)") / F.lit(10**decimals)).cast("double")
+
+
+def fast_money_sum(col: Column | str, decimals: int = 2) -> Column:
+    """Σx as double, exact — drop-in for
+    ``F.sum(x.cast('decimal(18,2)')).cast('double')``."""
+    return units_to_amount(F.sum(to_units(col, decimals)), decimals)
+
+
+def fast_revenue_sum(price: Column | str, discount: Column | str) -> Column:
+    """Σ price·(1−discount), exact in 10^-4 units."""
+    units = to_units(price, 2) * (F.lit(100) - to_units(discount, 2))
+    return units_to_amount(F.sum(units), 4)
+
+
+def fast_charge_sum(
+    price: Column | str, discount: Column | str, tax: Column | str
+) -> Column:
+    """Σ price·(1−discount)·(1+tax), exact in 10^-6 units."""
+    units = (
+        to_units(price, 2)
+        * (F.lit(100) - to_units(discount, 2))
+        * (F.lit(100) + to_units(tax, 2))
+    )
+    return units_to_amount(F.sum(units), 6)

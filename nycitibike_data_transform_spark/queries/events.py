@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nycitibike_data_transform_spark.functions.money import fast_money_sum
 from nycitibike_data_transform_spark.queries import QuerySpec, load
 
 # ------------------------------------------------------ tumbling window agg
@@ -28,7 +29,7 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            fast_money_sum("value").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -74,7 +75,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+            fast_money_sum("value").alias("session_value"),
         )
     )
 

@@ -5,10 +5,12 @@ model in them (reference ``README.md:28-29``, ``terraform.tfvars:59-60``);
 these queries are that missing query surface, built as first-class
 engine capabilities.
 
-Determinism: every money/quantity aggregate accumulates in exact
-DECIMAL (double summation is partition-order-dependent) and casts to
-double once at the end. Widths are chosen so no intermediate exceeds
-DECIMAL(38,·) in either engine: measures at (18,2), rates at (4,2).
+Determinism: every money/quantity aggregate accumulates EXACTLY —
+either fixed-point long units (functions/money.py fast path; the
+final doubles are identical to the DECIMAL formulation) or DECIMAL —
+never raw double sums (partition-order-dependent). The DuckDB oracles
+keep the DECIMAL formulation, which doubles as the cross-engine
+equivalence proof for the fast path.
 """
 
 from __future__ import annotations
@@ -16,6 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nycitibike_data_transform_spark.functions.money import (
+    fast_charge_sum,
+    fast_money_sum,
+    fast_revenue_sum,
+    to_units,
+    units_to_amount,
+)
 from nycitibike_data_transform_spark.queries import QuerySpec, load
 
 
@@ -31,20 +40,21 @@ def _rate(c: str) -> Column:
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 hash aggregation: 2 group cols × 8 aggregates over lineitem.
-    Map-side partial agg + single shuffle on the (tiny) group domain."""
+    Map-side partial agg + single shuffle on the (tiny) group domain.
+    Money math runs on the fixed-point long fast path
+    (functions/money.py) — exact, same doubles as the DECIMAL
+    formulation, ~10× cheaper per row."""
     t = load(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
-    charge = disc_price * (F.lit(1).cast("decimal(4,2)") + _rate("l_tax"))
     return (
         t["lineitem"]
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            fast_money_sum("l_quantity").alias("sum_qty"),
+            fast_money_sum("l_extendedprice").alias("sum_base_price"),
+            fast_revenue_sum("l_extendedprice", "l_discount").alias("sum_disc_price"),
+            fast_charge_sum("l_extendedprice", "l_discount", "l_tax").alias("sum_charge"),
+            (fast_money_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (fast_money_sum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
             F.max("l_quantity").alias("max_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -77,7 +87,6 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue per nation. Dims broadcast; the fact-side joins shuffle on
     their keys with AQE sizing — the canonical 100 TB star-join shape."""
     t = load(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -86,7 +95,7 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            fast_revenue_sum("l_extendedprice", "l_discount").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -139,7 +148,7 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            fast_money_sum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
             F.grouping_id().cast("int").alias("gid"),
         )
@@ -162,7 +171,7 @@ def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            fast_money_sum("o_totalprice").alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
             F.grouping_id().cast("int").alias("gid"),
         )
@@ -289,14 +298,13 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scans), join on orderkey, revenue agg, top-10. The filters
     prune before the shuffle — the property that matters at 100 TB."""
     t = load(spark, sf_dir, "customer", "orders", "lineitem")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
     return (
         t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("o_orderdate") < "1998-01-01")
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(fast_revenue_sum("l_extendedprice", "l_discount").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -329,7 +337,9 @@ def _q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * _rate("l_discount")).cast("double").alias("revenue"),
+            units_to_amount(
+                F.sum(to_units("l_extendedprice", 2) * to_units("l_discount", 2)), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -348,7 +358,6 @@ def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation) pairs by ship year — two role-playing nation dims
     (broadcast) + fact-side key joins."""
     t = load(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
     n1 = t["nation"].select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
@@ -367,7 +376,10 @@ def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("ship_year"),
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            fast_revenue_sum("l_extendedprice", "l_discount").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
@@ -393,14 +405,13 @@ def _q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-item revenue
     (selective filter → joins → agg → deterministic top-k)."""
     t = load(spark, sf_dir, "lineitem", "orders", "customer", "nation")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
     return (
         t["lineitem"].filter(F.col("l_returnflag") == "R")
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(fast_revenue_sum("l_extendedprice", "l_discount").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
