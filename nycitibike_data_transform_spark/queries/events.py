@@ -162,7 +162,7 @@ def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_JSON_SQL = """
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
        count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 END)
            AS n_high

@@ -214,7 +214,10 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable DF join — the classic bag-of-words pipeline shape."""
     t = load(spark, sf_dir, "documents")
     docs = t["documents"]
-    n_docs = docs.count()  # scalar (index metadata, like IVF centroids)
+    # n_docs stays IN-PLAN (1-row count aggregate broadcast-cross-joined,
+    # exactly the oracle SQL's `CROSS JOIN n` shape) — no driver-side
+    # docs.count() action, so the corpus is scanned once, not twice.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.split(normalize_text_col(), " ")).alias("term")
     ).filter(F.length("term") > 0)
@@ -224,12 +227,15 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    scored = tf.join(df_, "term").select(
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         F.round(
             F.col("tf").cast("double")
-            * F.ln(F.lit(float(n_docs + 1)) / (F.col("df").cast("double") + 1.0)),
+            * F.ln(
+                (F.col("n_docs").cast("double") + 1.0)
+                / (F.col("df").cast("double") + 1.0)
+            ),
             6,
         ).alias("tfidf"),
     )

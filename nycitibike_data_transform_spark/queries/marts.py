@@ -440,14 +440,21 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records rows-only. Exact-distinct parity is covered by
     ``distinct_parts_per_flag``."""
     t = load(spark, sf_dir, "lineitem")
+    q = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
-                "price_quantiles"
-            ),
+            q.alias("_q"),
+        )
+        # Scalar columns, not an array: the driver's pandas canonicalizer
+        # can't factorize list cells (r1 err: "unhashable type: 'list'").
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.element_at("_q", 1).alias("price_p50"),
+            F.element_at("_q", 2).alias("price_p95"),
         )
     )
 
