@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "language_id",
     "doc_fingerprint",
     "ngram_jaccard",
+    "dedup_near",
     "minhash_pairs",
     "simhash",
     "cosine_topk",
@@ -108,7 +109,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "date_functions",
     "string_functions",
     "signup_purchase_funnel",
-    "events_hourly",
     "events_sessionize",
     "dedup_exact",
     "bpe_token_count",
@@ -133,6 +133,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "word_frequencies",
     "dispersion",
     "event_type_daily",
+    "events_hourly",
 )
 
 

@@ -168,10 +168,28 @@ _JACCARD_THRESHOLD = 0.6
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the BLOCKED tier (MinHash-LSH candidates → exact Jaccard
+    re-verification) against the exact all-pairs SQL oracle: the green
+    hash is the proof that blocked == exact on this corpus (every
+    qualifying pair sits at Jaccard ≥ 0.9, where the 8-band/2-row
+    LSH miss probability is ≤ 1.7e-6 per pair)."""
     t = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        t["documents"], n=_JACCARD_N, threshold=_JACCARD_THRESHOLD
+        t["documents"], n=_JACCARD_N, threshold=_JACCARD_THRESHOLD, mode="blocked"
     )
+
+
+def _q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup of the corpus (VERDICT.md r1 item 2):
+    MinHash banding → (band, bucket) equi-join → exact Jaccard verify →
+    anti-join out the higher-id member of each pair. No
+    BroadcastNestedLoopJoin anywhere (pinned by tests/test_plans.py)."""
+    from nycitibike_data_transform_spark.operators.dedup import near_dedup_docs
+
+    t = load(spark, sf_dir, "documents")
+    return near_dedup_docs(
+        t["documents"], n=_JACCARD_N, threshold=_JACCARD_THRESHOLD
+    ).select("doc_id", F.length("text").alias("n_chars"))
 
 
 _NGRAM_JACCARD_SQL = rf"""
@@ -203,6 +221,42 @@ FROM pairs
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+"""
+
+_DEDUP_NEAR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_set
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(shingle_set) AS shingle
+  FROM sh_list
+  WHERE len(shingle_set) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+        >= {_JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, length(d.text) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 # -------------------------------------------------------------- tf-idf
@@ -668,6 +722,7 @@ QUERIES: dict[str, QuerySpec] = {
     "language_id": QuerySpec(_q_language_id, _LANGUAGE_ID_SQL),
     "doc_fingerprint": QuerySpec(_q_doc_fingerprint, _DOC_FINGERPRINT_SQL),
     "ngram_jaccard": QuerySpec(_q_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "dedup_near": QuerySpec(_q_dedup_near, _DEDUP_NEAR_SQL),
     "minhash_pairs": QuerySpec(_q_minhash_pairs, None),
     "simhash": QuerySpec(_q_simhash, None),
     "cosine_topk": QuerySpec(_q_cosine_topk, _COSINE_TOPK_SQL),

@@ -70,3 +70,54 @@ def test_simhash_near_dup_distance(spark):
     assert d12 == 0  # identical token sets
     assert d13 < d14  # near-dup closer than unrelated
     assert d13 <= 16
+
+
+def test_blocked_jaccard_equals_exact(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), mode="exact").collect()
+    }
+    blocked = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), mode="blocked").collect()
+    }
+    assert blocked == exact
+
+
+def test_near_dedup_docs_drops_higher_id_members(spark):
+    from nycitibike_data_transform_spark.operators.dedup import near_dedup_docs
+
+    kept = sorted(r["doc_id"] for r in near_dedup_docs(_docs(spark)).collect())
+    # pairs (1,2) J=1.0 and (1,3) J=0.75 drop docs 2 and 3
+    assert kept == [1, 4, 5]
+
+
+def test_embedding_grid_equals_broadcast(spark, sf_dir):
+    from nycitibike_data_transform_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    grid = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_near_dup_pairs(emb, 0.4, method="grid").collect()
+    }
+    bcast = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_near_dup_pairs(emb, 0.4, method="broadcast").collect()
+    }
+    assert grid == bcast
+    assert grid  # non-vacuous: qualifying pairs exist at 0.4
+
+
+def test_embedding_srp_subset_of_exact(spark, sf_dir):
+    from nycitibike_data_transform_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srp = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, 0.4, method="srp").collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, 0.4, method="broadcast").collect()
+    }
+    assert srp <= exact  # SRP candidates re-ranked exactly: no false positives

@@ -113,3 +113,33 @@ def test_selective_star_join_filters_before_shuffle(spark, sf_dir):
     filters = pushed_filters(df)
     assert any("c_mktsegment" in f for f in filters), filters
     assert any("o_orderdate" in f for f in filters), filters
+
+
+def test_dedup_near_plans_as_banded_equi_join(spark, sf_dir):
+    """The near-dedup default must be the LSH-blocked tier: candidate
+    generation is an equi-join on (band, bucket) — never a
+    BroadcastNestedLoopJoin over the pair space."""
+    df = all_queries()["dedup_near"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band" in plan and "bucket" in plan, plan
+
+
+def test_ngram_jaccard_default_has_no_shingle_self_join(spark, sf_dir):
+    """Blocked-by-default Jaccard: no exploded-shingle self-join (the
+    r1 hot-key skew hazard); the only pair source is the banded
+    bucket join."""
+    df = all_queries()["ngram_jaccard"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band" in plan and "bucket" in plan, plan
+
+
+def test_embedding_near_dup_grid_is_pure_equi_join(spark, sf_dir):
+    """Exact pair enumeration via the fragment-replicate grid join:
+    a shuffled EQUI-join on (_lo, _hi) block keys — no broadcast
+    nested loop, so no all-corpus-per-executor memory wall at scale."""
+    df = all_queries()["embedding_near_dup"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "_lo" in plan and "_hi" in plan, plan
