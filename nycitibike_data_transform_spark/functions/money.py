@@ -23,12 +23,50 @@ Overflow envelope (documented, checked against int64 max 9.2e18):
 For groups beyond those bounds, fall back to the DECIMAL(18,2)
 formulation (the ``queries`` docstring's default recipe) — exactness
 is non-negotiable, speed is a strategy choice.
+
+The envelope is ENFORCED, not just documented, by two layers:
+(1) Spark 4's ANSI mode is on by default, so ``sum(long)`` raises
+ARITHMETIC_OVERFLOW instead of wrapping — our sessions never unset
+it; (2) for deployments that run ``spark.sql.ansi.enabled=false``
+(where sum(long) silently wraps), every ``fast_*_sum`` carries a
+guard aggregate — ``max(abs(units)) · count`` compared (in double,
+conservatively) against int64 range — and raises at execution time
+instead of returning a wrapped "exact" result. The guard adds two
+cheap long aggregates to the same grouping; the sum itself stays on
+the codegen fast path. ``checked=False`` opts out for inputs whose
+bounds are proven by construction (ANSI still protects those).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: conservative int64 bound for the overflow guard: the true limit is
+#: 9.223e18, but the guard multiplies two longs in double precision,
+#: so keep a margin well beyond any double rounding error.
+_INT64_SAFE = 9.0e18
+
+
+def _guarded_sum(units: Column, label: str, checked: bool) -> Column:
+    """``sum(units)`` with a runtime overflow guard: if the worst-case
+    magnitude ``max(abs(units)) · count`` can exceed int64, raise
+    rather than silently wrap. All-null/empty groups pass (coalesce:
+    their max is NULL and their sum is NULL — nothing to corrupt)."""
+    total = F.sum(units)
+    if not checked:
+        return total
+    worst = F.max(F.abs(units)).cast("double") * F.count(units).cast("double")
+    ok = F.coalesce(worst <= F.lit(_INT64_SAFE), F.lit(True))
+    return F.when(ok, total).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{label}: group exceeds the int64 fixed-point envelope "
+                "(max(abs(units))*count > 9e18); use the DECIMAL(18,2) "
+                "formulation for this aggregation"
+            )
+        )
+    )
 
 
 def to_units(col: Column | str, decimals: int = 2) -> Column:
@@ -46,25 +84,31 @@ def units_to_amount(sum_units: Column, decimals: int) -> Column:
     return (sum_units.cast("decimal(38,0)") / F.lit(10**decimals)).cast("double")
 
 
-def fast_money_sum(col: Column | str, decimals: int = 2) -> Column:
+def fast_money_sum(col: Column | str, decimals: int = 2, checked: bool = True) -> Column:
     """Σx as double, exact — drop-in for
-    ``F.sum(x.cast('decimal(18,2)')).cast('double')``."""
-    return units_to_amount(F.sum(to_units(col, decimals)), decimals)
+    ``F.sum(x.cast('decimal(18,2)')).cast('double')``. Raises at
+    execution time if a group could overflow int64 (see module doc)."""
+    return units_to_amount(
+        _guarded_sum(to_units(col, decimals), "fast_money_sum", checked), decimals
+    )
 
 
-def fast_revenue_sum(price: Column | str, discount: Column | str) -> Column:
-    """Σ price·(1−discount), exact in 10^-4 units."""
+def fast_revenue_sum(
+    price: Column | str, discount: Column | str, checked: bool = True
+) -> Column:
+    """Σ price·(1−discount), exact in 10^-4 units; overflow-guarded."""
     units = to_units(price, 2) * (F.lit(100) - to_units(discount, 2))
-    return units_to_amount(F.sum(units), 4)
+    return units_to_amount(_guarded_sum(units, "fast_revenue_sum", checked), 4)
 
 
 def fast_charge_sum(
-    price: Column | str, discount: Column | str, tax: Column | str
+    price: Column | str, discount: Column | str, tax: Column | str, checked: bool = True
 ) -> Column:
-    """Σ price·(1−discount)·(1+tax), exact in 10^-6 units."""
+    """Σ price·(1−discount)·(1+tax), exact in 10^-6 units;
+    overflow-guarded."""
     units = (
         to_units(price, 2)
         * (F.lit(100) - to_units(discount, 2))
         * (F.lit(100) + to_units(tax, 2))
     )
-    return units_to_amount(F.sum(units), 6)
+    return units_to_amount(_guarded_sum(units, "fast_charge_sum", checked), 6)

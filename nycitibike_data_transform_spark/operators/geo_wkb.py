@@ -29,6 +29,11 @@ _WKB_POINT = 1
 _WKB_POLYGON = 3
 _WKB_MULTIPOLYGON = 6
 
+# PostGIS EWKB flag bits (high bits of the geometry-type word).
+_EWKB_Z = 0x8000_0000
+_EWKB_M = 0x4000_0000
+_EWKB_SRID = 0x2000_0000
+
 
 class WkbError(ValueError):
     pass
@@ -45,11 +50,24 @@ def _reader(buf: bytes):
         return val
 
     def read_header():
+        """2D geometry type, with the EWKB/ISO variants handled
+        explicitly rather than masked away: an EWKB SRID payload is
+        skipped (4 bytes), and Z/M geometries — EWKB flag bits or ISO
+        type codes ≥ 1000 (XYZ +1000, XYM +2000, XYZM +3000) — raise
+        WkbError instead of silently misparsing coordinates as ring
+        counts."""
         nonlocal pos
         order = "<" if buf[pos] == 1 else ">"
         pos += 1
-        gtype = read("<I", ">I", 4, order)
-        return order, gtype & 0xFF  # mask off SRID/Z flags
+        raw = read("<I", ">I", 4, order)
+        if raw & (_EWKB_Z | _EWKB_M):
+            raise WkbError(f"Z/M coordinates not supported (EWKB type word 0x{raw:08x})")
+        gtype = raw & ~_EWKB_SRID
+        if gtype >= 1000:
+            raise WkbError(f"ISO WKB Z/M geometry type {gtype} not supported")
+        if raw & _EWKB_SRID:
+            pos += 4  # skip the EWKB SRID payload
+        return order, gtype
 
     def read_u32(order):
         return read("<I", ">I", 4, order)

@@ -48,51 +48,60 @@ def as_of_join(
     O(n²) condition join. Right rows sort before left rows at equal
     timestamps, so an exactly-simultaneous right row IS visible
     (``right_ts <= left_ts`` semantics, matching SQL ASOF JOIN).
+
+    The matched right row is carried as ONE struct through a single
+    ``last(ignorenulls)`` — all projected values (NULL fields
+    included) come from the same matched row, never an older row's
+    value leaking through a per-column fill. Ties among right rows at
+    equal (key, ts) resolve deterministically via a content-hash sort
+    key.
     """
     overlap = set(right_values) & set(left.columns)
     if overlap:
         raise ValueError(f"right value columns collide with left columns: {sorted(overlap)}")
 
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    for v in right_values:
-        l_tagged = l_tagged.withColumn(v, F.lit(None))
-    r_tagged = (
-        right.select(
-            F.col(key),
-            F.col(right_ts).alias("__ts"),
-            F.lit(0).alias("__side"),
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias("__matched_ts"),
             *[F.col(v) for v in right_values],
-        )
+        ).alias("__rrow"),
     )
+    # allowMissingColumns pads the left side's __rrow with a NULL of
+    # the right side's struct type (and vice versa for left columns).
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", F.xxhash64(F.col("__rrow")))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        *[c for c in unioned.columns if c not in right_values],
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in right_values],
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__matched_ts"),
+    matched = unioned.select(
+        *[c for c in left.columns],
+        F.col("__side"),
+        F.col("__ts"),
+        F.last("__rrow", ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col("__side") == 1)
 
     if tolerance_seconds is not None:
-        in_range = (
-            F.col("__matched_ts").isNotNull()
-            & (
-                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__matched_ts"))
-                <= tolerance_seconds * 1_000_000
-            )
+        usable = F.col("__m").isNotNull() & (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m")["__matched_ts"])
+            <= tolerance_seconds * 1_000_000
         )
-        filled = filled.select(
-            *[c for c in filled.columns if c not in right_values],
-            *[F.when(in_range, F.col(v)).otherwise(F.lit(None)).alias(v) for v in right_values],
-        )
-
-    return filled.drop("__side", "__ts", "__matched_ts")
+    else:
+        usable = F.col("__m").isNotNull()
+    # field access on a NULL-ed out struct yields NULL for every value
+    # column — the no-match / out-of-tolerance row keeps its left side.
+    return matched.select(
+        *[c for c in left.columns],
+        *[
+            F.when(usable, F.col("__m")[v]).otherwise(F.lit(None)).alias(v)
+            for v in right_values
+        ],
+    )
 
 
 def salted_join(
@@ -111,17 +120,19 @@ def salted_join(
     Use when a shuffle join has a pathological hot key and the dim is
     too big to broadcast (otherwise broadcast and salting are both
     unnecessary); AQE's skew-join handles moderate skew automatically,
-    salting is the explicit big hammer. Deterministic: salt comes from
-    a hash of the fact row's key + a monotonic discriminator, so
-    re-runs produce identical partitioning.
+    salting is the explicit big hammer. The salt is a content hash of
+    the full fact row, so salt assignment (and therefore partitioning)
+    is stable across re-runs and task retries — unlike a
+    monotonically_increasing_id discriminator, which depends on
+    partition layout. Caveat: byte-identical duplicate rows share a
+    salt; if the hot key's rows are mostly full duplicates, pass a
+    distinct id column as part of the row or dedupe first.
     """
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     salted_fact = fact.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()), F.lit(salt)).cast(
-            "int"
-        ),
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt)).cast("int"),
     )
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -42,6 +42,64 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> Da
     return kept.unionByName(updates)
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> list[object]:
+    """Copy-on-write MERGE over a ``partitionBy(partition_col)``
+    parquet layout: only the partitions present in ``updates`` are
+    read, merged (anti-join + union), and rewritten — untouched
+    partitions' files are never opened or replaced. Returns the list
+    of partition values rewritten.
+
+    This is the partition-level upgrade over :func:`merge_upsert`'s
+    whole-table rewrite (a Delta/Iceberg MERGE would make it row-level
+    ACID; their jars aren't in this environment, so partition
+    granularity is the honest Spark-native equivalent — the same
+    mechanism as Hive/Spark dynamic-partition overwrite). At 100 TB a
+    4-hourly feed touches a handful of date partitions; rewriting only
+    those makes merge cost O(touched data), not O(table).
+
+    Contract: ``partition_col`` must be functionally dependent on the
+    key columns (a key never moves between partitions) — the standard
+    constraint for partition-scoped MERGE; a moved key would leave its
+    old row alive in an untouched partition. (``partition_col`` may
+    itself be one of ``keys``, which satisfies the constraint
+    trivially.)
+
+    Mechanics: the affected-partition values are collected driver-side
+    (partition metadata, like Delta's file listing — thousands of
+    values, never data rows); the merged slice is localCheckpoint-ed
+    to break lineage (Spark refuses to overwrite a path its write plan
+    still reads), then written with dynamic partition-overwrite so
+    ONLY the partitions present in the output are replaced.
+    """
+    if partition_col not in updates.columns:
+        raise ValueError(f"updates missing partition column {partition_col!r}")
+    existing = spark.read.parquet(path)
+    if sorted(existing.columns) != sorted(updates.columns):
+        raise ValueError(
+            f"schema mismatch: existing={sorted(existing.columns)} "
+            f"updates={sorted(updates.columns)}"
+        )
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    affected = existing.filter(F.col(partition_col).isin(touched))
+    merged = merge_upsert(
+        affected.select(*updates.columns), updates, keys
+    ).localCheckpoint()
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return touched
+
+
 def scd2_apply(
     dim: DataFrame | None,
     updates: DataFrame,

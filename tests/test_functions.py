@@ -15,7 +15,69 @@ from nycitibike_data_transform_spark.functions.text import (
     text_fingerprint,
     token_count,
 )
+from nycitibike_data_transform_spark.functions.money import (
+    fast_charge_sum,
+    fast_money_sum,
+    fast_revenue_sum,
+)
 from nycitibike_data_transform_spark.functions.vectors import cosine_similarity, dot_product
+
+
+def test_fast_money_sum_exact(spark):
+    df = spark.createDataFrame([(1.01,), (2.02,), (0.97,)], "x double")
+    assert df.select(fast_money_sum("x").alias("s")).first()["s"] == 4.0
+
+
+def test_fast_money_sum_overflow_guard_raises(spark):
+    # units = 9.1e18 (within int64) but 2 rows would wrap the sum.
+    # Two defense layers, either may fire first: ANSI mode (Spark 4
+    # default) raises ARITHMETIC_OVERFLOW inside the sum; with ANSI
+    # off, the envelope guard raises. Never a silently-wrapped value.
+    df = spark.createDataFrame([(9.1e16,), (9.1e16,)], "x double")
+    with pytest.raises(Exception, match="envelope|ARITHMETIC_OVERFLOW"):
+        df.select(fast_money_sum("x")).collect()
+    # per-group: a bounded group aggregates fine
+    big = spark.createDataFrame([("a", 1.5), ("b", 9.1e16), ("b", 9.1e16)], "g string, x double")
+    ok = big.filter("g = 'a'").groupBy("g").agg(fast_money_sum("x").alias("s"))
+    assert ok.first()["s"] == 1.5
+    with pytest.raises(Exception, match="envelope|ARITHMETIC_OVERFLOW"):
+        big.groupBy("g").agg(fast_money_sum("x")).collect()
+
+
+def test_fast_money_guard_fires_with_ansi_off(spark):
+    # The case ANSI can't cover: spark.sql.ansi.enabled=false makes
+    # sum(long) wrap silently — the envelope guard must still raise.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        df = spark.createDataFrame([(9.1e16,), (9.1e16,)], "x double")
+        with pytest.raises(Exception, match="envelope"):
+            df.select(fast_money_sum("x")).collect()
+        # and the unchecked opt-out is the only way to get a wrapped sum
+        df.select(fast_money_sum("x", checked=False)).collect()
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+
+
+def test_fast_sums_null_and_empty_groups_pass_guard(spark):
+    df = spark.createDataFrame([("a", None), ("a", None)], "g string, x double")
+    assert df.groupBy("g").agg(fast_money_sum("x").alias("s")).first()["s"] is None
+
+
+def test_fast_charge_sum_guard_raises_on_envelope_breach(spark):
+    # price 1e9 → 1e15 units/row at 10^-6 scale; 1e4 rows ⇒
+    # max·count = 1e19 > 9e18 ⇒ guarded failure, not a wrapped sum
+    # (with ANSI on the sum itself raises first — either way, no
+    # silent corruption).
+    rows = [(1.0e9, 0.0, 0.0)] * 10_000
+    df = spark.createDataFrame(rows, "p double, d double, t double")
+    with pytest.raises(Exception, match="envelope|ARITHMETIC_OVERFLOW"):
+        df.select(fast_charge_sum("p", "d", "t")).collect()
+
+
+def test_fast_revenue_sum_normal_values_unaffected(spark):
+    df = spark.createDataFrame([(100.0, 0.05), (200.0, 0.10)], "p double, d double")
+    got = df.select(fast_revenue_sum("p", "d").alias("r")).first()["r"]
+    assert got == pytest.approx(100.0 * 0.95 + 200.0 * 0.90, abs=1e-9)
 
 
 def test_haversine_known_distance(spark):

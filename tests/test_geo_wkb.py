@@ -45,6 +45,24 @@ def test_parse_point_both_endians():
     assert parse_wkb_point(wkb_point(1.5, -2.5, big_endian=True)) == (1.5, -2.5)
 
 
+def test_ewkb_srid_skipped_and_zm_rejected():
+    # EWKB point with SRID flag: 4-byte SRID payload precedes coords.
+    ewkb_srid_pt = struct.pack("<BII2d", 1, 1 | 0x20000000, 4326, 1.5, -2.5)
+    assert parse_wkb_point(ewkb_srid_pt) == (1.5, -2.5)
+    # EWKB polygon with SRID parses identically to plain WKB.
+    body = wkb_polygon(SQUARE)[5:]  # rings after the plain header
+    ewkb_srid_poly = struct.pack("<BII", 1, 3 | 0x20000000, 4326) + body
+    assert len(parse_wkb_polygons(ewkb_srid_poly)) == 1
+    # EWKB Z flag and ISO Z type codes both fail cleanly, never misparse.
+    for bad_type in (1 | 0x80000000, 1 | 0x40000000):
+        with pytest.raises(WkbError, match="Z/M"):
+            parse_wkb_point(struct.pack("<BI3d", 1, bad_type, 1.0, 2.0, 3.0))
+    with pytest.raises(WkbError, match="1001"):
+        parse_wkb_point(struct.pack("<BI3d", 1, 1001, 1.0, 2.0, 3.0))
+    with pytest.raises(WkbError, match="1003"):
+        parse_wkb_polygons(struct.pack("<BII", 1, 1003, 0))
+
+
 def test_parse_polygon_and_errors():
     polys = parse_wkb_polygons(wkb_polygon(SQUARE, HOLE))
     assert len(polys) == 1 and len(polys[0]) == 2

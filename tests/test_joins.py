@@ -43,6 +43,44 @@ def test_asof_tolerance(spark):
     assert tight.first()["v"] is None  # match older than 10 min discarded
 
 
+def test_asof_null_in_matched_row_not_overwritten(spark):
+    # The matched (latest) right row carries a NULL value: ASOF
+    # semantics return that NULL, not an older row's non-NULL value.
+    left = spark.createDataFrame([(1, "u", _ts(30))], "id bigint, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", _ts(10), 100.0, "a"), ("u", _ts(20), None, "b")],
+        "k string, ts timestamp, v double, tag string",
+    )
+    row = as_of_join(left, right, "k", "ts", "ts", ["v", "tag"]).first()
+    assert row["v"] is None and row["tag"] == "b"
+
+
+def test_asof_all_values_from_same_matched_row(spark):
+    # Two value columns NULL in different right rows: both projected
+    # values must come from the single matched row, never mixed.
+    left = spark.createDataFrame([(1, "u", _ts(30))], "id bigint, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", _ts(10), None, "x"), ("u", _ts(20), 5.0, None)],
+        "k string, ts timestamp, a double, b string",
+    )
+    row = as_of_join(left, right, "k", "ts", "ts", ["a", "b"]).first()
+    assert row["a"] == 5.0 and row["b"] is None
+
+
+def test_asof_equal_ts_right_rows_deterministic(spark):
+    # Ties at identical (key, ts) resolve by content hash — the same
+    # winner on every run and under any input partitioning.
+    left = spark.createDataFrame([(1, "u", _ts(30))], "id bigint, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", _ts(20), float(i)) for i in range(10)], "k string, ts timestamp, v double"
+    )
+    winners = {
+        as_of_join(left, right.repartition(n), "k", "ts", "ts", ["v"]).first()["v"]
+        for n in (1, 3, 7)
+    }
+    assert len(winners) == 1
+
+
 def test_asof_column_collision_raises(spark):
     df = spark.createDataFrame([(1, "u", _ts(0), 5.0)], "id bigint, k string, ts timestamp, v double")
     with pytest.raises(ValueError, match="collide"):

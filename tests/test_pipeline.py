@@ -84,6 +84,61 @@ def test_merge_upsert_validation(spark):
         merge_upsert(df, df, [])
 
 
+def _partition_files(root, part_dir):
+    d = root / part_dir
+    return {f.name: f.stat().st_mtime_ns for f in d.iterdir() if f.name.endswith(".parquet")}
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    from nycitibike_data_transform_spark.pipeline import merge_upsert_partitioned
+
+    root = tmp_path / "tbl"
+    initial = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+         (3, "2024-01-02", "c"), (4, "2024-01-03", "d")],
+        "k int, dt string, v string",
+    )
+    initial.write.partitionBy("dt").parquet(str(root))
+    before_d1 = _partition_files(root, "dt=2024-01-01")
+    before_d3 = _partition_files(root, "dt=2024-01-03")
+
+    updates = spark.createDataFrame(
+        [(2, "2024-01-01", "B2"), (5, "2024-01-01", "e"), (6, "2024-01-04", "f")],
+        "k int, dt string, v string",
+    )
+    touched = merge_upsert_partitioned(spark, str(root), updates, ["k"], "dt")
+    assert set(touched) == {"2024-01-01", "2024-01-04"}
+
+    # untouched partitions: byte-identical files, never rewritten
+    assert _partition_files(root, "dt=2024-01-02")
+    assert _partition_files(root, "dt=2024-01-03") == before_d3
+    # touched partition WAS rewritten
+    assert _partition_files(root, "dt=2024-01-01") != before_d1
+
+    # partition-value inference reads dt back as DateType — stringify
+    out = {r["k"]: (str(r["dt"]), r["v"]) for r in spark.read.parquet(str(root)).collect()}
+    assert out == {
+        1: ("2024-01-01", "a"),
+        2: ("2024-01-01", "B2"),  # updated in place
+        3: ("2024-01-02", "c"),  # untouched partition intact
+        4: ("2024-01-03", "d"),
+        5: ("2024-01-01", "e"),  # insert into existing partition
+        6: ("2024-01-04", "f"),  # insert creating a new partition
+    }
+
+
+def test_merge_upsert_partitioned_validation(spark, tmp_path):
+    from nycitibike_data_transform_spark.pipeline import merge_upsert_partitioned
+
+    root = tmp_path / "tbl2"
+    spark.createDataFrame([(1, "p", "x")], "k int, dt string, v string").write.partitionBy(
+        "dt"
+    ).parquet(str(root))
+    bad = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="partition column"):
+        merge_upsert_partitioned(spark, str(root), bad, ["k"], "dt")
+
+
 def test_scd2_bootstrap_and_update(spark):
     import datetime as dt
 
