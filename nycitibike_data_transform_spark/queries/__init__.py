@@ -84,6 +84,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # r1 reds, fixed in r2 (VERDICT.md "What's wrong")
     "events_json",
     "approx_distinct",
+    # new r2 queries (VERDICT.md next-round #8: aux-NYC surface)
+    "aux_econ_by_nta",
+    "inspections_by_nta",
     # operator-family representatives (all hash-green in r1)
     "location_dim",
     "stage_rides",
@@ -106,9 +109,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "range_join_tiers",
     "correlated_subquery",
-    "date_functions",
     "string_functions",
-    "signup_purchase_funnel",
     "events_sessionize",
     "dedup_exact",
     "bpe_token_count",
@@ -117,6 +118,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "chunk_documents",
     "tfidf_top_terms",
     # ---- past the 50-entry window: r1-green near-duplicates ----
+    # (date_functions/signup_purchase_funnel ceded their slots to the
+    # r2 aux-NYC queries: to_date is now also pinned by
+    # inspections_by_nta, funnel machinery by events_sessionize)
+    "date_functions",
+    "signup_purchase_funnel",
     "filter_project",
     "payment_decode",
     "set_except",
@@ -138,10 +144,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from nycitibike_data_transform_spark.queries import advanced, core, events, llmdata, marts
+    from nycitibike_data_transform_spark.queries import (
+        advanced,
+        aux_nyc,
+        core,
+        events,
+        llmdata,
+        marts,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, marts, advanced, events, llmdata):
+    for mod in (core, marts, advanced, events, llmdata, aux_nyc):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

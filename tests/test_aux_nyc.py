@@ -43,6 +43,48 @@ def test_inspections_typed(spark, tmp_path):
     assert rows[41235]["grade_date"] is None
 
 
+def test_inspections_by_nta_geo_chain(spark, sf_dir):
+    """The driver query's geometric NTA must agree with the fixture's
+    stored ground-truth NTA for EVERY row (not just in aggregate):
+    540 fixture points, all interior by construction, so projection +
+    point-in-polygon must tag each one with its source tract's NTA."""
+    from nycitibike_data_transform_spark.functions.projection import lcc_forward
+    from nycitibike_data_transform_spark.operators.geo_wkb import tag_points_with_zones
+    from nycitibike_data_transform_spark.queries.aux_nyc import (
+        INSPECTIONS_CSV as FIXTURE,
+        ZONES_PARQUET,
+        inspections_by_nta,
+    )
+    from nycitibike_data_transform_spark.sources.aux_nyc import read_inspections
+    from pyspark.sql import functions as F
+
+    insp = read_inspections(spark, FIXTURE)
+    x, y = lcc_forward("latitude", "longitude")
+    zones = [
+        (r["NTA2020"], r["geometry"])
+        for r in spark.read.parquet(ZONES_PARQUET).select("NTA2020", "geometry").collect()
+    ]
+    tagged = tag_points_with_zones(
+        insp.withColumn("x_ft", x).withColumn("y_ft", y), zones, "x_ft", "y_ft"
+    )
+    mismatches = tagged.filter(
+        F.col("zone_id").isNull() | (F.col("zone_id") != F.col("nta"))
+    ).count()
+    assert mismatches == 0
+    agg = inspections_by_nta(spark, sf_dir)
+    assert agg.agg(F.sum("n")).first()[0] == 540
+
+
+def test_aux_econ_rollup(spark, sf_dir):
+    from nycitibike_data_transform_spark.queries.aux_nyc import aux_econ_by_nta
+
+    rows = {r["borough"]: r for r in aux_econ_by_nta(spark, sf_dir).collect()}
+    assert set(rows) == {"Bronx", "Brooklyn", "Manhattan", "Queens", "Staten Island"}
+    for r in rows.values():
+        assert 0.4 < r["lf_rate"] < 0.9  # participation rate sanity
+        assert r["pop_16plus"] > r["labor_force"] > 0
+
+
 def test_nta_enrichment_broadcast(spark, tmp_path):
     p = tmp_path / "evictions.csv"
     p.write_text(EVICTIONS_CSV)

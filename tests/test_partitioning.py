@@ -34,6 +34,32 @@ def test_partitioned_write_and_pruned_read(spark, tmp_path, sf_dir):
     assert pruned.count() == built["orders_by_year"].filter(F.year("o_orderdate") == 1997).count()
 
 
+def test_dynamic_partition_pruning_fires_on_fact_dim_join(spark, tmp_path, sf_dir):
+    """A fact⋈dim join where the dim carries the selective filter must
+    prune fact partitions at RUNTIME (dynamicpruning subquery in the
+    scan's PartitionFilters) — the 100 TB payoff of partitioned
+    layouts: the star-schema query never reads the pruned dates."""
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh3"))
+    p.add_source("orders", lambda s: s.read.parquet(f"{sf_dir}/orders.parquet"))
+    p.add_model(
+        "orders_by_year",
+        lambda s, orders: orders.withColumn("order_year", F.year("o_orderdate")),
+        deps=("orders",),
+        partition_by=("order_year",),
+    )
+    fact = p.run(spark)["orders_by_year"]
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == 1997 else "drop") for y in range(1992, 1999)],
+        "order_year int, tag string",
+    )
+    q = fact.join(dim.filter(F.col("tag") == "keep"), "order_year").select(
+        "o_orderkey", "order_year"
+    )
+    plan = formatted_plan(q)
+    assert "dynamicpruning" in plan.lower()
+    assert q.count() == fact.filter(F.col("order_year") == 1997).count()
+
+
 def test_partition_counts_preserved(spark, tmp_path, sf_dir):
     p = Pipeline(warehouse_dir=str(tmp_path / "wh2"))
     p.add_source("orders", lambda s: s.read.parquet(f"{sf_dir}/orders.parquet"))
