@@ -6,11 +6,15 @@ takes toward its WKB ``geometry: binary`` column (reference
 ``ref/2_DIM___AUX_NYC|nyc_nta_zones.parquet``, SURVEY.md §2.1 S6):
 store, move, and partition the bytes; decode only at the edge.
 
-The decode step itself (image/audio libs) is STUBBED in this
-container: ``decode_image_batch`` raises NotImplementedError unless
-handed the deterministic fake decoder used by tests. Everything
-Spark-side — schema, Arrow batch shape, ``mapInPandas`` signature,
-partition behavior — is real and tested.
+Decode status: PNG decode is REAL — ``operators/imaging.py`` is a
+pure-numpy codec (zlib + scanline filters; no media libs exist in
+this container), driven end-to-end by the ``image_pipeline`` driver
+query and ``imaging.decode_image_batch``. Other codecs (JPEG, audio,
+video) remain gated: ``extract_features`` raises NotImplementedError
+unless handed a decoder (tests use the deterministic
+``fake_decoder``); the Spark-side plumbing — schema, Arrow batch
+shape, ``mapInPandas`` signature, partition behavior — is identical
+for every codec and fully tested.
 """
 
 from __future__ import annotations

@@ -84,9 +84,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # r1 reds, fixed in r2 (VERDICT.md "What's wrong")
     "events_json",
     "approx_distinct",
-    # new r2 queries (VERDICT.md next-round #8: aux-NYC surface)
+    # new r2 queries (VERDICT.md next-round #8: aux-NYC surface;
+    # #6: real image decode)
     "aux_econ_by_nta",
     "inspections_by_nta",
+    "image_pipeline",
     # operator-family representatives (all hash-green in r1)
     "location_dim",
     "stage_rides",
@@ -101,7 +103,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets",
     "window_topk_orders",
     "window_variants",
-    "pivot_qty_by_status",
     "quantiles",
     "argmax_orders",
     "asof_purchase_click",
@@ -118,11 +119,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "chunk_documents",
     "tfidf_top_terms",
     # ---- past the 50-entry window: r1-green near-duplicates ----
-    # (date_functions/signup_purchase_funnel ceded their slots to the
-    # r2 aux-NYC queries: to_date is now also pinned by
-    # inspections_by_nta, funnel machinery by events_sessionize)
+    # (date_functions/signup_purchase_funnel/pivot_qty_by_status ceded
+    # their slots to the r2 queries: to_date is now also pinned by
+    # inspections_by_nta, funnel machinery by events_sessionize, pivot
+    # by the rollup/cube/grouping_sets family)
     "date_functions",
     "signup_purchase_funnel",
+    "pivot_qty_by_status",
     "filter_project",
     "payment_decode",
     "set_except",

@@ -671,6 +671,66 @@ FROM documents
 """
 
 
+# ------------------------------------------------- real image decode
+
+
+def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end-to-end on real bytes: per document,
+    encode a deterministic solid-color PNG (pure-numpy codec,
+    ``operators/imaging.py``) in the executors, then run the
+    ``decode_image_batch`` operator — actual zlib + scanline-filter
+    decode — and emit per-image stats. Because the image content is a
+    closed-form function of ``doc_id``, the DuckDB oracle states the
+    expected width/height/channel means in plain SQL: a hash match
+    certifies the decoder recovered every pixel, not just that the
+    plumbing ran. Shuffle-free: two chained mapInPandas stages."""
+    import numpy as np
+    import pandas as pd
+
+    from nycitibike_data_transform_spark.operators.imaging import (
+        decode_image_batch,
+        encode_png,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                bytearray(
+                    encode_png(
+                        np.full(
+                            (int(i) % 7 + 3, int(i) % 13 + 4, 3),
+                            (int(i) % 256, (int(i) * 37) % 256, (int(i) * 91) % 256),
+                            dtype=np.uint8,
+                        ),
+                        filter_type=int(i) % 5,  # exercise every filter branch
+                    )
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    imgs = docs.mapInPandas(make, "doc_id long, payload binary")
+    return decode_image_batch(imgs).select(
+        "doc_id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+_IMAGE_PIPELINE_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 7 + 3 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 91) % 256 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+
 # ------------------------------------------------- BPE-ish token count
 
 _BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -732,4 +792,5 @@ QUERIES: dict[str, QuerySpec] = {
     "cosine_topk_ivf": QuerySpec(_q_cosine_topk_ivf, None),
     "embedding_norms": QuerySpec(_q_embedding_norms, _EMBEDDING_NORMS_SQL),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _MULTIMODAL_META_SQL),
+    "image_pipeline": QuerySpec(_q_image_pipeline, _IMAGE_PIPELINE_SQL),
 }
