@@ -74,6 +74,17 @@ GROUP BY Borough
 """
 
 
+def load_zones() -> list[tuple[str, bytes]]:
+    """(NTA2020, wkb) pairs of the zones dimension, read driver-side
+    with pyarrow directly — it is index metadata for the mapInPandas
+    closure (like an ANN quantizer), so spinning a Spark job + collect
+    for it only added ~4 s of cold-start per query run."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(ZONES_PARQUET, columns=["NTA2020", "geometry"])
+    return list(zip(tbl["NTA2020"].to_pylist(), tbl["geometry"].to_pylist()))
+
+
 def inspections_by_nta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(NTA, grade) inspection stats where the NTA is computed
     GEOMETRICALLY: lat/lng → EPSG:2263 → point-in-polygon against the
@@ -83,11 +94,7 @@ def inspections_by_nta(spark: SparkSession, sf_dir: str) -> DataFrame:
     insp = read_inspections(spark, INSPECTIONS_CSV)
     x, y = lcc_forward("latitude", "longitude")
     projected = insp.withColumn("x_ft", x).withColumn("y_ft", y)
-    zones = [
-        (r["NTA2020"], r["geometry"])
-        for r in spark.read.parquet(ZONES_PARQUET).select("NTA2020", "geometry").collect()
-    ]
-    tagged = tag_points_with_zones(projected, zones, x_col="x_ft", y_col="y_ft")
+    tagged = tag_points_with_zones(projected, load_zones(), x_col="x_ft", y_col="y_ft")
     return tagged.groupBy(
         F.col("zone_id").alias("nta"), F.col("grade")
     ).agg(

@@ -52,20 +52,16 @@ def test_inspections_by_nta_geo_chain(spark, sf_dir):
     from nycitibike_data_transform_spark.operators.geo_wkb import tag_points_with_zones
     from nycitibike_data_transform_spark.queries.aux_nyc import (
         INSPECTIONS_CSV as FIXTURE,
-        ZONES_PARQUET,
         inspections_by_nta,
+        load_zones,
     )
     from nycitibike_data_transform_spark.sources.aux_nyc import read_inspections
     from pyspark.sql import functions as F
 
     insp = read_inspections(spark, FIXTURE)
     x, y = lcc_forward("latitude", "longitude")
-    zones = [
-        (r["NTA2020"], r["geometry"])
-        for r in spark.read.parquet(ZONES_PARQUET).select("NTA2020", "geometry").collect()
-    ]
     tagged = tag_points_with_zones(
-        insp.withColumn("x_ft", x).withColumn("y_ft", y), zones, "x_ft", "y_ft"
+        insp.withColumn("x_ft", x).withColumn("y_ft", y), load_zones(), "x_ft", "y_ft"
     )
     mismatches = tagged.filter(
         F.col("zone_id").isNull() | (F.col("zone_id") != F.col("nta"))
