@@ -1,0 +1,139 @@
+"""Distributed connected components (north-star addition, SURVEY.md §2.9).
+
+The missing last step of a dedup pipeline: near-duplicate PAIRS must
+become CLUSTERS (a ~ b, b ~ c ⇒ {a,b,c} is one group with one kept
+representative) before a corpus can be deduplicated transitively.
+The reference has no analogue (its dedup surface is empty); this is
+the standard "cluster the LSH match graph" stage of large-scale
+training-data pipelines.
+
+Algorithm: iterative min-label propagation ("hash-to-min") expressed
+entirely as DataFrame equi-joins —
+
+    label(v) ← min(label(v), min_{u ∈ N(v)} label(u))
+
+repeated until a fixpoint. Each round is one shuffle join (edges ⋈
+labels on the edge endpoint) plus one aggregation; rounds needed =
+graph diameter. Duplicate clusters are near-cliques (every member
+pairs with most others), so diameter is tiny — 2-3 rounds in
+practice — and the loop is cheap even at 100 TB: the edge list is
+O(verified near-dup pairs), orders of magnitude smaller than the
+corpus, and the corpus itself is never touched until the final
+cluster assignment join.
+
+Scale notes:
+- ``localCheckpoint`` truncates lineage each round — without it the
+  plan doubles per iteration and Catalyst analysis time explodes.
+- Convergence is detected with an exact decimal sum of labels (labels
+  only ever decrease, so the sum strictly decreases until fixpoint):
+  one tiny aggregate per round on the already-materialized labels,
+  no extra join.
+- For adversarial high-diameter graphs (long chains), the
+  alternating large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) converges
+  in O(log² n) rounds with the same join primitive; dedup graphs
+  never need it, so we keep the simpler propagation and expose
+  ``max_iter`` as the guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Assign every vertex the MINIMUM vertex id reachable from it.
+
+    Returns ``(id_col, component)`` — ``component`` is the min member
+    id, a deterministic, content-derived cluster key (stable across
+    re-runs and partitionings, unlike e.g. a generated cluster index).
+
+    ``edges`` is undirected input (each pair listed once in either
+    direction). ``vertices`` optionally adds isolated vertices (no
+    edges), which come back as singleton components of themselves;
+    when omitted, only endpoint vertices are labeled.
+    """
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+    )
+    nodes = sym.select("node")
+    if vertices is not None:
+        nodes = nodes.union(vertices.select(F.col(id_col).alias("node")))
+    labels = nodes.distinct().select("node", F.col("node").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    # exact decimal sum: strictly decreases every round until fixpoint
+    # (labels are monotonically non-increasing), immune to int64
+    # overflow on huge id domains
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["nbr"] == labels["node"])
+            .groupBy(sym["node"].alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if cur_sum == prev_sum:
+            return labels.withColumnRenamed("node", id_col)
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter; raise it or switch to "
+        "large-star/small-star)"
+    )
+
+
+def cluster_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Corpus rows → ``(id_col, cluster_id, cluster_size)``.
+
+    Rows appearing in no pair form singleton clusters of themselves.
+    ``cluster_id`` is the min member id (see ``connected_components``).
+    The corpus joins ONCE at the end against the (small) component
+    map — broadcast when it fits — so the full payload never enters
+    the iterative loop.
+    """
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    mapped = comp.join(sizes, "component").select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+    return (
+        df.select(id_col)
+        .join(mapped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias("cluster_size"),
+        )
+    )
