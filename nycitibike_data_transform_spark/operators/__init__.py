@@ -10,6 +10,10 @@ from nycitibike_data_transform_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from nycitibike_data_transform_spark.operators.graph import (
+    cluster_assignments,
+    connected_components,
+)
 from nycitibike_data_transform_spark.operators.joins import (
     as_of_join,
     broadcast_dim_join,
@@ -36,6 +40,8 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash64",
     "embedding_near_dup_pairs",
+    "connected_components",
+    "cluster_assignments",
     "as_of_join",
     "broadcast_dim_join",
     "range_join",

@@ -208,18 +208,30 @@ SELECT s_nationkey FROM supplier
 
 
 def _q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2 EXCEPT (set semantics): customer nations with no supplier."""
+    """U2 EXCEPT (set semantics): nations with a high-balance customer
+    but no high-balance supplier.
+
+    Unfiltered customer-vs-supplier nations is EMPTY at every SF (both
+    sides cover all 25 nations), so r1/r2's green hash only proved
+    empty==empty (VERDICT r2 "What's wrong" #3). The acctbal > 9000
+    filters create a verified asymmetry: 18 rows at sf0.01."""
     t = load(spark, sf_dir, "customer", "supplier")
     return (
-        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
-        .subtract(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(
+            t["supplier"]
+            .filter(F.col("s_acctbal") > 9000)
+            .select(F.col("s_nationkey").alias("nationkey"))
+        )
     )
 
 
 _EXCEPT_SQL = """
-SELECT c_nationkey AS nationkey FROM customer
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
 EXCEPT
-SELECT s_nationkey FROM supplier
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
 """
 
 # ---------------------------------------------------------- semi / anti join
@@ -242,19 +254,30 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 
 def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 left-anti (NOT EXISTS): parts never ordered."""
-    t = load(spark, sf_dir, "part", "lineitem")
+    """J4 left-anti (NOT EXISTS): customers with no URGENT order.
+
+    The previous shape (parts never ordered) is EMPTY at every SF —
+    the generator references every partkey — so its green hash only
+    proved empty==empty (VERDICT r2 "What's wrong" #3). Anti-joining
+    against the URGENT slice of orders leaves 203 rows at sf0.01:
+    the filter lands on the join's build side BEFORE the anti
+    semantics, the exact pattern Catalyst pushes into the shuffle."""
+    t = load(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
     return (
-        t["part"]
-        .join(t["lineitem"], t["part"].p_partkey == t["lineitem"].l_partkey, "left_anti")
-        .select("p_partkey", "p_name", "p_brand")
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
     )
 
 
 _ANTI_JOIN_SQL = """
-SELECT p_partkey, p_name, p_brand
-FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
 """
 
 # ------------------------------------------------------------------ registry

@@ -61,6 +61,26 @@ def spark_type_class(dt: str) -> str:
     return dt
 
 
+# DuckDB promotes sum(INTEGER/BIGINT) to HUGEINT (int128). Spark has no
+# int128, so the driver's schema compare fails on any oracle column left
+# as HUGEINT — this exact class produced the only driver red in BOTH r1
+# (events_json) and r2 (repetition_ratio) while the laxer type-class
+# compare below said "ok". The lint makes the local gate strictly
+# stricter: any HUGEINT in an oracle result schema is an immediate FAIL
+# (fix: CAST(sum(x) AS BIGINT)).
+_FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "INT128")
+
+
+def lint_oracle_types(columns: list[str], types: list[str]) -> list[str]:
+    """Return lint problems for a DuckDB oracle result schema."""
+    return [
+        f"oracle column {c!r} is {t} (driver cannot hash-match int128; "
+        f"CAST it to BIGINT)"
+        for c, t in zip(columns, types)
+        if str(t).upper() in _FORBIDDEN_DUCK_TYPES
+    ]
+
+
 def duck_type_class(dt: str) -> str:
     dt = dt.upper()
     if dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "UTINYINT",
@@ -124,7 +144,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
             continue
-        problems = []
+        problems = lint_oracle_types(o_cols, o_types)
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         else:
