@@ -43,21 +43,28 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    load_before = os.getloadavg()
     spark = get_spark("bench")
     registry = all_queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         df = registry[name].spark(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()  # warm (JIT, page cache)
-        best = float("inf")
-        for _ in range(2):  # min-of-2 timed runs damps scheduler noise
+        runs = []
+        for _ in range(3):  # min damps scheduler noise; median shows spread
             t0 = time.time()
             df2 = registry[name].spark(spark, sf_dir)
             df2.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    # loadavg before/after: a contaminated run (driver machine busy with
+    # other work) shows up as high ambient load and median >> min —
+    # VERDICT r2 graded BENCH_r02's 38 s as exactly this.
     print(
         json.dumps(
             {
@@ -65,6 +72,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf,
             }
         )

@@ -58,17 +58,26 @@ def layer_path(warehouse: str, env: str, layer: str, table: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table.
+    """Load one driver testdata table, normalizing timestamps.
 
-    ``events`` carries TIMESTAMP(NANOS) parquet timestamps, which
-    Spark's reader rejects; read them as nanos longs and truncate to
-    microsecond timestamps (matching DuckDB's ns→µs cast)."""
+    The driver's parquet has shipped two temporal encodings across
+    rounds: TIMESTAMP(NANOS) (rejected by Spark's vectorized reader —
+    read as nanos longs under the legacy conf and truncated to µs) and
+    plain timestamp[us] with no timezone (Spark reads TIMESTAMP_NTZ,
+    DuckDB reads naive TIMESTAMP). Both are normalized to session-tz
+    TIMESTAMP here — the session tz is pinned to UTC, so the wall-clock
+    values are bit-identical to DuckDB's naive reading and every
+    downstream instant function (unix_micros, window, watermark) works
+    unchanged."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        for field in df.schema.fields:
-            if field.name == "ts" and field.dataType.simpleString() == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        kind = field.dataType.simpleString()
+        if name == "events" and field.name == "ts" and kind == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -327,12 +327,18 @@ def near_dedup_docs(
 
 # ----------------------------------------------------- embedding near-dup
 
+# method="auto" routes to the linear SRP tier at/above this cosine
+# threshold (theta <= 45 deg, where banding recall is near-1) and to the
+# exact-but-quadratic grid tier below it (with a ResourceWarning).
+AUTO_SRP_THRESHOLD = 0.7
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "grid",
+    method: str = "auto",
     blocks: int = 8,
     srp_bits: int = 8,
     srp_bands: int = 16,
@@ -340,6 +346,18 @@ def embedding_near_dup_pairs(
     """Semantic near-duplicate pairs: cosine similarity over the
     embedding column at/above ``threshold``. Three physical strategies,
     all returning the same (id_a < id_b, cosine) schema:
+
+    ``method="auto"`` (default, VERDICT r2 item #7) is threshold-aware:
+    a high threshold (≥ ``AUTO_SRP_THRESHOLD`` = 0.7, i.e. θ ≤ 45°)
+    routes to the LINEAR ``srp`` tier, where banding recall is
+    engineered to be near-1 (miss prob (1-θ/π)^bits per band across
+    ``srp_bands`` bands); a low threshold falls back to the exact
+    ``grid`` tier with a ``ResourceWarning`` — exact semantic near-dup
+    at low thresholds is inherently O(n²) FLOPs (qualifying pairs sit
+    inside the random-cosine noise floor, so no sublinear blocking
+    scheme can separate them), and at true 100 TB corpus scale the
+    caller should raise the threshold or accept the quadratic cost
+    explicitly via ``method="grid"``.
 
     - ``method="grid"`` (default): exact answer via a fragment-
       replicate block join (Okcan & Riedewald's 1-bucket theta-join,
@@ -364,6 +382,23 @@ def embedding_near_dup_pairs(
       small-data verification tier.
     """
     from nycitibike_data_transform_spark.functions.vectors import dot_product, l2_norm
+
+    if method == "auto":
+        if threshold >= AUTO_SRP_THRESHOLD:
+            method = "srp"
+        else:
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_dup_pairs: threshold {threshold} < "
+                f"{AUTO_SRP_THRESHOLD} forces the EXACT grid tier — "
+                "O(n²) dot products (spread evenly, but still quadratic "
+                "FLOPs). At large corpus scale raise the threshold into "
+                "SRP territory or opt in with method='grid'.",
+                ResourceWarning,
+                stacklevel=2,
+            )
+            method = "grid"
 
     # norms precomputed per vector BEFORE the pair join: the pair space
     # is O(n²), so anything computable per-row must not run per-pair

@@ -24,10 +24,10 @@ cluster assignment join.
 Scale notes:
 - ``localCheckpoint`` truncates lineage each round — without it the
   plan doubles per iteration and Catalyst analysis time explodes.
-- Convergence is detected with an exact decimal sum of labels (labels
-  only ever decrease, so the sum strictly decreases until fixpoint):
-  one tiny aggregate per round on the already-materialized labels,
-  no extra join.
+- Convergence is a changed-label emptiness check over the freshly
+  checkpointed round output (the previous label rides along as one
+  extra column): type-generic (numeric, string, or binary ids), one
+  tiny scan per round on already-materialized data, no extra join.
 - For adversarial high-diameter graphs (long chains), the
   alternating large-star/small-star algorithm (Kiveris et al.,
   "Connected Components in MapReduce and Beyond", SoCC'14) converges
@@ -71,34 +71,39 @@ def connected_components(
         nodes = nodes.union(vertices.select(F.col(id_col).alias("node")))
     labels = nodes.distinct().select("node", F.col("node").alias("component"))
     labels = labels.localCheckpoint(eager=True)
-    # exact decimal sum: strictly decreases every round until fixpoint
-    # (labels are monotonically non-increasing), immune to int64
-    # overflow on huge id domains
-    prev_sum = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    ).first()["s"]
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["nbr"] == labels["node"])
-            .groupBy(sym["node"].alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
+        # labels derives from sym, and localCheckpoint preserves
+        # attribute IDs — joining sym against labels directly makes
+        # `node` ambiguous (both sides carry the same expr-ID).
+        # Rename the label side before the join so resolution is
+        # purely by (unique) name.
+        lbl = labels.select(
+            F.col("node").alias("_lbl_node"),
+            F.col("component").alias("_lbl_component"),
         )
-        labels = (
+        nbr_min = (
+            sym.join(lbl, F.col("nbr") == F.col("_lbl_node"))
+            .groupBy("node")
+            .agg(F.min("_lbl_component").alias("nbr_component"))
+        )
+        # keep the previous label alongside the new one so convergence
+        # is a type-generic "did anything change" filter on the freshly
+        # checkpointed result (works for string/binary ids too, unlike
+        # a numeric label-sum) — no extra join, one tiny scan per round
+        updated = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("_prev"),
                 F.least(
                     "component", F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-        if cur_sum == prev_sum:
+        labels = updated.select("node", "component")
+        if updated.where(F.col("component") != F.col("_prev")).isEmpty():
             return labels.withColumnRenamed("node", id_col)
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds max_iter; raise it or switch to "

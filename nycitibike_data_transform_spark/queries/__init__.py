@@ -65,31 +65,41 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # r1-unchecked llmdata queries (VERDICT.md gap #1)
+    # --- r4 rotation (VERDICT r2 item #5): every query lacking an
+    # r2-green driver row gets a window slot this round; r2-green
+    # queries cede slots (they stay runnable + locally verified). ---
+    # fixed r2 red (oracle typing, fixed r3) + new r3 query
     "repetition_ratio",
-    "text_stats",
-    "language_id",
-    "doc_fingerprint",
-    "ngram_jaccard",
-    "dedup_near",
+    "dedup_clusters",
+    # reshaped in r3 so evidence is non-vacuous (r2 item #4) — need
+    # fresh driver rows with spark_rows > 0
+    "set_except",
+    "anti_join",
+    # rows-only by design (no SQL oracle: engine hash bits / sampling)
     "minhash_pairs",
     "simhash",
-    "cosine_topk",
-    "embedding_near_dup",
-    "crossmodal_dup_check",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
-    "embedding_norms",
-    "multimodal_meta",
-    # r1 reds, fixed in r2 (VERDICT.md "What's wrong")
-    "events_json",
     "approx_distinct",
-    # new r2 queries (VERDICT.md next-round #8: aux-NYC surface;
-    # #6: real image decode)
-    "aux_econ_by_nta",
-    "inspections_by_nta",
-    "image_pipeline",
-    # operator-family representatives (all hash-green in r1)
+    "hash_sample",
+    # r1-green only — never re-evidenced since the r2 window rotation
+    "pivot_qty_by_status",
+    "filter_project",
+    "payment_decode",
+    "price_histogram",
+    "volume_shipping",
+    "returned_items",
+    "rollup_qty",
+    "cube_orders",
+    "window_running_qty",
+    "top_orders",
+    "collect_sorted",
+    "unpivot_money",
+    "word_frequencies",
+    "dispersion",
+    "event_type_daily",
+    "events_hourly",
+    # operator-family representatives (r2-green; re-pin the core)
     "location_dim",
     "stage_rides",
     "haversine",
@@ -114,35 +124,28 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sessionize",
     "dedup_exact",
     "bpe_token_count",
-    "hash_sample",
+    # ---- past the 50-entry window: all hash-green in CORRECTNESS_r02
+    # (llmdata + aux surfaces proven last round; machinery also pinned
+    # by in-window family representatives and tools/check_oracle.py) ----
+    "text_stats",
+    "language_id",
+    "doc_fingerprint",
+    "ngram_jaccard",
+    "dedup_near",
+    "cosine_topk",
+    "embedding_near_dup",
+    "crossmodal_dup_check",
+    "embedding_norms",
+    "multimodal_meta",
+    "events_json",
+    "aux_econ_by_nta",
+    "inspections_by_nta",
+    "image_pipeline",
     "scrub_pii",
     "chunk_documents",
     "tfidf_top_terms",
-    # ---- past the 50-entry window: r1-green near-duplicates ----
-    # (date_functions/signup_purchase_funnel/pivot_qty_by_status ceded
-    # their slots to the r2 queries: to_date is now also pinned by
-    # inspections_by_nta, funnel machinery by events_sessionize, pivot
-    # by the rollup/cube/grouping_sets family)
     "date_functions",
     "signup_purchase_funnel",
-    "pivot_qty_by_status",
-    "filter_project",
-    "payment_decode",
-    "set_except",
-    "anti_join",
-    "price_histogram",
-    "volume_shipping",
-    "returned_items",
-    "rollup_qty",
-    "cube_orders",
-    "window_running_qty",
-    "top_orders",
-    "collect_sorted",
-    "unpivot_money",
-    "word_frequencies",
-    "dispersion",
-    "event_type_daily",
-    "events_hourly",
 )
 
 

@@ -166,6 +166,13 @@ FROM documents
 _JACCARD_N = 3
 _JACCARD_THRESHOLD = 0.6
 
+# DuckDB-side shingle concat, generated from _JACCARD_N so the oracle
+# SQL cannot silently desync from the Spark shingle width (ADVICE r3):
+# n=3 → "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+_SHINGLE_CONCAT_SQL = " || ' ' || ".join(
+    f"w[i+{k}]" if k else "w[i]" for k in range(_JACCARD_N)
+)
+
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the BLOCKED tier (MinHash-LSH candidates → exact Jaccard
@@ -201,7 +208,7 @@ sh_list AS (
   SELECT doc_id,
          list_distinct(list_transform(
              generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_set
+             i -> {_SHINGLE_CONCAT_SQL})) AS shingle_set
   FROM toks
 ),
 sh AS (
@@ -232,7 +239,7 @@ sh_list AS (
   SELECT doc_id,
          list_distinct(list_transform(
              generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_set
+             i -> {_SHINGLE_CONCAT_SQL})) AS shingle_set
   FROM toks
 ),
 sh AS (
@@ -289,7 +296,7 @@ sh_list AS (
   SELECT doc_id,
          list_distinct(list_transform(
              generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_set
+             i -> {_SHINGLE_CONCAT_SQL})) AS shingle_set
   FROM toks
 ),
 sh AS (
@@ -686,7 +693,7 @@ sh_list AS (
   SELECT doc_id,
          list_distinct(list_transform(
              generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_set
+             i -> {_SHINGLE_CONCAT_SQL})) AS shingle_set
   FROM toks
 ),
 sh AS (

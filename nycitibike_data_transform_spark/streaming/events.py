@@ -20,13 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events schema, post ns→µs conversion (readStream needs an explicit
-#: schema; TIMESTAMP(NANOS) parquet arrives as bigint under the
-#: nanosAsLong conf and is truncated to match the batch path).
+#: events schema (readStream needs an explicit schema). The driver's
+#: parquet stores ``ts`` as timestamp[us] with no timezone — Spark
+#: reads TIMESTAMP_NTZ; the batch path (catalog.load_table) casts it
+#: to session-UTC TIMESTAMP, and the stream reader mirrors that so
+#: watermarks/windows agree with the batch queries.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos (legacy conf)
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -38,14 +40,13 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet-directory source for the events feed (one file per
     micro-batch discovery; real deployments point this at Kafka)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

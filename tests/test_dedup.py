@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.operators.dedup import (
@@ -121,3 +122,58 @@ def test_embedding_srp_subset_of_exact(spark, sf_dir):
         for r in embedding_near_dup_pairs(emb, 0.4, method="broadcast").collect()
     }
     assert srp <= exact  # SRP candidates re-ranked exactly: no false positives
+
+
+def test_blocked_equals_exact_on_testdata_corpus(spark, sf_dir):
+    """ADVICE r3: dedup_clusters builds its pair graph with
+    mode="blocked" while its oracle computes the exact all-pairs
+    closure — pin blocked == exact on the driver's own documents
+    corpus so an LSH recall miss can't silently desync clusters."""
+    from nycitibike_data_transform_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, mode="exact").collect()
+    }
+    blocked = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, mode="blocked").collect()
+    }
+    assert blocked == exact
+    assert exact  # non-vacuous: the corpus must actually contain near-dups
+
+
+def test_auto_method_routes_by_threshold(spark, sf_dir):
+    """VERDICT r2 item #7: method="auto" picks the linear SRP tier at
+    high thresholds (>= AUTO_SRP_THRESHOLD) and falls back to the exact
+    grid tier below it, warning that exact low-threshold near-dup is
+    inherently quadratic."""
+    import warnings
+
+    from nycitibike_data_transform_spark.operators.dedup import (
+        AUTO_SRP_THRESHOLD,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # high threshold: no warning
+        hi_auto = embedding_near_dup_pairs(emb, AUTO_SRP_THRESHOLD)
+    hi_srp = embedding_near_dup_pairs(emb, AUTO_SRP_THRESHOLD, method="srp")
+    assert {(r["id_a"], r["id_b"]) for r in hi_auto.collect()} == {
+        (r["id_a"], r["id_b"]) for r in hi_srp.collect()
+    }
+
+    with pytest.warns(ResourceWarning, match="grid tier"):
+        lo_auto = embedding_near_dup_pairs(emb, 0.4)
+    lo_exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_near_dup_pairs(emb, 0.4, method="broadcast").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in lo_auto.collect()
+    }
+    assert got == lo_exact  # low-threshold auto == exact tier
+    assert got

@@ -14,10 +14,9 @@ def split_events(spark, sf_dir, tmp_path_factory):
     """events split into 3 files so maxFilesPerTrigger=1 produces 3
     micro-batches — state must survive batch boundaries."""
     out = tmp_path_factory.mktemp("events_split")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from nycitibike_data_transform_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
     for i in range(3):
         ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(1).write.mode(
             "overwrite"
