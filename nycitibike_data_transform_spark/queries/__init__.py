@@ -71,6 +71,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # fixed r2 red (oracle typing, fixed r3) + new r3 query
     "repetition_ratio",
     "dedup_clusters",
+    # new r4 queries (decontamination / stratified sampling / mixing)
+    "decontaminate",
+    "stratified_sample",
+    "source_mix_report",
     # reshaped in r3 so evidence is non-vacuous (r2 item #4) — need
     # fresh driver rows with spark_rows > 0
     "set_except",

@@ -837,6 +837,207 @@ SELECT doc_id,
 FROM documents
 """
 
+# ---------------------------------------------------- decontamination
+
+# every doc_id ≡ 0 (mod this) plays the held-out benchmark set; the
+# rest is the training corpus to scrub
+_DECON_BENCH_MOD = 50
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (new r4 surface): flag every training
+    document sharing at least one n-gram shingle with the held-out
+    benchmark set, the standard pre-training overlap scrub.
+
+    Scale shape: the benchmark side is tiny by construction (eval sets
+    are thousands of docs, the corpus is billions), so its distinct
+    shingle set is BROADCAST and the training corpus streams through
+    one linear shingle-explode + broadcast-semi-join — no self-join,
+    no shuffle of the corpus payload, no skew (a benchmark shingle
+    matching many training docs fans out map-side only)."""
+    from nycitibike_data_transform_spark.operators.dedup import shingles, tokenize
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    sh = (
+        tokenize(docs, "text")
+        .select(
+            "doc_id", F.explode(shingles(F.col("tokens"), _JACCARD_N)).alias("shingle")
+        )
+        .filter(F.length("shingle") > 0)
+    )
+    is_bench = F.col("doc_id") % _DECON_BENCH_MOD == 0
+    bench_shingles = sh.filter(is_bench).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_shingles), "shingle")
+        # shingles() emits distinct shingles per doc, so plain count is
+        # the per-doc count of distinct contaminated shingles
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+_DECONTAMINATE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
+             i -> {_SHINGLE_CONCAT_SQL})) AS shingle_set
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(shingle_set) AS shingle
+  FROM sh_list
+  WHERE len(shingle_set) > 0
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM sh s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % {_DECON_BENCH_MOD} <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(h.n, 0) > 0 AS INT) AS contaminated
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {_DECON_BENCH_MOD} <> 0
+"""
+
+# ------------------------------------------------- stratified sampling
+
+_STRATIFIED_RATE = 0.2
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample with an EXACT per-group quota
+    (ceil(rate · group size)), selected by a content-derived md5 order
+    so the sample is deterministic across engines, partitionings, and
+    re-runs — md5 is the one hash both Spark and DuckDB evaluate
+    bit-identically, which is what makes this oracle-checkable (the
+    xxhash64 tier in operators/sampling.py is rows-only for that
+    reason).
+
+    Scale shape: one shuffle on the stratum key; the rank window sorts
+    within each stratum (external sort, spills cleanly). A skewed
+    stratum serializes its own sort only. When approximate quotas are
+    acceptable at 100 TB, prefer the sort-free hash-threshold tier
+    (``hash_sample``) — exact quotas fundamentally require a per-group
+    rank."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    w_grp = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w_rank).cast("long").alias("rank_in_lang"),
+            F.count(F.lit(1)).over(w_grp).alias("n_lang"),
+        )
+        .filter(
+            F.col("rank_in_lang")
+            <= F.ceil(F.lit(_STRATIFIED_RATE) * F.col("n_lang"))
+        )
+        .select("doc_id", "lang", "rank_in_lang")
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank_in_lang,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rank_in_lang AS BIGINT) AS rank_in_lang
+FROM ranked
+WHERE rank_in_lang <= CAST(ceil({_STRATIFIED_RATE} * n_lang) AS BIGINT)
+"""
+
+# ------------------------------------------------------ source mixing
+
+def _q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report per (source, lang): doc count, token
+    count, and token share of the whole corpus — the mixing table every
+    training-data pipeline publishes before weighting domains.
+
+    One shuffle (the groupBy); the share window runs over the already-
+    aggregated |sources×langs| rows, so the single-partition window is
+    metadata-sized at any corpus scale."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "documents")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n_tokens = F.when(F.length(nt) == 0, F.lit(0)).otherwise(
+        F.size(F.split(nt, " "))
+    )
+    agg = (
+        t["documents"]
+        .select("source", "lang", n_tokens.alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all), 6
+        ).alias("token_share"),
+    )
+
+
+_SOURCE_MIX_SQL = r"""
+WITH tok AS (
+  SELECT source, lang,
+         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INTEGER)
+         END AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tok
+  GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+FROM agg
+"""
+
 # -------------------------------------------------- deterministic sampling
 
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +1054,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_q_dedup_exact, _DEDUP_EXACT_SQL),
     "bpe_token_count": QuerySpec(_q_bpe_token_count, _BPE_TOKEN_COUNT_SQL),
     "hash_sample": QuerySpec(_q_hash_sample, None),
+    "decontaminate": QuerySpec(_q_decontaminate, _DECONTAMINATE_SQL),
+    "stratified_sample": QuerySpec(_q_stratified_sample, _STRATIFIED_SAMPLE_SQL),
+    "source_mix_report": QuerySpec(_q_source_mix_report, _SOURCE_MIX_SQL),
     "scrub_pii": QuerySpec(_q_scrub_pii, _SCRUB_PII_SQL),
     "chunk_documents": QuerySpec(_q_chunk_documents, _CHUNK_DOCUMENTS_SQL),
     "tfidf_top_terms": QuerySpec(_q_tfidf_top_terms, _TFIDF_SQL),

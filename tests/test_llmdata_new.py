@@ -1,0 +1,70 @@
+"""Semantics of the r4 LLM-pipeline queries (decontaminate /
+stratified_sample / source_mix_report) on constructed fixtures — the
+sf0.01 oracle hashes prove engine parity; these pin the *intent*.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    """documents.parquet where doc_id 0 and 50 are benchmark members
+    (id % 50 == 0); doc 1 copies doc 0's text, doc 2 is disjoint."""
+    out = tmp_path_factory.mktemp("llmdata_docs")
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "web"),
+        (50, "one two three four five six", "en", "web"),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "web"),  # contaminated by 0
+        (2, "totally different words here folks okay", "en", "books"),
+        (3, "one two three unrelated tail words", "en", "books"),  # shares "one two three" with 50
+        (4, "ein zwei drei vier fünf sechs", "de", "web"),
+        (5, "sieben acht neun zehn elf zwölf", "de", "web"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return str(out)
+
+
+def test_decontaminate_flags_benchmark_overlap(spark, docs_dir):
+    got = {
+        r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+        for r in all_queries()["decontaminate"].spark(spark, docs_dir).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}  # benchmark ids 0/50 excluded
+    assert got[1][1] == 1 and got[1][0] == 4  # 4 shared trigrams with doc 0
+    assert got[3] == (1, 1)  # "one two three" from doc 50
+    assert got[2] == (0, 0) and got[4] == (0, 0) and got[5] == (0, 0)
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, docs_dir):
+    q = all_queries()["stratified_sample"]
+    first = {(r["doc_id"], r["lang"]) for r in q.spark(spark, docs_dir).collect()}
+    again = {(r["doc_id"], r["lang"]) for r in q.spark(spark, docs_dir).collect()}
+    assert first == again  # content-derived order: stable across runs
+    by_lang = {}
+    for _, lang in first:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    # ceil(0.2 * 5) = 1 for en, ceil(0.2 * 2) = 1 for de
+    assert by_lang == {"en": 1, "de": 1}
+
+
+def test_source_mix_report_shares_sum_to_one(spark, docs_dir):
+    rows = all_queries()["source_mix_report"].spark(spark, docs_dir).collect()
+    assert {(r["source"], r["lang"]) for r in rows} == {
+        ("web", "en"),
+        ("web", "de"),
+        ("books", "en"),
+    }
+    assert math.isclose(sum(r["token_share"] for r in rows), 1.0, abs_tol=1e-5)
+    web_en = next(r for r in rows if r["source"] == "web" and r["lang"] == "en")
+    assert web_en["n_docs"] == 3 and web_en["n_tokens"] == 18
