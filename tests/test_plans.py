@@ -143,3 +143,29 @@ def test_embedding_near_dup_grid_is_pure_equi_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "_lo" in plan and "_hi" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    """The benchmark side must enter as a broadcast (eval sets are tiny
+    vs the corpus); the training corpus must never self-join."""
+    df = all_queries()["decontaminate"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_single_stratum_shuffle(spark, sf_dir):
+    """Exact quotas need exactly one shuffle on the stratum key (both
+    windows share the lang partitioning) — no second exchange."""
+    df = all_queries()["stratified_sample"].spark(spark, sf_dir)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_source_mix_two_phase_agg_tiny_window(spark, sf_dir):
+    """Token counting aggregates two-phase (partial before the
+    exchange); the share window only ever sees post-agg rows."""
+    df = all_queries()["source_mix_report"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
