@@ -75,6 +75,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "decontaminate",
     "stratified_sample",
     "source_mix_report",
+    "dedup_keep_best",
+    "resample_balanced",
     # reshaped in r3 so evidence is non-vacuous (r2 item #4) — need
     # fresh driver rows with spark_rows > 0
     "set_except",

@@ -921,6 +921,107 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % {_DECON_BENCH_MOD} <> 0
 """
 
+# ------------------------------------------------ dedup retention policy
+
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention: cluster the verified near-dup
+    pair graph (same machinery as ``dedup_clusters``), then keep the
+    BEST member of each cluster — longest text, ties to the lower id —
+    instead of the naive min-id representative. This is the retention
+    policy production pipelines actually want (keep the most complete
+    copy, drop truncated mirrors).
+
+    Scale shape: clustering never touches the payload (pair graph
+    only); the corpus joins once against the small cluster map, and the
+    per-cluster argmax is one window over cluster_id — rows per cluster
+    are tiny, so no skewed reducer."""
+    from pyspark.sql import Window
+
+    from nycitibike_data_transform_spark.operators.graph import cluster_assignments
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    pairs = ngram_jaccard_pairs(
+        docs, n=_JACCARD_N, threshold=_JACCARD_THRESHOLD, mode="blocked"
+    ).select("doc_a", "doc_b")
+    clusters = cluster_assignments(docs, pairs)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", F.length("text").alias("n_chars"))
+        .join(clusters, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "n_chars")
+    )
+
+
+# transitive closure over the exact pair graph (same CTE skeleton as
+# _DEDUP_CLUSTERS_SQL) + per-cluster argmax window
+_DEDUP_KEEP_BEST_SQL = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
+             i -> {_SHINGLE_CONCAT_SQL})) AS shingle_set
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(shingle_set) AS shingle
+  FROM sh_list
+  WHERE len(shingle_set) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+raw_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+good_pairs AS (
+  SELECT doc_a, doc_b
+  FROM raw_pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+        >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM good_pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM good_pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         COALESCE(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+         length(d.text) AS n_chars
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.node
+  LEFT JOIN csizes s ON c.cluster_id = s.cluster_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+  ) AS rn
+  FROM assigned
+)
+SELECT doc_id, cluster_id, cluster_size, n_chars
+FROM ranked
+WHERE rn = 1
+"""
+
 # ------------------------------------------------- stratified sampling
 
 _STRATIFIED_RATE = 0.2
@@ -977,6 +1078,65 @@ WITH ranked AS (
 SELECT doc_id, lang, CAST(rank_in_lang AS BIGINT) AS rank_in_lang
 FROM ranked
 WHERE rank_in_lang <= CAST(ceil({_STRATIFIED_RATE} * n_lang) AS BIGINT)
+"""
+
+# --------------------------------------------------- mixture resampling
+
+# every source is downsampled to this fraction of the SMALLEST
+# source's size — a fraction (not min itself) so the resample is a
+# strict subset even on a perfectly balanced corpus (non-vacuous
+# evidence; the driver testdata has exactly equal source sizes)
+_RESAMPLE_OF_MIN = 0.6
+
+
+def _q_resample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-mixture resample: downsample every source domain to the
+    same quota — ``ceil(0.6 · smallest source)`` — selecting members by
+    content-derived md5 order so the resample is deterministic and
+    engine-independent (the parameter-free core of target-mixture
+    domain reweighting).
+
+    Scale shape: the per-source sizes aggregate to |sources| rows —
+    broadcast back as the quota; the rank window is one shuffle on
+    source. Same exact-quota-needs-a-rank tradeoff as
+    ``stratified_sample``."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    quota = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .agg(F.ceil(F.lit(_RESAMPLE_OF_MIN) * F.min("n_src")).alias("quota"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rank_in_source") <= F.col("quota"))
+        .select("doc_id", "source", "rank_in_source")
+    )
+
+
+_RESAMPLE_BALANCED_SQL = f"""
+WITH quota AS (
+  SELECT CAST(ceil({_RESAMPLE_OF_MIN} * min(n_src)) AS BIGINT) AS quota
+  FROM (SELECT source, count(*) AS n_src FROM documents GROUP BY 1)
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
+FROM ranked, quota
+WHERE rank_in_source <= quota
 """
 
 # ------------------------------------------------------ source mixing
@@ -1055,6 +1215,8 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_token_count": QuerySpec(_q_bpe_token_count, _BPE_TOKEN_COUNT_SQL),
     "hash_sample": QuerySpec(_q_hash_sample, None),
     "decontaminate": QuerySpec(_q_decontaminate, _DECONTAMINATE_SQL),
+    "dedup_keep_best": QuerySpec(_q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),
+    "resample_balanced": QuerySpec(_q_resample_balanced, _RESAMPLE_BALANCED_SQL),
     "stratified_sample": QuerySpec(_q_stratified_sample, _STRATIFIED_SAMPLE_SQL),
     "source_mix_report": QuerySpec(_q_source_mix_report, _SOURCE_MIX_SQL),
     "scrub_pii": QuerySpec(_q_scrub_pii, _SCRUB_PII_SQL),

@@ -68,3 +68,30 @@ def test_source_mix_report_shares_sum_to_one(spark, docs_dir):
     assert math.isclose(sum(r["token_share"] for r in rows), 1.0, abs_tol=1e-5)
     web_en = next(r for r in rows if r["source"] == "web" and r["lang"] == "en")
     assert web_en["n_docs"] == 3 and web_en["n_tokens"] == 18
+
+
+def test_dedup_keep_best_retains_longest_member(spark, docs_dir):
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in all_queries()["dedup_keep_best"].spark(spark, docs_dir).collect()
+    }
+    # docs 0 and 1 are exact copies -> one cluster, equal length, tie
+    # breaks to the lower id; everything else is a singleton
+    assert set(got) == {0, 2, 3, 4, 5, 50}
+    assert got[0] == (0, 2)
+    assert all(got[d] == (d, 1) for d in (2, 3, 4, 5, 50))
+
+
+def test_resample_balanced_uniform_quota(spark, docs_dir):
+    rows = all_queries()["resample_balanced"].spark(spark, docs_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # min source (books) has 2 docs -> quota = ceil(0.6 * 2) = 2 from
+    # EVERY source, so the 5-doc web source is strictly downsampled
+    assert {s: len(v) for s, v in by_src.items()} == {"web": 2, "books": 2}
+    again = {
+        (r["doc_id"], r["source"])
+        for r in all_queries()["resample_balanced"].spark(spark, docs_dir).collect()
+    }
+    assert {(d, s) for s, v in by_src.items() for d in v} == again
