@@ -66,10 +66,19 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
         .distinct()
     )
-    nodes = sym.select("node")
+    # round 0 for free: label(v) = min(v, min(N(v))) is a plain
+    # aggregation over the symmetrized edges — no join against an
+    # identity label map, one shuffle less than a loop round
+    labels = sym.groupBy("node").agg(
+        F.least(F.col("node"), F.min("nbr")).alias("component")
+    )
     if vertices is not None:
-        nodes = nodes.union(vertices.select(F.col(id_col).alias("node")))
-    labels = nodes.distinct().select("node", F.col("node").alias("component"))
+        isolated = (
+            vertices.select(F.col(id_col).alias("node"))
+            .join(sym.select("node").distinct(), "node", "left_anti")
+            .select("node", F.col("node").alias("component"))
+        )
+        labels = labels.unionByName(isolated)
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         # labels derives from sym, and localCheckpoint preserves

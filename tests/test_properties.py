@@ -90,3 +90,58 @@ def test_haversine_nonnegative_and_bounded(spark, lats, lat2, lng2):
     for v in vals:
         assert 0.0 <= v <= half_circumference + 1e-6
         assert not math.isnan(v)  # the [-1,1] clamp guarantee
+
+
+# ------------------------------------------- connected components (r4)
+
+
+def _uf_components(edges, vertices):
+    """Pure-python union-find reference for connected_components."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    for v in vertices:
+        find(v)
+    groups = {}
+    for v in parent:
+        groups.setdefault(find(v), set()).add(v)
+    return {v: min(g) for g in groups.values() for v in g}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.sets(st.integers(0, 25), max_size=10),
+)
+def test_connected_components_matches_union_find(spark, edges, extra_vertices):
+    from nycitibike_data_transform_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    endpoint_vertices = {v for e in edges for v in e}
+    expected = _uf_components(edges, endpoint_vertices | extra_vertices)
+    edf = spark.createDataFrame(edges or [(0, 1)][:0], "src long, dst long")
+    vdf = spark.createDataFrame(
+        [(v,) for v in endpoint_vertices | extra_vertices] or [(0,)][:0], "id long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edf, vertices=vdf).collect()
+    }
+    assert got == expected
