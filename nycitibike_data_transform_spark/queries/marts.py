@@ -218,9 +218,15 @@ def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL accumulation — window sums may use segment trees whose
     association order differs between engines)."""
     t = load(spark, sf_dir, "lineitem")
+    # the driver testdata does NOT have unique (l_orderkey,
+    # l_linenumber): duplicate keys can share l_shipdate, and a running
+    # frame over a tied ORDER BY is engine-order-dependent. l_quantity
+    # as the final tie-break makes any remaining ties fully identical
+    # rows, so the output multiset is deterministic.
+    order = ("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return t["lineitem"].select(
@@ -229,7 +235,7 @@ def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.sum(_dec("l_quantity")).over(w).cast("double").alias("running_qty"),
         F.lag("l_quantity", 1).over(
-            Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            Window.partitionBy("l_suppkey").orderBy(*order)
         ).alias("prev_qty"),
     )
 
@@ -238,10 +244,10 @@ _WINDOW_RUNNING_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
             OVER (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
        lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-                                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
 FROM lineitem
 """
 
