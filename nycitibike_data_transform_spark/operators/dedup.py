@@ -197,7 +197,7 @@ def minhash_signatures(
     )
 
 
-def minhash_candidate_pairs(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -205,19 +205,15 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """LSH candidate pairs: equal band-slices of the MinHash signature
-    land in the same bucket; only bucket-mates pair up.
-
-    Shuffle profile: explode to (doc × bands) rows, hash-shuffle on
-    (band, slice) — linear in corpus size. Downstream, verify
-    candidates with ``ngram_jaccard_pairs`` semantics on the candidate
-    subset only.
-    """
+    """(id, band, bucket) LSH banding of the MinHash signature — the
+    shared candidate-generation primitive for within-corpus pairing
+    (``minhash_candidate_pairs``) and cross-set incremental dedup
+    (``incremental_near_dup``)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -237,6 +233,25 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: equal band-slices of the MinHash signature
+    land in the same bucket; only bucket-mates pair up.
+
+    Shuffle profile: explode to (doc × bands) rows, hash-shuffle on
+    (band, slice) — linear in corpus size. Downstream, verify
+    candidates with ``ngram_jaccard_pairs`` semantics on the candidate
+    subset only.
+    """
+    banded = minhash_banded(df, text_col, id_col, n, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -298,6 +313,73 @@ def jaccard_on_candidate_pairs(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_near_dup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Cross-set near-dup check: which BATCH documents near-duplicate
+    any CORPUS document (the daily-crawl-vs-index shape — ids must be
+    disjoint across the two sets). Returns one row per batch doc:
+    ``(id_col, n_matches, is_dup)``.
+
+    Scale shape: both sides band independently (in production the
+    corpus banding is precomputed and stored — it is pure per-doc
+    work), then meet in a SHUFFLED (band, bucket) equi-join: neither
+    side broadcasts, so a billion-doc index works. Verification joins
+    each side's shingle sets by id (linear), never exploding shingles
+    into a self-join. Batch docs only ever pair with bucket-mates —
+    O(batch × bands) shuffle rows, not O(batch × corpus)."""
+    c_banded = minhash_banded(corpus, text_col, id_col, n, num_hashes, bands).select(
+        F.col(id_col).alias("corpus_id"), "band", "bucket"
+    )
+    b_banded = minhash_banded(batch, text_col, id_col, n, num_hashes, bands).select(
+        F.col(id_col).alias("batch_id"), "band", "bucket"
+    )
+    candidates = (
+        c_banded.join(b_banded, ["band", "bucket"])
+        .select("corpus_id", "batch_id")
+        .distinct()
+    )
+
+    def _sets(df: DataFrame, out_id: str, out_set: str) -> DataFrame:
+        return (
+            tokenize(df, text_col)
+            .select(
+                F.col(id_col).alias(out_id),
+                F.filter(
+                    shingles(F.col("tokens"), n), lambda s: F.length(s) > 0
+                ).alias(out_set),
+            )
+        )
+
+    common = F.size(F.array_intersect("set_c", "set_b"))
+    jaccard = common.cast("double") / (
+        F.size("set_c") + F.size("set_b") - common
+    ).cast("double")
+    matches = (
+        candidates.join(_sets(corpus, "corpus_id", "set_c"), "corpus_id")
+        .join(_sets(batch, "batch_id", "set_b"), "batch_id")
+        .filter(jaccard >= threshold)
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(matches.select(F.col("batch_id").alias(id_col), "n_matches"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).cast("int").alias("is_dup"),
+        )
     )
 
 

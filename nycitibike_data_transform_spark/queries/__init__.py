@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample",
     "source_mix_report",
     "dedup_keep_best",
+    "dedup_incremental",
     "resample_balanced",
     # reshaped in r3 so evidence is non-vacuous (r2 item #4) — need
     # fresh driver rows with spark_rows > 0

@@ -921,6 +921,76 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % {_DECON_BENCH_MOD} <> 0
 """
 
+# ---------------------------------------------------- incremental dedup
+
+# every doc_id ≡ this (mod 5) plays the incoming batch; the rest is the
+# already-indexed corpus
+_INCR_BATCH_MOD, _INCR_BATCH_RESIDUE = 5, 4
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-set) near-dedup: flag each incoming-batch doc
+    that near-duplicates any already-indexed corpus doc — the
+    daily-crawl-vs-index pattern. Unlike ``decontaminate`` (tiny
+    benchmark side → broadcast), BOTH sides here band independently and
+    meet in a shuffled (band, bucket) equi-join, the shape that works
+    when the index itself is 100 TB. LSH recall vs the exact oracle is
+    the same 8-band/2-row envelope as ``ngram_jaccard`` (green)."""
+    from nycitibike_data_transform_spark.operators.dedup import incremental_near_dup
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    is_batch = F.col("doc_id") % _INCR_BATCH_MOD == _INCR_BATCH_RESIDUE
+    return incremental_near_dup(
+        docs.filter(~is_batch),
+        docs.filter(is_batch),
+        n=_JACCARD_N,
+        threshold=_JACCARD_THRESHOLD,
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - {_JACCARD_N - 1}, 0)),
+             i -> {_SHINGLE_CONCAT_SQL})) AS shingle_set
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(shingle_set) AS shingle
+  FROM sh_list
+  WHERE len(shingle_set) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+cross_pairs AS (
+  SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id, count(*) AS common
+  FROM sh c JOIN sh b ON c.shingle = b.shingle
+  WHERE c.doc_id % {_INCR_BATCH_MOD} <> {_INCR_BATCH_RESIDUE}
+    AND b.doc_id % {_INCR_BATCH_MOD} = {_INCR_BATCH_RESIDUE}
+  GROUP BY 1, 2
+),
+matches AS (
+  SELECT batch_id, count(*) AS n_matches
+  FROM cross_pairs
+  JOIN sizes sc ON corpus_id = sc.doc_id
+  JOIN sizes sb ON batch_id = sb.doc_id
+  WHERE CAST(common AS DOUBLE) / CAST(sc.n_sh + sb.n_sh - common AS DOUBLE)
+        >= {_JACCARD_THRESHOLD}
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(COALESCE(m.n_matches, 0) > 0 AS INT) AS is_dup
+FROM documents d
+LEFT JOIN matches m ON d.doc_id = m.batch_id
+WHERE d.doc_id % {_INCR_BATCH_MOD} = {_INCR_BATCH_RESIDUE}
+"""
+
 # ------------------------------------------------ dedup retention policy
 
 def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,6 +1285,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_token_count": QuerySpec(_q_bpe_token_count, _BPE_TOKEN_COUNT_SQL),
     "hash_sample": QuerySpec(_q_hash_sample, None),
     "decontaminate": QuerySpec(_q_decontaminate, _DECONTAMINATE_SQL),
+    "dedup_incremental": QuerySpec(_q_dedup_incremental, _DEDUP_INCREMENTAL_SQL),
     "dedup_keep_best": QuerySpec(_q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),
     "resample_balanced": QuerySpec(_q_resample_balanced, _RESAMPLE_BALANCED_SQL),
     "stratified_sample": QuerySpec(_q_stratified_sample, _STRATIFIED_SAMPLE_SQL),

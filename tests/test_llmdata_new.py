@@ -95,3 +95,38 @@ def test_resample_balanced_uniform_quota(spark, docs_dir):
         for r in all_queries()["resample_balanced"].spark(spark, docs_dir).collect()
     }
     assert {(d, s) for s, v in by_src.items() for d in v} == again
+
+
+def test_dedup_incremental_flags_cross_set_dups(spark, docs_dir):
+    # batch = doc_id % 5 == 4 -> only doc 4 ("ein zwei drei...") is in
+    # the batch; it matches nothing in the corpus
+    got = {
+        r["doc_id"]: (r["n_matches"], r["is_dup"])
+        for r in all_queries()["dedup_incremental"].spark(spark, docs_dir).collect()
+    }
+    assert got == {4: (0, 0)}
+
+
+def test_incremental_near_dup_operator_cross_set_only(spark):
+    from nycitibike_data_transform_spark.operators.dedup import incremental_near_dup
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated corpus text body here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (11, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+         (12, "nothing like anything indexed so far at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["is_dup"])
+        for r in incremental_near_dup(corpus, batch).collect()
+    }
+    assert got[10] == (1, 1)
+    assert got[11][1] == 1  # near-dup found
+    assert got[12] == (0, 0)
+    # batch-internal dups (10 vs 11) must NOT count: cross-set only
+    assert got[10][0] == 1 and got[11][0] == 1

@@ -169,3 +169,12 @@ def test_source_mix_two_phase_agg_tiny_window(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2, plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_incremental_no_quadratic_join(spark, sf_dir):
+    """Cross-set banding meets in an equi-join; nothing quadratic, and
+    neither full corpus is nested-loop joined."""
+    df = all_queries()["dedup_incremental"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
