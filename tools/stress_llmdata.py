@@ -13,9 +13,11 @@ grows ~K² per dup group — wall time growing ≈K (not K²) shows the
 banded candidate join + label propagation stay bounded by docs+pairs,
 never docs².
 
-Measured at K=10 (50k docs, 2026-08-13): decontaminate 1.41×,
-stratified_sample 1.33×, source_mix_report 1.25×, dedup_clusters 8.05×
-(vs ~100× pair growth).
+Measured at K=10 (50k docs, 250k verified pairs, 2026-08-13):
+decontaminate 1.15×, stratified_sample 1.72×, source_mix_report 1.44×,
+dedup_clusters 7.7× (vs ~100× pair growth — and down from 80× before
+connected_components checkpointed its edge list; see graph.py),
+dedup_incremental ~1× (banded cross-set join).
 
 Usage: python tools/stress_llmdata.py [K] [scratch_dir]
 Prints one JSON line with per-query [t_1x, t_Kx, ratio].
@@ -40,6 +42,7 @@ QUERIES = (
     "stratified_sample",
     "source_mix_report",
     "dedup_clusters",
+    "dedup_incremental",
 )
 
 
