@@ -210,6 +210,8 @@ def train_ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not seed_rows:  # empty corpus → empty quantizer, shape-correct
+        return np.zeros((0, dim), dtype=np.float64)
     centroids = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
 
     for _ in range(iterations):
@@ -255,6 +257,11 @@ def cosine_topk_ivf(
     centroids = train_ivf_centroids(
         corpus, dim, n_centroids, iterations, id_col, vec_col
     )
+    if centroids.shape[0] == 0:  # empty corpus: no lists, no neighbors
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, rank int, cosine double"
+        )
     c_assign = _assign_udf(centroids, nprobe=1)
     q_assign = _assign_udf(centroids, nprobe=nprobe)
     cb = corpus.select(

@@ -1,0 +1,52 @@
+"""Empty-input robustness: every documents/embeddings query must
+return an empty result (not crash) on a zero-row table — the shape an
+empty partition or an empty ingest day produces in production.
+
+Found and fixed via this probe: cosine_topk_ivf crashed with a numpy
+AxisError when k-means had zero vectors to seed from.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nycitibike_data_transform_spark.catalog import load_table
+from nycitibike_data_transform_spark.queries import all_queries
+
+DOC_QUERIES = (
+    "dedup_exact",
+    "text_stats",
+    "ngram_jaccard",
+    "dedup_near",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "decontaminate",
+    "stratified_sample",
+    "resample_balanced",
+    "source_mix_report",
+    "minhash_pairs",
+    "simhash",
+    "tfidf_top_terms",
+    "repetition_ratio",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "embedding_near_dup",
+    "crossmodal_dup_check",
+)
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_tables")
+    for t in ("documents", "embeddings"):
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.parquet(
+            f"{out}/{t}.parquet"
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_query_survives_empty_tables(spark, empty_dir, name):
+    assert all_queries()[name].spark(spark, empty_dir).count() == 0
