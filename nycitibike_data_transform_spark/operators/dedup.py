@@ -534,7 +534,13 @@ def embedding_near_dup_pairs(
     if method == "srp":
         from nycitibike_data_transform_spark.operators.similarity import _banded_buckets
 
-        dim = embeddings.select(F.size(vec_col)).first()[0]
+        dim_row = embeddings.select(F.size(vec_col)).first()
+        if dim_row is None:  # empty corpus: no pairs, schema-correct
+            id_type = embeddings.schema[id_col].dataType.simpleString()
+            return embeddings.sparkSession.createDataFrame(
+                [], f"id_a {id_type}, id_b {id_type}, cosine double"
+            )
+        dim = dim_row[0]
         cb = _banded_buckets(embeddings, "id_a", dim, srp_bits, srp_bands, id_col, vec_col)
         qb = _banded_buckets(embeddings, "id_b", dim, srp_bits, srp_bands, id_col, vec_col)
         cand = (

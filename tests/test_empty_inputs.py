@@ -50,3 +50,14 @@ def empty_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_query_survives_empty_tables(spark, empty_dir, name):
     assert all_queries()[name].spark(spark, empty_dir).count() == 0
+
+
+def test_srp_tier_survives_empty_embeddings(spark, empty_dir):
+    from nycitibike_data_transform_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{empty_dir}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, 0.9, method="srp")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
