@@ -61,3 +61,50 @@ def test_srp_tier_survives_empty_embeddings(spark, empty_dir):
     out = embedding_near_dup_pairs(emb, 0.9, method="srp")
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
+
+
+ADVERSARIAL_ROWS = [
+    (1, None, "en", "web"),          # NULL text
+    (2, "", "en", "web"),            # empty
+    (3, "   ", "en", "web"),         # whitespace-only
+    (4, "single", "en", "web"),      # below shingle width
+    (5, "two tokens", None, "web"),  # NULL stratum key
+    (6, "héllo wörld 你好 мир 🚀 emoji test here", "zh", None),  # unicode + NULL source
+    (7, "a" * 5000, "en", "web"),    # one giant token
+    (8, "tab\tseparated\nnewline\rcarriage tokens here now", "en", "books"),
+]
+
+ADVERSARIAL_QUERIES = (
+    "dedup_exact",
+    "text_stats",
+    "language_id",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "decontaminate",
+    "stratified_sample",
+    "resample_balanced",
+    "source_mix_report",
+    "tfidf_top_terms",
+    "repetition_ratio",
+    "chunk_documents",
+    "dedup_incremental",
+)
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("adversarial_docs")
+    docs = spark.createDataFrame(
+        [(i, t, l, s, len(t) if t else 0) for i, t, l, s in ADVERSARIAL_ROWS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{out}/documents.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", ADVERSARIAL_QUERIES)
+def test_query_survives_adversarial_text(spark, adversarial_dir, name):
+    # NULL text, empty/whitespace strings, sub-shingle docs, NULL
+    # stratum keys, unicode, giant tokens: must compute, not crash
+    all_queries()[name].spark(spark, adversarial_dir).count()
