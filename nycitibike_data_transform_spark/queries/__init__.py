@@ -39,10 +39,12 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
     """Load the named testdata tables (UTC session tz for oracle
     parity — the driver may hand us a session with other defaults).
 
-    The ``events`` table carries TIMESTAMP(NANOS) parquet timestamps,
-    which Spark's vectorized reader rejects; we read them as nanos
-    longs and truncate to microsecond timestamps (identical to what
-    DuckDB's ns→µs cast does on the oracle side)."""
+    Temporal columns are normalized by ``catalog.load_table``: the
+    driver's parquet has shipped both TIMESTAMP(NANOS) (read as nanos
+    longs under the legacy conf, truncated to µs) and plain
+    timestamp[us] with no timezone (read as TIMESTAMP_NTZ, cast to
+    session-UTC TIMESTAMP) — either way the wall-clock values match
+    DuckDB's naive reading on the oracle side."""
     from nycitibike_data_transform_spark.catalog import load_table
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
