@@ -27,6 +27,7 @@ from nycitibike_data_transform_spark.operators.sampling import (
     train_test_split,
 )
 from nycitibike_data_transform_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from nycitibike_data_transform_spark.operators.skew import hot_keys, skew_split_join
 from nycitibike_data_transform_spark.operators.util import fan_out
 
 __all__ = [
@@ -53,5 +54,7 @@ __all__ = [
     "train_test_split",
     "cosine_topk",
     "cosine_topk_lsh",
+    "hot_keys",
+    "skew_split_join",
     "fan_out",
 ]
