@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "repetition_ratio",
     "dedup_clusters",
     # new r4 queries (decontamination / stratified sampling / mixing)
+    "quality_filter",
     "decontaminate",
     "stratified_sample",
     "source_mix_report",

@@ -837,6 +837,84 @@ SELECT doc_id,
 FROM documents
 """
 
+# -------------------------------------------------- quality filtering
+
+# Gopher-style document thresholds (Rae et al. 2021 §A1.1, scaled to
+# this corpus's short synthetic docs): token-count range, mean token
+# length range, and a minimum stopword ratio (natural prose has
+# function words; keyword spam doesn't).
+_QF_MIN_TOKENS, _QF_MAX_TOKENS = 10, 1_000
+_QF_MIN_MEAN_TOK, _QF_MAX_MEAN_TOK = 2.0, 12.0
+_QF_MIN_STOPWORD = 0.01
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite rule-based quality filter — the Gopher-rules pass
+    every pre-training pipeline runs before dedup. One narrow
+    projection per doc (all signals are codegen'd Column expressions,
+    no shuffle at all); emits the per-rule verdicts so downstream can
+    audit WHY a doc dropped, plus the combined keep flag."""
+    t = load(spark, sf_dir, "documents")
+    cols = quality_score_columns(F.col("text"))
+    # round to 6 decimals before thresholding (same determinism rule
+    # as text_stats: JVM vs libm may differ in the last ulp, and a
+    # straddled threshold would flip a verdict)
+    n_tok = cols["n_tokens"]
+    mean_len = F.round(cols["mean_token_len"], 6)
+    stop = F.round(cols["stopword_ratio"], 6)
+    ok_tokens = n_tok.between(_QF_MIN_TOKENS, _QF_MAX_TOKENS)
+    ok_mean = mean_len.between(_QF_MIN_MEAN_TOK, _QF_MAX_MEAN_TOK)
+    ok_stop = stop >= _QF_MIN_STOPWORD
+    return fan_out(t["documents"]).select(
+        "doc_id",
+        ok_tokens.cast("int").alias("ok_token_count"),
+        ok_mean.cast("int").alias("ok_mean_token_len"),
+        ok_stop.cast("int").alias("ok_stopword_ratio"),
+        (ok_tokens & ok_mean & ok_stop).cast("int").alias("keep"),
+    )
+
+
+# mirrors _TEXT_STATS_SQL's signal definitions exactly, then applies
+# the thresholds — both sides must round/branch identically
+_QUALITY_FILTER_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, n_chars, nt,
+         CASE WHEN length(nt) = 0 THEN 0
+              ELSE CAST(len(string_split(nt, ' ')) AS INTEGER) END AS n_tokens,
+         ' ' || nt || ' ' AS padded
+  FROM norm
+),
+sig AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE CAST(length(replace(nt, ' ', '')) AS DOUBLE) / n_tokens END, 6)
+             AS mean_token_len,
+         round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE (
+             (length(padded) - length(replace(padded, ' the ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' and ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' of ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' a ', ''))) / 3.0
+           + (length(padded) - length(replace(padded, ' to ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' in ', ''))) / 4.0
+         ) / n_tokens END, 6) AS stopword_ratio
+  FROM tok
+)
+SELECT doc_id,
+       CAST(n_tokens BETWEEN {_QF_MIN_TOKENS} AND {_QF_MAX_TOKENS} AS INT) AS ok_token_count,
+       CAST(mean_token_len BETWEEN {_QF_MIN_MEAN_TOK} AND {_QF_MAX_MEAN_TOK} AS INT) AS ok_mean_token_len,
+       CAST(stopword_ratio >= {_QF_MIN_STOPWORD} AS INT) AS ok_stopword_ratio,
+       CAST(n_tokens BETWEEN {_QF_MIN_TOKENS} AND {_QF_MAX_TOKENS}
+            AND mean_token_len BETWEEN {_QF_MIN_MEAN_TOK} AND {_QF_MAX_MEAN_TOK}
+            AND stopword_ratio >= {_QF_MIN_STOPWORD} AS INT) AS keep
+FROM sig
+"""
+
 # ---------------------------------------------------- decontamination
 
 # every doc_id ≡ 0 (mod this) plays the held-out benchmark set; the
@@ -1284,6 +1362,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_q_dedup_exact, _DEDUP_EXACT_SQL),
     "bpe_token_count": QuerySpec(_q_bpe_token_count, _BPE_TOKEN_COUNT_SQL),
     "hash_sample": QuerySpec(_q_hash_sample, None),
+    "quality_filter": QuerySpec(_q_quality_filter, _QUALITY_FILTER_SQL),
     "decontaminate": QuerySpec(_q_decontaminate, _DECONTAMINATE_SQL),
     "dedup_incremental": QuerySpec(_q_dedup_incremental, _DEDUP_INCREMENTAL_SQL),
     "dedup_keep_best": QuerySpec(_q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),

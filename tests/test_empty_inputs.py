@@ -16,6 +16,7 @@ from nycitibike_data_transform_spark.queries import all_queries
 DOC_QUERIES = (
     "dedup_exact",
     "text_stats",
+    "quality_filter",
     "ngram_jaccard",
     "dedup_near",
     "dedup_clusters",
@@ -78,6 +79,7 @@ ADVERSARIAL_QUERIES = (
     "dedup_exact",
     "text_stats",
     "language_id",
+    "quality_filter",
     "ngram_jaccard",
     "dedup_clusters",
     "dedup_keep_best",
