@@ -848,6 +848,28 @@ _QF_MIN_MEAN_TOK, _QF_MAX_MEAN_TOK = 2.0, 12.0
 _QF_MIN_STOPWORD = 0.01
 
 
+def quality_filter_columns() -> list:
+    """The Gopher-rule verdict columns over a ``text`` column — shared
+    by the batch query and the streaming path
+    (streaming/documents.py), so the two can never drift. Rounded to 6
+    decimals before thresholding (same determinism rule as text_stats:
+    JVM vs libm may differ in the last ulp, and a straddled threshold
+    would flip a verdict)."""
+    cols = quality_score_columns(F.col("text"))
+    n_tok = cols["n_tokens"]
+    mean_len = F.round(cols["mean_token_len"], 6)
+    stop = F.round(cols["stopword_ratio"], 6)
+    ok_tokens = n_tok.between(_QF_MIN_TOKENS, _QF_MAX_TOKENS)
+    ok_mean = mean_len.between(_QF_MIN_MEAN_TOK, _QF_MAX_MEAN_TOK)
+    ok_stop = stop >= _QF_MIN_STOPWORD
+    return [
+        ok_tokens.cast("int").alias("ok_token_count"),
+        ok_mean.cast("int").alias("ok_mean_token_len"),
+        ok_stop.cast("int").alias("ok_stopword_ratio"),
+        (ok_tokens & ok_mean & ok_stop).cast("int").alias("keep"),
+    ]
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite rule-based quality filter — the Gopher-rules pass
     every pre-training pipeline runs before dedup. One narrow
@@ -855,23 +877,7 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle at all); emits the per-rule verdicts so downstream can
     audit WHY a doc dropped, plus the combined keep flag."""
     t = load(spark, sf_dir, "documents")
-    cols = quality_score_columns(F.col("text"))
-    # round to 6 decimals before thresholding (same determinism rule
-    # as text_stats: JVM vs libm may differ in the last ulp, and a
-    # straddled threshold would flip a verdict)
-    n_tok = cols["n_tokens"]
-    mean_len = F.round(cols["mean_token_len"], 6)
-    stop = F.round(cols["stopword_ratio"], 6)
-    ok_tokens = n_tok.between(_QF_MIN_TOKENS, _QF_MAX_TOKENS)
-    ok_mean = mean_len.between(_QF_MIN_MEAN_TOK, _QF_MAX_MEAN_TOK)
-    ok_stop = stop >= _QF_MIN_STOPWORD
-    return fan_out(t["documents"]).select(
-        "doc_id",
-        ok_tokens.cast("int").alias("ok_token_count"),
-        ok_mean.cast("int").alias("ok_mean_token_len"),
-        ok_stop.cast("int").alias("ok_stopword_ratio"),
-        (ok_tokens & ok_mean & ok_stop).cast("int").alias("keep"),
-    )
+    return fan_out(t["documents"]).select("doc_id", *quality_filter_columns())
 
 
 # mirrors _TEXT_STATS_SQL's signal definitions exactly, then applies

@@ -8,6 +8,11 @@ from nycitibike_data_transform_spark.streaming.events import (
     sessionize_stream,
     write_stream_exactly_once,
 )
+from nycitibike_data_transform_spark.streaming.documents import (
+    quality_filter_stream,
+    read_documents_stream,
+    source_counts_stream,
+)
 from nycitibike_data_transform_spark.streaming.stateful import running_user_totals
 
 __all__ = [
@@ -16,6 +21,9 @@ __all__ = [
     "sessionize_stream",
     "dedup_stream",
     "running_user_totals",
+    "read_documents_stream",
+    "quality_filter_stream",
+    "source_counts_stream",
     "run_stream_to_memory",
     "write_stream_exactly_once",
 ]

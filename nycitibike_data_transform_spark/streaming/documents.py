@@ -1,0 +1,71 @@
+"""Streaming ingestion for the LLM-data surface.
+
+The batch llmdata queries (quality filter, text stats, mixing report)
+are all expression-level transforms or aggregations, so the same
+Column logic runs unchanged on a stream — this module is the wiring
+that proves it: a parquet-directory document feed (production: Kafka /
+autoloader), the Gopher-rule filter applied per micro-batch
+(stateless — infinite corpus, zero state), and the source-mix counts
+as a streaming aggregation (state = one row per (source, lang),
+bounded by the domain, not the corpus).
+
+Parity with the batch queries is pinned by tests/test_streaming.py;
+streaming output is not DuckDB-oracle-comparable (the driver contract
+is batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-directory source for the document feed (one file per
+    micro-batch discovery)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def quality_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch ``quality_filter`` verdict columns on a stream —
+    stateless (pure projection), so it scales to an unbounded feed
+    with zero streaming state."""
+    from nycitibike_data_transform_spark.queries.llmdata import (
+        quality_filter_columns,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    return docs.select("doc_id", *quality_filter_columns())
+
+
+def source_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) doc/token counts as a streaming aggregation.
+    State is one row per domain pair — bounded by |sources × langs|,
+    not corpus size, so 'complete' output mode stays cheap forever."""
+    docs = read_documents_stream(spark, sf_dir)
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n_tokens = F.when(F.length(nt) == 0, F.lit(0)).otherwise(F.size(F.split(nt, " ")))
+    return (
+        docs.select("source", "lang", n_tokens.alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

@@ -95,3 +95,45 @@ def test_foreachbatch_exactly_once_sink(spark, sf_dir, tmp_path):
     stream2 = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
     write_stream_exactly_once(stream2, out, ckpt)
     assert spark.read.parquet(out).count() == batch_total
+
+
+def test_quality_filter_stream_matches_batch(spark, sf_dir):
+    from nycitibike_data_transform_spark.streaming.documents import (
+        quality_filter_stream,
+    )
+
+    q = (
+        quality_filter_stream(spark, sf_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qf_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    s = {
+        r["doc_id"]: (r["ok_token_count"], r["ok_mean_token_len"], r["ok_stopword_ratio"], r["keep"])
+        for r in spark.sql("SELECT * FROM qf_stream_test").collect()
+    }
+    b = {
+        r["doc_id"]: (r["ok_token_count"], r["ok_mean_token_len"], r["ok_stopword_ratio"], r["keep"])
+        for r in all_queries()["quality_filter"].spark(spark, sf_dir).collect()
+    }
+    assert s == b and s
+
+
+def test_source_counts_stream_matches_batch(spark, sf_dir):
+    from nycitibike_data_transform_spark.streaming import (
+        run_stream_to_memory,
+        source_counts_stream,
+    )
+
+    out = run_stream_to_memory(source_counts_stream(spark, sf_dir), "src_counts_test")
+    s = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"]) for r in out.collect()
+    }
+    b = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"])
+        for r in all_queries()["source_mix_report"].spark(spark, sf_dir).collect()
+    }
+    assert s == b and s
