@@ -21,6 +21,7 @@ from nycitibike_data_transform_spark.operators.joins import (
     salted_join,
 )
 from nycitibike_data_transform_spark.operators.multimodal import attach_payload, extract_features
+from nycitibike_data_transform_spark.operators.packing import pack_sequences
 from nycitibike_data_transform_spark.operators.sampling import (
     hash_sample,
     stratified_sample,
@@ -48,6 +49,7 @@ __all__ = [
     "range_join",
     "salted_join",
     "attach_payload",
+    "pack_sequences",
     "extract_features",
     "hash_sample",
     "stratified_sample",

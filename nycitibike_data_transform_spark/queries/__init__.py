@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     # new r4 queries (decontamination / stratified sampling / mixing)
     "quality_filter",
+    "pack_sequences",
     "decontaminate",
     "stratified_sample",
     "source_mix_report",

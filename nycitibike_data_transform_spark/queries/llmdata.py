@@ -837,6 +837,52 @@ SELECT doc_id,
 FROM documents
 """
 
+# ---------------------------------------------------- sequence packing
+
+_PACK_SEQ_LEN = 64
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: each doc's token interval and training-bin
+    span in the concatenated id-ordered token stream (seq_len=64).
+    The global prefix sum runs as the scalable two-phase decomposition
+    (operators/packing.py) while the oracle uses DuckDB's naive global
+    window — the green hash proves the decomposition exact."""
+    from nycitibike_data_transform_spark.operators.packing import pack_sequences
+
+    t = load(spark, sf_dir, "documents")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n_tokens = F.when(F.length(nt) == 0, F.lit(0)).otherwise(
+        F.size(F.split(nt, " "))
+    )
+    counted = t["documents"].select("doc_id", n_tokens.alias("n_tokens"))
+    return pack_sequences(counted, _PACK_SEQ_LEN)
+
+
+_PACK_SEQUENCES_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+),
+nz AS (SELECT doc_id, n_tokens FROM tok WHERE n_tokens > 0),
+run AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+  FROM nz
+)
+SELECT doc_id,
+       n_tokens,
+       r - n_tokens AS start_offset,
+       CAST(floor(CAST(r - n_tokens AS DOUBLE) / {_PACK_SEQ_LEN}) AS BIGINT) AS first_bin,
+       CAST(floor(CAST(r - 1 AS DOUBLE) / {_PACK_SEQ_LEN}) AS BIGINT) AS last_bin
+FROM run
+"""
+
 # -------------------------------------------------- quality filtering
 
 # Gopher-style document thresholds (Rae et al. 2021 §A1.1, scaled to
@@ -1369,6 +1415,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_token_count": QuerySpec(_q_bpe_token_count, _BPE_TOKEN_COUNT_SQL),
     "hash_sample": QuerySpec(_q_hash_sample, None),
     "quality_filter": QuerySpec(_q_quality_filter, _QUALITY_FILTER_SQL),
+    "pack_sequences": QuerySpec(_q_pack_sequences, _PACK_SEQUENCES_SQL),
     "decontaminate": QuerySpec(_q_decontaminate, _DECONTAMINATE_SQL),
     "dedup_incremental": QuerySpec(_q_dedup_incremental, _DEDUP_INCREMENTAL_SQL),
     "dedup_keep_best": QuerySpec(_q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),

@@ -1,0 +1,72 @@
+"""Sequence packing: the two-phase prefix sum must equal the naive
+global running sum, and bin spans must respect doc straddling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.operators.packing import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def counted(spark):
+    # ids deliberately sparse and out of bucket alignment; token counts
+    # chosen so docs straddle the 10-token bins: cumulative
+    # 7, 17, 17(+0 skipped), 25, 47, 50
+    rows = [
+        (3, 7),
+        (999, 10),    # ends exactly on a bin boundary
+        (1000, 0),    # empty: dropped
+        (1001, 8),
+        (5000, 22),   # straddles two boundaries
+        (5001, 3),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_matches_naive_global_window(spark, counted):
+    got = {
+        r["doc_id"]: (r["start_offset"], r["first_bin"], r["last_bin"])
+        for r in pack_sequences(counted, 10, bucket_width=1000).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        counted.filter(F.col("n_tokens") > 0)
+        .withColumn("r", F.sum("n_tokens").over(w))
+        .collect()
+    )
+    expected = {
+        r["doc_id"]: (
+            r["r"] - r["n_tokens"],
+            (r["r"] - r["n_tokens"]) // 10,
+            (r["r"] - 1) // 10,
+        )
+        for r in naive
+    }
+    assert got == expected
+
+
+def test_straddle_and_boundary_semantics(spark, counted):
+    got = {
+        r["doc_id"]: (r["start_offset"], r["first_bin"], r["last_bin"])
+        for r in pack_sequences(counted, 10, bucket_width=1000).collect()
+    }
+    assert 1000 not in got                 # empty doc occupies no tokens
+    assert got[3] == (0, 0, 0)             # fully inside bin 0
+    assert got[999] == (7, 0, 1)           # 7..16: straddles 0→1
+    assert got[1001] == (17, 1, 2)         # 17..24: straddles 1→2
+    assert got[5000] == (25, 2, 4)         # 25..46: spans 3 bins
+    assert got[5001] == (47, 4, 4)
+
+
+def test_bucket_width_invariance(spark, counted):
+    a = {tuple(r) for r in pack_sequences(counted, 10, bucket_width=1).collect()}
+    b = {tuple(r) for r in pack_sequences(counted, 10, bucket_width=10**9).collect()}
+    assert a == b  # decomposition granularity cannot change the answer
+
+
+def test_rejects_bad_seq_len(spark, counted):
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(counted, 0)
