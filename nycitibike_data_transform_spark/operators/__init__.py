@@ -21,6 +21,7 @@ from nycitibike_data_transform_spark.operators.joins import (
     salted_join,
 )
 from nycitibike_data_transform_spark.operators.multimodal import attach_payload, extract_features
+from nycitibike_data_transform_spark.operators.diff import diff_summary, snapshot_diff
 from nycitibike_data_transform_spark.operators.packing import pack_sequences
 from nycitibike_data_transform_spark.operators.sampling import (
     hash_sample,
@@ -50,6 +51,8 @@ __all__ = [
     "salted_join",
     "attach_payload",
     "pack_sequences",
+    "snapshot_diff",
+    "diff_summary",
     "extract_features",
     "hash_sample",
     "stratified_sample",

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4 queries (decontamination / stratified sampling / mixing)
     "quality_filter",
     "pack_sequences",
+    "snapshot_diff",
     "decontaminate",
     "stratified_sample",
     "source_mix_report",

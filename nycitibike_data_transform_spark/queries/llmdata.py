@@ -837,6 +837,41 @@ SELECT doc_id,
 FROM documents
 """
 
+# ------------------------------------------------------ snapshot diff
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change classification between two synthetic snapshots
+    of the documents table (old: ids ≡9 (mod 10) absent, ids ≡0 (mod 7)
+    text-mutated; new: ids ≡8 (mod 10) absent) — exercising all four
+    statuses. The oracle derives each id's status directly from the
+    construction rules, so it is fully independent of the engine's
+    hash-outer-join mechanics."""
+    from nycitibike_data_transform_spark.operators.diff import snapshot_diff
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" OLD"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 8)
+    return snapshot_diff(old, new, "doc_id")
+
+
+_SNAPSHOT_DIFF_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 9 THEN 'added'
+            WHEN doc_id % 10 = 8 THEN 'removed'
+            WHEN doc_id % 7 = 0 THEN 'changed'
+            ELSE 'unchanged'
+       END AS status
+FROM documents
+"""
+
 # ---------------------------------------------------- sequence packing
 
 _PACK_SEQ_LEN = 64
@@ -1416,6 +1451,7 @@ QUERIES: dict[str, QuerySpec] = {
     "hash_sample": QuerySpec(_q_hash_sample, None),
     "quality_filter": QuerySpec(_q_quality_filter, _QUALITY_FILTER_SQL),
     "pack_sequences": QuerySpec(_q_pack_sequences, _PACK_SEQUENCES_SQL),
+    "snapshot_diff": QuerySpec(_q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "decontaminate": QuerySpec(_q_decontaminate, _DECONTAMINATE_SQL),
     "dedup_incremental": QuerySpec(_q_dedup_incremental, _DEDUP_INCREMENTAL_SQL),
     "dedup_keep_best": QuerySpec(_q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),
