@@ -41,8 +41,12 @@ def snapshot_diff(
         # NULL sentinel starts with a NUL byte no real string value
         # contains, so SQL NULL and the literal string "NULL" hash
         # differently
+        # hash each column FIRST (fixed 32-hex tokens), then hash the
+        # concatenation: value shifts across column boundaries
+        # (('ab','c') vs ('a','bc')) cannot collide, unlike a plain
+        # concat of raw values
         parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit(chr(0) + "NULL"))
+            F.md5(F.coalesce(F.col(c).cast("string"), F.lit(chr(0) + "NULL")))
             for c in payload
         ]
         return df.select(

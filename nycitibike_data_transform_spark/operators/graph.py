@@ -82,8 +82,12 @@ def connected_components(
         F.least(F.col("node"), F.min("nbr")).alias("component")
     )
     if vertices is not None:
+        # distinct BEFORE the anti-join: a vertices frame with repeated
+        # ids must yield one singleton row, not one per duplicate (the
+        # pre-round-0 implementation deduped via nodes.distinct())
         isolated = (
             vertices.select(F.col(id_col).alias("node"))
+            .distinct()
             .join(sym.select("node").distinct(), "node", "left_anti")
             .select("node", F.col("node").alias("component"))
         )

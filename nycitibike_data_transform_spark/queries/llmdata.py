@@ -603,7 +603,12 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs tier;
     the SRP-blocked variant is the scale path)."""
     t = load(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(t["embeddings"], _NEAR_DUP_THRESHOLD)
+    # method="grid" explicitly: this query IS the exact tier (the
+    # oracle is exact all-pairs), so opt in rather than tripping the
+    # auto-chooser's low-threshold ResourceWarning on every run
+    return embedding_near_dup_pairs(
+        t["embeddings"], _NEAR_DUP_THRESHOLD, method="grid"
+    )
 
 
 _EMBEDDING_NEAR_DUP_SQL = f"""
@@ -850,10 +855,14 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir, "documents")
     docs = t["documents"].select("doc_id", "text")
+    # concat_ws (not concat): NULL text must still mutate to a
+    # non-NULL value, or a NULL-text doc with doc_id % 7 == 0 would
+    # hash 'unchanged' while the rule-based oracle says 'changed'
     old = docs.filter(F.col("doc_id") % 10 != 9).select(
         "doc_id",
         F.when(
-            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" OLD"))
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws("", F.col("text"), F.lit(" OLD")),
         )
         .otherwise(F.col("text"))
         .alias("text"),
@@ -885,12 +894,12 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — the green hash proves the decomposition exact."""
     from nycitibike_data_transform_spark.operators.packing import pack_sequences
 
+    from nycitibike_data_transform_spark.functions.text import token_count
+
     t = load(spark, sf_dir, "documents")
-    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    n_tokens = F.when(F.length(nt) == 0, F.lit(0)).otherwise(
-        F.size(F.split(nt, " "))
+    counted = t["documents"].select(
+        "doc_id", token_count("text").alias("n_tokens")
     )
-    counted = t["documents"].select("doc_id", n_tokens.alias("n_tokens"))
     return pack_sequences(counted, _PACK_SEQ_LEN)
 
 
@@ -1386,11 +1395,10 @@ def _q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized at any corpus scale."""
     from pyspark.sql import Window
 
+    from nycitibike_data_transform_spark.functions.text import token_count
+
     t = load(spark, sf_dir, "documents")
-    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    n_tokens = F.when(F.length(nt) == 0, F.lit(0)).otherwise(
-        F.size(F.split(nt, " "))
-    )
+    n_tokens = token_count("text")
     agg = (
         t["documents"]
         .select("source", "lang", n_tokens.alias("n_tok"))

@@ -58,9 +58,10 @@ def source_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) doc/token counts as a streaming aggregation.
     State is one row per domain pair — bounded by |sources × langs|,
     not corpus size, so 'complete' output mode stays cheap forever."""
+    from nycitibike_data_transform_spark.functions.text import token_count
+
     docs = read_documents_stream(spark, sf_dir)
-    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    n_tokens = F.when(F.length(nt) == 0, F.lit(0)).otherwise(F.size(F.split(nt, " ")))
+    n_tokens = token_count("text")
     return (
         docs.select("source", "lang", n_tokens.alias("n_tok"))
         .groupBy("source", "lang")

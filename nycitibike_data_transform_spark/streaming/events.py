@@ -20,32 +20,56 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events schema (readStream needs an explicit schema). The driver's
-#: parquet stores ``ts`` as timestamp[us] with no timezone — Spark
-#: reads TIMESTAMP_NTZ; the batch path (catalog.load_table) casts it
-#: to session-UTC TIMESTAMP, and the stream reader mirrors that so
-#: watermarks/windows agree with the batch queries.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.TimestampNTZType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """(readStream schema, ts_is_nanos) for the feed at ``sf_dir``.
+
+    The driver's parquet has shipped two temporal encodings across
+    rounds (see catalog.load_table): timestamp[us] no-tz (Spark:
+    TIMESTAMP_NTZ) and TIMESTAMP(NANOS) (only readable as nanos longs
+    under the legacy conf). readStream needs the schema up front, so
+    probe the footer with pyarrow and build the matching one — the
+    batch path branches on the inferred schema instead."""
+    ts_is_nanos = False
+    try:
+        import pyarrow.parquet as pq
+
+        ts_is_nanos = "ns" in str(
+            pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        )
+    except Exception:
+        pass  # no footer to probe (e.g. dir glob) — assume µs/NTZ
+    ts_type = T.LongType() if ts_is_nanos else T.TimestampNTZType()
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), True),
+                T.StructField("ts", ts_type, True),
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+                T.StructField("props", T.StringType(), True),
+            ]
+        ),
+        ts_is_nanos,
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet-directory source for the events feed (one file per
-    micro-batch discovery; real deployments point this at Kafka)."""
+    micro-batch discovery; real deployments point this at Kafka).
+    Normalizes ``ts`` to session-UTC TIMESTAMP for either on-disk
+    encoding, mirroring the batch path."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema, ts_is_nanos = _events_schema(sf_dir)
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if ts_is_nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -96,3 +96,10 @@ def test_cluster_assignments_schema(spark):
         "cluster_size",
     ]
     assert dict(out.dtypes)["cluster_size"] == "bigint"
+
+
+def test_duplicate_vertices_yield_one_singleton(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(7,), (7,), (1,)], "id long")
+    rows = connected_components(edges, vertices=verts).collect()
+    assert sorted((r["id"], r["component"]) for r in rows) == [(1, 1), (2, 1), (7, 7)]
