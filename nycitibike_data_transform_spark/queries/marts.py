@@ -441,28 +441,59 @@ LIMIT 20
 # ----------------------------------------------- approx sketches (A5)
 
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 HLL++ sketch — algorithm-specific estimates, so no SQL oracle
-    (DuckDB's approx_count_distinct uses a different sketch); the
-    driver records rows-only. Exact-distinct parity is covered by
-    ``distinct_parts_per_flag``."""
+    """A5 sketch-accuracy verdict (VERDICT r4 item 1): HLL++ and
+    approx_percentile produce algorithm-specific values DuckDB's
+    different sketches can never hash-match, so emit the exact
+    distinct count (oracle-computable) plus booleans the estimates
+    must satisfy — HLL within 5% relative error at rsd=0.01 (measured
+    ≤ 0.67% at all SFs), and each approx percentile's true rank
+    fraction within ±0.02 of its target (measured within ±0.001;
+    the accuracy=1000 contract bounds rank error at 1e-3)."""
     t = load(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
     q = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-    return (
-        t["lineitem"]
+    stats = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("__approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        q.alias("__q"),
+    )
+    fracs = (
+        li.join(F.broadcast(stats.select("l_returnflag", "__q")), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            q.alias("_q"),
-        )
-        # Scalar columns, not an array: the driver's pandas canonicalizer
-        # can't factorize list cells (r1 err: "unhashable type: 'list'").
-        .select(
-            "l_returnflag",
-            "approx_parts",
-            F.element_at("_q", 1).alias("price_p50"),
-            F.element_at("_q", 2).alias("price_p95"),
+            F.avg(
+                F.when(
+                    F.col("l_extendedprice") <= F.element_at("__q", 1), 1.0
+                ).otherwise(0.0)
+            ).alias("__f50"),
+            F.avg(
+                F.when(
+                    F.col("l_extendedprice") <= F.element_at("__q", 2), 1.0
+                ).otherwise(0.0)
+            ).alias("__f95"),
         )
     )
+    rel_err = F.abs(F.col("__approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    return stats.join(fracs, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (rel_err <= F.lit(0.05)).alias("approx_parts_ok"),
+        F.col("__f50").between(0.48, 0.52).alias("p50_rank_ok"),
+        F.col("__f95").between(0.93, 0.97).alias("p95_rank_ok"),
+    )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       true AS approx_parts_ok,
+       true AS p50_rank_ok,
+       true AS p95_rank_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # ----------------------------------------------------------- histogram
@@ -519,5 +550,5 @@ QUERIES: dict[str, QuerySpec] = {
     "window_running_qty": QuerySpec(_q_window_running, _WINDOW_RUNNING_SQL),
     "top_orders": QuerySpec(_q_top_orders, _TOP_ORDERS_SQL),
     "pivot_qty_by_status": QuerySpec(_q_pivot, _PIVOT_SQL),
-    "approx_distinct": QuerySpec(_q_approx_distinct, None),
+    "approx_distinct": QuerySpec(_q_approx_distinct, _APPROX_DISTINCT_SQL),
 }
