@@ -68,7 +68,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP here — the session tz is pinned to UTC, so the wall-clock
     values are bit-identical to DuckDB's naive reading and every
     downstream instant function (unix_micros, window, watermark) works
-    unchanged."""
+    unchanged.
+
+    SIDE EFFECT (ADVICE r4): this sets ``spark.sql.session.timeZone``
+    to UTC and ``spark.sql.legacy.parquet.nanosAsLong`` on the WHOLE
+    session, not just this read — required because the external driver
+    hands us an arbitrarily-configured session at query time, and the
+    oracle contract needs UTC wall clocks everywhere. Library callers
+    who depend on a non-UTC session timezone should re-set it after
+    loading (timestamps loaded here are already wall-clock-normalized
+    and stay correct either way)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -29,7 +29,13 @@ def snapshot_diff(
     Returns ``(key columns..., status)``. Non-key columns are
     content-hashed per side (md5 of the concatenated canonical string
     forms, NULL-tagged so ``NULL`` and ``'NULL'`` differ); both inputs
-    must share a schema. One shuffle per side on the key."""
+    must share a schema. One shuffle per side on the key.
+
+    Keys join null-safely (``eqNullSafe`` — ADVICE r4): a row whose
+    key contains SQL NULL and exists in both snapshots is classified
+    changed/unchanged like any other row, not double-reported as
+    added + removed. NULL keys must still be unique per side, the
+    same contract every other key value has."""
     keys = [key] if isinstance(key, str) else list(key)
     if set(old.columns) != set(new.columns):
         raise ValueError(
@@ -54,14 +60,23 @@ def snapshot_diff(
         )
 
     o = hashed(old, "__old_hash")
-    n = hashed(new, "__new_hash")
+    n = hashed(new, "__new_hash").select(
+        *[F.col(k).alias(f"__n_{k}") for k in keys], "__new_hash"
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__n_{k}"))
+        cond = c if cond is None else cond & c
     status = (
         F.when(F.col("__old_hash").isNull(), F.lit("added"))
         .when(F.col("__new_hash").isNull(), F.lit("removed"))
         .when(F.col("__old_hash") != F.col("__new_hash"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    return o.join(n, keys, "full_outer").select(*keys, status.alias("status"))
+    return o.join(n, cond, "full_outer").select(
+        *[F.coalesce(F.col(k), F.col(f"__n_{k}")).alias(k) for k in keys],
+        status.alias("status"),
+    )
 
 
 def diff_summary(

