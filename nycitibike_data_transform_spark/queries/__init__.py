@@ -67,34 +67,75 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r4 rotation (VERDICT r2 item #5): every query lacking an
-    # r2-green driver row gets a window slot this round; r2-green
-    # queries cede slots (they stay runnable + locally verified). ---
-    # fixed r2 red (oracle typing, fixed r3) + new r3 query
-    "repetition_ratio",
-    "dedup_clusters",
-    # new r4 queries (decontamination / stratified sampling / mixing)
-    "quality_filter",
-    "pack_sequences",
-    "snapshot_diff",
-    "decontaminate",
-    "stratified_sample",
-    "source_mix_report",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "resample_balanced",
-    # reshaped in r3 so evidence is non-vacuous (r2 item #4) — need
-    # fresh driver rows with spark_rows > 0
-    "set_except",
-    "anti_join",
-    # rows-only by design (no SQL oracle: engine hash bits / sampling)
+    # --- r5 rotation (VERDICT r4 item #2: no query's driver evidence
+    # may age past two rounds). In-window: the 28 queries whose last
+    # driver row is r2, the 6 sketch queries reshaped into oracle
+    # verdicts this round (new schema → need fresh rows), the new
+    # skew-join query, and the r5-touched + core representatives.
+    # Past-window: r4-hash-green queries only. ---
+    # reshaped r5: invariant verdicts replace rows-only (r4 item #1)
     "minhash_pairs",
     "simhash",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "approx_distinct",
     "hash_sample",
-    # r1-green only — never re-evidenced since the r2 window rotation
+    # new r5: surgical skew-join wired into the registry (r4 item #5)
+    "skew_join_events",
+    # r2-evidence-only queries rotate back in (r4 item #2)
+    "ngram_jaccard",
+    "dedup_near",
+    "cosine_topk",
+    "embedding_near_dup",
+    "crossmodal_dup_check",
+    "image_pipeline",
+    "inspections_by_nta",
+    "aux_econ_by_nta",
+    "events_sessionize",
+    "asof_purchase_click",
+    "text_stats",
+    "language_id",
+    "doc_fingerprint",
+    "embedding_norms",
+    "multimodal_meta",
+    "events_json",
+    "scrub_pii",
+    "chunk_documents",
+    "tfidf_top_terms",
+    "date_functions",
+    "signup_purchase_funnel",
+    "null_semantics",
+    "fuzzy_name_pairs",
+    "range_join_tiers",
+    "correlated_subquery",
+    "string_functions",
+    "dedup_exact",
+    "bpe_token_count",
+    # r5-touched operators (r4-green; plans changed this round)
+    "decontaminate",
+    "pack_sequences",
+    "snapshot_diff",
+    # core operator-family representatives (r4-green; keep fresh)
+    "stage_rides",
+    "location_dim",
+    "pricing_summary",
+    "revenue_by_nation",
+    "haversine",
+    "quality_filter",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "stratified_sample",
+    "window_running_qty",
+    "quantiles",
+    # ---- past the 50-entry window: every entry below is hash-green
+    # in CORRECTNESS_r04 (44 in-window rows last round) and stays
+    # runnable + locally verified via tools/check_oracle.py ----
+    "repetition_ratio",
+    "source_mix_report",
+    "resample_balanced",
+    "set_except",
+    "anti_join",
     "pivot_qty_by_status",
     "filter_project",
     "payment_decode",
@@ -103,7 +144,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "returned_items",
     "rollup_qty",
     "cube_orders",
-    "window_running_qty",
     "top_orders",
     "collect_sorted",
     "unpivot_money",
@@ -111,53 +151,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dispersion",
     "event_type_daily",
     "events_hourly",
-    # operator-family representatives (r2-green; re-pin the core)
-    "location_dim",
-    "stage_rides",
-    "haversine",
     "set_intersect",
     "semi_join",
-    "pricing_summary",
     "shipping_priority",
     "forecast_revenue",
-    "revenue_by_nation",
     "distinct_parts_per_flag",
     "grouping_sets",
     "window_topk_orders",
     "window_variants",
-    "quantiles",
     "argmax_orders",
-    "asof_purchase_click",
-    "null_semantics",
-    "fuzzy_name_pairs",
-    "range_join_tiers",
-    "correlated_subquery",
-    "string_functions",
-    "events_sessionize",
-    "dedup_exact",
-    "bpe_token_count",
-    # ---- past the 50-entry window: all hash-green in CORRECTNESS_r02
-    # (llmdata + aux surfaces proven last round; machinery also pinned
-    # by in-window family representatives and tools/check_oracle.py) ----
-    "text_stats",
-    "language_id",
-    "doc_fingerprint",
-    "ngram_jaccard",
-    "dedup_near",
-    "cosine_topk",
-    "embedding_near_dup",
-    "crossmodal_dup_check",
-    "embedding_norms",
-    "multimodal_meta",
-    "events_json",
-    "aux_econ_by_nta",
-    "inspections_by_nta",
-    "image_pipeline",
-    "scrub_pii",
-    "chunk_documents",
-    "tfidf_top_terms",
-    "date_functions",
-    "signup_purchase_funnel",
 )
 
 
