@@ -208,9 +208,18 @@ class Pipeline:
             raise ValueError(f"models reference undeclared deps: {sorted(missing)}")
         return order
 
-    def run(self, spark: SparkSession, materialize: bool = True) -> dict[str, DataFrame]:
+    def run(
+        self, spark: SparkSession, materialize: bool = True, versioned: bool = False
+    ) -> dict[str, DataFrame]:
         """Build every model in topo order; optionally persist each as
-        parquet (full refresh). Returns name -> DataFrame."""
+        parquet (full refresh). Returns name -> DataFrame.
+
+        ``versioned=True`` upgrades the reference's clobbering
+        ``CREATE OR REPLACE`` semantics to snapshot versioning
+        (``versioning.VersionedTable``): each run commits a new
+        immutable snapshot with an atomic pointer swap, so a killed
+        run never corrupts the table, readers are snapshot-isolated,
+        and prior runs stay time-travel readable."""
         built: dict[str, DataFrame] = {}
 
         def resolve(name: str) -> DataFrame:
@@ -227,10 +236,19 @@ class Pipeline:
             df = model.build(spark, **inputs)
             if materialize and self.warehouse_dir:
                 path = f"{self.warehouse_dir}/{name}"
-                writer = df.write.mode("overwrite")
-                if model.partition_by:
-                    writer = writer.partitionBy(*model.partition_by)
-                writer.parquet(path)
-                df = spark.read.parquet(path)
+                if versioned:
+                    from nycitibike_data_transform_spark.versioning import (
+                        VersionedTable,
+                    )
+
+                    table = VersionedTable(path)
+                    table.write_version(df, partition_by=model.partition_by)
+                    df = table.read_current(spark)
+                else:
+                    writer = df.write.mode("overwrite")
+                    if model.partition_by:
+                        writer = writer.partitionBy(*model.partition_by)
+                    writer.parquet(path)
+                    df = spark.read.parquet(path)
             built[name] = df
         return built

@@ -1,0 +1,158 @@
+"""Snapshot versioning: atomic commit, crash-safety, time travel,
+and change audit via snapshot_diff across versions (VERDICT r4 next
+item 6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.operators.diff import diff_summary
+from nycitibike_data_transform_spark.versioning import VersionedTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_write_read_roundtrip_and_time_travel(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    assert t.current_version() is None
+    assert t.write_version(_df(spark, [(1, "a"), (2, "b")])) == 1
+    assert t.write_version(_df(spark, [(1, "a2"), (3, "c")])) == 2
+    assert t.current_version() == 2
+    assert t.versions() == [1, 2]
+    # current == v2; v1 still readable (time travel)
+    cur = {tuple(r) for r in t.read_current(spark).collect()}
+    assert cur == {(1, "a2"), (3, "c")}
+    v1 = {tuple(r) for r in t.read_version(spark, 1).collect()}
+    assert v1 == {(1, "a"), (2, "b")}
+    with pytest.raises(ValueError):
+        t.read_version(spark, 3)  # never committed
+
+
+def test_snapshot_diff_across_versions(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write_version(_df(spark, [(1, "a"), (2, "b"), (4, "same")]))
+    t.write_version(_df(spark, [(1, "a2"), (3, "c"), (4, "same")]))
+    got = {
+        (r["status"], r["n_rows"])
+        for r in diff_summary(
+            t.read_version(spark, 1), t.read_version(spark, 2), "k"
+        ).collect()
+    }
+    assert got == {("changed", 1), ("removed", 1), ("added", 1), ("unchanged", 1)}
+
+
+@pytest.mark.parametrize("crash_at", ["data", "manifest", "pointer"])
+def test_crash_mid_write_never_corrupts_current(spark, tmp_path, monkeypatch, crash_at):
+    """A write killed before the pointer swap commits NOTHING: the
+    old version stays current and fully readable, and the next
+    successful write recovers the slot."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write_version(_df(spark, [(1, "a")]))
+
+    boom = RuntimeError("simulated crash")
+    if crash_at == "data":
+        # a df that fails DURING materialization — the realistic
+        # kill-mid-write: Spark may leave partial files in the new dir
+        poisoned = _df(spark, [(9, "junk")]).select(
+            "k", F.assert_true(F.col("k") < 0).cast("string").alias("v")
+        )
+        with pytest.raises(Exception):
+            t.write_version(poisoned)
+        assert t.current_version() == 1
+        assert {tuple(r) for r in t.read_current(spark).collect()} == {(1, "a")}
+        assert t.write_version(_df(spark, [(2, "b")])) == 2
+        assert {tuple(r) for r in t.read_current(spark).collect()} == {(2, "b")}
+        return
+    if crash_at == "manifest":
+        import json as _json
+
+        def bad_dump(*a, **k):
+            raise boom
+
+        monkeypatch.setattr(_json, "dump", bad_dump)
+    else:  # pointer
+        real_replace = os.replace
+
+        def bad_replace(src, dst):
+            if dst.endswith("_current"):
+                raise boom
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", bad_replace)
+
+    with pytest.raises(RuntimeError):
+        t.write_version(_df(spark, [(9, "junk")]))
+    monkeypatch.undo()
+
+    assert t.current_version() == 1
+    assert {tuple(r) for r in t.read_current(spark).collect()} == {(1, "a")}
+    # recovery: next write lands cleanly as version 2 with the new data
+    assert t.write_version(_df(spark, [(2, "b")])) == 2
+    assert {tuple(r) for r in t.read_current(spark).collect()} == {(2, "b")}
+
+
+def test_vacuum_keeps_recent_and_drops_orphans(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    for i in range(1, 5):
+        t.write_version(_df(spark, [(i, "x")]))
+    # fake an orphaned (uncommitted) directory above the pointer
+    orphan = os.path.join(str(tmp_path / "tbl"), "data", "v00000099")
+    os.makedirs(orphan)
+    removed = t.vacuum(keep=2)
+    assert removed == [1, 2]
+    assert t.versions() == [3, 4]
+    assert not os.path.exists(orphan)
+    assert {tuple(r) for r in t.read_version(spark, 3).collect()} == {(3, "x")}
+    with pytest.raises(ValueError):
+        t.read_version(spark, 1)  # vacuumed away
+    with pytest.raises(Exception):
+        t.vacuum(keep=0)
+
+
+def test_manifest_records_schema_and_files(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write_version(_df(spark, [(1, "a")]))
+    m = t.manifest(1)
+    assert m["version"] == 1
+    assert m["files"] and all(f.endswith(".parquet") for f in m["files"])
+    field_names = [f["name"] for f in m["schema"]["fields"]]
+    assert field_names == ["k", "v"]
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")], "k int, dt string, v string"
+    )
+    t.write_version(df, partition_by=("dt",))
+    got = t.read_current(spark).filter(F.col("dt") == "2024-01-01")
+    assert [r["k"] for r in got.collect()] == [1]
+    # partition dirs exist → the filter prunes at the source level
+    assert t.manifest(1)["partition_by"] == ["dt"]
+
+
+def test_pipeline_versioned_materialization(spark, tmp_path):
+    """Pipeline.run(versioned=True): two runs of the same model leave
+    both snapshots readable with an intact pointer."""
+    from nycitibike_data_transform_spark.pipeline import Pipeline
+
+    state = {"n": 0}
+
+    def src(s):
+        return _df(s, [(state["n"], "x")])
+
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("raw", src)
+    p.add_model("m", lambda s, raw: raw.select("k", "v"), deps=("raw",))
+    p.run(spark, versioned=True)
+    state["n"] = 1
+    p.run(spark, versioned=True)
+    t = VersionedTable(str(tmp_path / "wh" / "m"))
+    assert t.versions() == [1, 2]
+    assert {r["k"] for r in t.read_version(spark, 1).collect()} == {0}
+    assert {r["k"] for r in t.read_current(spark).collect()} == {1}
