@@ -38,6 +38,25 @@ HEADLINE = [
 ]
 
 
+def query_families() -> dict[str, str]:
+    """Map every registry query name to its source module (family)."""
+    from nycitibike_data_transform_spark.queries import (
+        advanced,
+        aux_nyc,
+        core,
+        events,
+        llmdata,
+        marts,
+    )
+
+    fam: dict[str, str] = {}
+    for mod in (core, marts, advanced, events, llmdata, aux_nyc):
+        short = mod.__name__.rsplit(".", 1)[-1]
+        for name in mod.QUERIES:
+            fam[name] = short
+    return fam
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -62,6 +81,24 @@ def main() -> None:
         medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Full-registry sweep (VERDICT r4 item #8): every query once, so
+    # regressions in non-headline queries (rollup/cube, llmdata tail)
+    # are visible round-over-round. Single run per query — the headline
+    # numbers above carry the min-of-3 precision; this pass is a
+    # coverage net, reported per family and per query.
+    families = query_families()
+    registry_timings: dict[str, float] = {}
+    family_totals: dict[str, float] = {}
+    for name, spec in registry.items():
+        t0 = time.time()
+        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        registry_timings[name] = round(dt, 3)
+        fam = families[name]
+        family_totals[fam] = family_totals.get(fam, 0.0) + dt
+    registry_total = round(sum(registry_timings.values()), 3)
+    family_totals = {k: round(v, 3) for k, v in sorted(family_totals.items())}
     # loadavg before/after: a contaminated run (driver machine busy with
     # other work) shows up as high ambient load and median >> min —
     # VERDICT r2 graded BENCH_r02's 38 s as exactly this.
@@ -73,6 +110,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "registry_total_sec": registry_total,
+                "registry_families": family_totals,
+                "registry_queries": registry_timings,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf,

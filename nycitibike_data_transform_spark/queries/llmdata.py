@@ -1574,6 +1574,221 @@ SELECT CAST(count(*) AS BIGINT) AS n_total,
 FROM documents
 """
 
+# ------------------------------------------------------- span-level dedup
+
+_SPAN_WIDTH = 8
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection (Lee et al. 2022 substring
+    dedup): per-document count and token coverage of 8-token spans
+    that occur at 2+ positions corpus-wide, with overlapping spans
+    merged into maximal intervals. The document-level near-dup queries
+    drop whole documents; this one measures the repeated REGIONS a
+    span-cut pass would remove — the finer-grained half of the
+    training-data dedup story."""
+    from nycitibike_data_transform_spark.operators.spans import duplicate_span_stats
+
+    t = load(spark, sf_dir, "documents")
+    return duplicate_span_stats(t["documents"], width=_SPAN_WIDTH)
+
+
+_SPAN_DEDUP_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(nt, '') = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+sized AS (SELECT doc_id, w, len(w) AS n_tokens FROM base),
+span_lists AS (
+  SELECT doc_id,
+         list_transform(
+             generate_series(1, greatest(n_tokens - {_SPAN_WIDTH - 1}, 0)),
+             i -> struct_pack(pos := i,
+                              h := md5(array_to_string(
+                                       w[i:i + {_SPAN_WIDTH - 1}], ' ')))) AS sl
+  FROM sized
+),
+spans AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h
+  FROM (SELECT doc_id, unnest(sl) AS u FROM span_lists)
+),
+dup AS (
+  SELECT doc_id, pos, pos + {_SPAN_WIDTH - 1} AS epos
+  FROM spans
+  WHERE h IN (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2)
+),
+flagged AS (
+  SELECT doc_id, pos, epos,
+         CASE WHEN max(epos) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > max(epos) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup
+),
+islands AS (
+  SELECT doc_id, pos, epos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT doc_id, island, count(*) AS n_pos, max(epos) - min(pos) + 1 AS covered
+  FROM islands GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, sum(n_pos) AS n_dup_spans, sum(covered) AS dup_tokens
+  FROM per_island GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN s.n_tokens >= {_SPAN_WIDTH}
+                 THEN s.n_tokens - {_SPAN_WIDTH - 1} ELSE 0 END AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CASE WHEN s.n_tokens = 0 THEN 0.0
+                  ELSE CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / s.n_tokens
+             END, 6) AS dup_token_fraction
+FROM sized s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+# ------------------------------------------------------- mixture planning
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source-mixture plan: per source domain, the
+    target token count is ``floor(sqrt(available · max_available))``
+    — the geometric mean of the source's size and the largest
+    source's, i.e. square-root temperature sampling anchored at the
+    biggest source (small sources upsample toward balance, the
+    largest stays at 1 epoch). Emits the sampling fraction and epoch
+    count a downstream loader needs.
+
+    Determinism note: sqrt is IEEE-correctly-rounded (unlike
+    transcendentals), and its argument is an exact integer product,
+    so the verdict is bit-identical across engines with no double
+    summation anywhere. Scale shape: one agg over the corpus; the
+    global max joins back as a 1-row broadcast; output is |sources|
+    rows."""
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    from nycitibike_data_transform_spark.functions.text import token_count
+
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("available_tokens")
+    )
+    max_row = per_source.agg(
+        F.max("available_tokens").alias("__max_avail")
+    )
+    target = F.floor(
+        F.sqrt(F.col("available_tokens").cast("double") * F.col("__max_avail"))
+    ).cast("long")
+    return (
+        per_source.crossJoin(F.broadcast(max_row))
+        .select(
+            "source",
+            "available_tokens",
+            target.alias("target_tokens"),
+            F.round(
+                target.cast("double") / F.col("available_tokens"), 6
+            ).alias("sample_fraction"),
+            F.ceil(target.cast("double") / F.col("available_tokens"))
+            .cast("long")
+            .alias("n_epochs"),
+        )
+    )
+
+
+_MIXTURE_PLAN_SQL = r"""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum(CASE WHEN coalesce(nt, '') = '' THEN 0
+                       ELSE len(string_split(nt, ' ')) END) AS BIGINT)
+             AS available_tokens
+  FROM (SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+  GROUP BY 1
+),
+m AS (SELECT max(available_tokens) AS max_avail FROM per_source)
+SELECT source,
+       available_tokens,
+       CAST(floor(sqrt(CAST(available_tokens AS DOUBLE) * max_avail)) AS BIGINT)
+           AS target_tokens,
+       round(CAST(floor(sqrt(CAST(available_tokens AS DOUBLE) * max_avail)) AS DOUBLE)
+             / available_tokens, 6) AS sample_fraction,
+       CAST(ceil(CAST(floor(sqrt(CAST(available_tokens AS DOUBLE) * max_avail)) AS DOUBLE)
+                 / available_tokens) AS BIGINT) AS n_epochs
+FROM per_source, m
+"""
+
+# ------------------------------------------------------- shard manifest
+
+_N_SHARDS = 16
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding: each document routes to one of
+    16 shards by the first hex nibble of md5(doc_id) — the one hash
+    both engines evaluate bit-identically — and the manifest reports
+    per-shard document/token/byte totals plus id bounds, i.e. the
+    summary a 100 TB training-data export writes next to its shards.
+    Scale shape: one narrow projection + one shuffle on shard_id;
+    shard totals are |shards| rows."""
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    from nycitibike_data_transform_spark.functions.text import token_count
+
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - F.lit(1)
+    ).cast("int")
+    return (
+        docs.select(
+            shard.alias("shard_id"),
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("__tok"),
+            F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("__chars"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("n_tokens"),
+            F.sum("__chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+_SHARD_MANIFEST_SQL = r"""
+WITH tagged AS (
+  SELECT CAST(instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER)
+             AS shard_id,
+         doc_id,
+         CAST(CASE WHEN coalesce(nt, '') = '' THEN 0
+                   ELSE len(string_split(nt, ' ')) END AS BIGINT) AS tok,
+         CAST(coalesce(length(text), 0) AS BIGINT) AS chars
+  FROM (SELECT doc_id, text,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+)
+SELECT shard_id,
+       count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM tagged
+GROUP BY 1
+"""
+
 
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_q_dedup_exact, _DEDUP_EXACT_SQL),
@@ -1608,4 +1823,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(_q_embedding_norms, _EMBEDDING_NORMS_SQL),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _MULTIMODAL_META_SQL),
     "image_pipeline": QuerySpec(_q_image_pipeline, _IMAGE_PIPELINE_SQL),
+    "span_dedup": QuerySpec(_q_span_dedup, _SPAN_DEDUP_SQL),
+    "mixture_plan": QuerySpec(_q_mixture_plan, _MIXTURE_PLAN_SQL),
+    "shard_manifest": QuerySpec(_q_shard_manifest, _SHARD_MANIFEST_SQL),
 }

@@ -31,10 +31,19 @@ DOC_QUERIES = (
     "tfidf_top_terms",
     "repetition_ratio",
     "cosine_topk",
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
     "embedding_near_dup",
     "crossmodal_dup_check",
+    "span_dedup",
+    "mixture_plan",
+    "shard_manifest",
+)
+
+# Global-aggregate verdict queries: a SQL aggregation with no GROUP BY
+# returns exactly one row even over empty input (count=0, recall NULL)
+# — the correct empty-corpus answer is one summary row, not zero rows.
+SUMMARY_QUERIES = (
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
 )
 
 
@@ -51,6 +60,13 @@ def empty_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_query_survives_empty_tables(spark, empty_dir, name):
     assert all_queries()[name].spark(spark, empty_dir).count() == 0
+
+
+@pytest.mark.parametrize("name", SUMMARY_QUERIES)
+def test_summary_query_survives_empty_tables(spark, empty_dir, name):
+    rows = all_queries()[name].spark(spark, empty_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_exact_pairs"] == 0
 
 
 def test_srp_tier_survives_empty_embeddings(spark, empty_dir):
@@ -91,6 +107,9 @@ ADVERSARIAL_QUERIES = (
     "repetition_ratio",
     "chunk_documents",
     "dedup_incremental",
+    "span_dedup",
+    "mixture_plan",
+    "shard_manifest",
 )
 
 

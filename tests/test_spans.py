@@ -1,0 +1,133 @@
+"""Unit tests for exact duplicate-span detection (operators/spans.py)
+and the round-5 export queries (mixture_plan, shard_manifest)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.operators.spans import duplicate_span_stats
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t) if t else 0) for i, t in rows], DOCS_SCHEMA
+    )
+
+
+def test_cross_doc_duplicate_spans_merge_overlaps(spark):
+    # doc1/doc2 share the runs "a b c d" and "b c d e" (width 4):
+    # doc1 dup positions {1,2} merge into [1,5] → 5 covered of 6;
+    # doc2 dup positions {2,3} merge into [2,6] → 5 covered of 7.
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "x a b c d e y"),
+            (3, "p q r s t u v w"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(docs, width=4).collect()
+    }
+    assert out[1]["n_tokens"] == 6 and out[1]["n_spans"] == 3
+    assert out[1]["n_dup_spans"] == 2 and out[1]["dup_tokens"] == 5
+    assert out[1]["dup_token_fraction"] == round(5 / 6, 6)
+    assert out[2]["n_dup_spans"] == 2 and out[2]["dup_tokens"] == 5
+    assert out[2]["dup_token_fraction"] == round(5 / 7, 6)
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[3]["n_spans"] == 5
+
+
+def test_within_doc_repeat_counts_as_duplicate(spark):
+    # "m n o p" occurs at positions 1 and 8 of the SAME document —
+    # two disjoint islands, 8 covered tokens of 12.
+    docs = _docs(spark, [(1, "m n o p z z z m n o p q")])
+    row = duplicate_span_stats(docs, width=4).collect()[0]
+    assert row["n_dup_spans"] == 2
+    assert row["dup_tokens"] == 8
+    assert row["dup_token_fraction"] == round(8 / 12, 6)
+
+
+def test_short_null_and_blank_docs_get_zeros(spark):
+    docs = _docs(spark, [(1, "one two three"), (2, None), (3, "   ")])
+    rows = {r["doc_id"]: r for r in duplicate_span_stats(docs, width=4).collect()}
+    for i in (1, 2, 3):
+        assert rows[i]["n_spans"] == 0
+        assert rows[i]["n_dup_spans"] == 0
+        assert rows[i]["dup_token_fraction"] == 0.0
+    assert rows[1]["n_tokens"] == 3
+    assert rows[2]["n_tokens"] == 0
+
+
+def test_identical_docs_fully_covered(spark):
+    text = "the quick brown fox jumps over the lazy dog today"
+    docs = _docs(spark, [(1, text), (2, text)])
+    for row in duplicate_span_stats(docs, width=4).collect():
+        assert row["dup_tokens"] == row["n_tokens"]
+        assert row["dup_token_fraction"] == 1.0
+        assert row["n_dup_spans"] == row["n_spans"]
+
+
+def test_span_invariants_on_testdata(spark, sf_dir):
+    from nycitibike_data_transform_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicate_span_stats(docs, width=8)
+    bad = out.filter(
+        (F.col("dup_tokens") > F.col("n_tokens"))
+        | (F.col("n_dup_spans") > F.col("n_spans"))
+        | (F.col("dup_token_fraction") < 0)
+        | (F.col("dup_token_fraction") > 1)
+        | (F.col("n_spans") != F.greatest(F.col("n_tokens") - 7, F.lit(0)))
+    )
+    assert bad.count() == 0
+    assert out.count() == docs.count()
+
+
+def test_parameter_validation():
+    with pytest.raises(ValueError):
+        duplicate_span_stats(None, width=0)
+    with pytest.raises(ValueError):
+        duplicate_span_stats(None, min_count=1)
+
+
+def test_mixture_plan_geometric_mean(spark, tmp_path):
+    # 3 sources with 2/8/18-token corpora: target = floor(sqrt(n*18))
+    rows = [
+        (1, "a b", "small"),
+        (2, " ".join(["w"] * 8), "mid"),
+        (3, " ".join(["x"] * 9), "big"),
+        (4, " ".join(["y"] * 9), "big"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], DOCS_SCHEMA
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    out = {
+        r["source"]: r
+        for r in all_queries()["mixture_plan"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out["small"]["available_tokens"] == 2
+    assert out["small"]["target_tokens"] == math.floor(math.sqrt(2 * 18))  # 6
+    assert out["small"]["n_epochs"] == 3
+    assert out["mid"]["target_tokens"] == 12 and out["mid"]["n_epochs"] == 2
+    assert out["big"]["target_tokens"] == 18 and out["big"]["n_epochs"] == 1
+    assert out["big"]["sample_fraction"] == 1.0
+
+
+def test_shard_manifest_partitions_corpus(spark, sf_dir):
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = all_queries()["shard_manifest"].spark(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert all(0 <= r["shard_id"] < 16 for r in out)
+    assert all(r["min_doc_id"] <= r["max_doc_id"] for r in out)
