@@ -1,6 +1,7 @@
 """Structured Streaming surface over the events table."""
 
 from nycitibike_data_transform_spark.streaming.events import (
+    click_purchase_join_stream,
     dedup_stream,
     hourly_counts_stream,
     read_events_stream,
@@ -20,6 +21,7 @@ __all__ = [
     "hourly_counts_stream",
     "sessionize_stream",
     "dedup_stream",
+    "click_purchase_join_stream",
     "running_user_totals",
     "read_documents_stream",
     "quality_filter_stream",

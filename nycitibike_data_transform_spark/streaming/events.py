@@ -123,6 +123,52 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
 
 
+def click_purchase_join_stream(
+    spark: SparkSession, sf_dir: str, horizon_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to every
+    click by the same user in the preceding ``horizon_minutes``. Both
+    sides carry watermarks AND the join carries a time-range
+    condition — the two ingredients Spark needs to evict join state
+    (a click older than purchase-watermark − horizon can never match
+    again and is dropped), so state stays bounded by the time horizon
+    on an unbounded feed, not by stream length. The batch analogue of
+    "latest click before purchase" is ``asof_purchase_click``
+    (queries/events.py) — stream-stream joins express interval
+    containment, not argmax, so this emits ALL in-horizon pairs and a
+    downstream batch pass picks winners."""
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "purchase_value", "click_id", "click_ts")
+
+
 def write_stream_exactly_once(
     df: DataFrame,
     out_dir: str,

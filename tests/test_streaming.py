@@ -74,6 +74,54 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     assert out["n"] == batch_n  # testdata has unique ids: nothing dropped
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The stream-stream interval join (purchase ← same-user clicks in
+    the preceding hour) must emit exactly the pairs the equivalent
+    batch join produces on the same bounded input."""
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.streaming.events import (
+        click_purchase_join_stream,
+    )
+
+    df = click_purchase_join_stream(spark, sf_dir, horizon_minutes=60)
+    assert df.isStreaming
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT purchase_id, click_id FROM ss_join_test").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 60 MINUTES")),
+        ).collect()
+    }
+    assert len(batch_pairs) > 0  # non-vacuous on testdata
+    assert stream_pairs == batch_pairs
+
+
 def test_foreachbatch_exactly_once_sink(spark, sf_dir, tmp_path):
     """foreachBatch parquet sink: restartable (checkpoint) and
     idempotent (batch-id dirs); rerunning with the same checkpoint
