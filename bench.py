@@ -86,7 +86,11 @@ def main() -> None:
     # regressions in non-headline queries (rollup/cube, llmdata tail)
     # are visible round-over-round. Single run per query — the headline
     # numbers above carry the min-of-3 precision; this pass is a
-    # coverage net, reported per family and per query.
+    # coverage net, reported per family and per query. Sweep entries
+    # are COLD first executions: they include plan + whole-stage-
+    # codegen compile, which dominates for wide-aggregate queries
+    # (simhash's 64 agg buffers: ~13 s compile, ~1.5 s warm). Compare
+    # sweep numbers cold-to-cold across rounds, not to headline mins.
     families = query_families()
     registry_timings: dict[str, float] = {}
     family_totals: dict[str, float] = {}

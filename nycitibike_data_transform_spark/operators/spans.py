@@ -45,6 +45,126 @@ def _token_array(text_col: str) -> F.Column:
     )
 
 
+def _spans_with_positions(
+    docs: DataFrame, width: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, spans): base = (doc_id, __w tokens, __n_tokens);
+    spans = (doc_id, pos 1-based, __h md5-of-span)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _token_array(text_col).alias("__w")
+    ).withColumn("__n_tokens", F.size("__w"))
+    span_structs = F.when(
+        F.col("__n_tokens") >= width,
+        F.expr(
+            f"transform(sequence(1, __n_tokens - {width - 1}),"
+            f" i -> struct(i as pos, concat_ws(' ', slice(__w, i, {width})) as span))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,span:string>>"))
+    spans = base.select("doc_id", F.explode(span_structs).alias("__s")).select(
+        "doc_id", F.col("__s.pos").alias("pos"), F.md5("__s.span").alias("__h")
+    )
+    return base, spans
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    width: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove duplicated spans, keeping each span's globally-first
+    occurrence (smallest ``(doc_id, pos)``) — the cut step of Lee
+    et al. 2022 substring dedup, paired with ``duplicate_span_stats``.
+
+    Every occurrence of a duplicated span except the first is marked
+    for removal; marked ``[pos, pos+width-1]`` intervals merge per
+    document, and the covered token positions are cut from the
+    normalized text. A kept first occurrence can still lose tokens to
+    an overlapping removed occurrence of a DIFFERENT span — the
+    standard approximation (exact "preserve one copy of every span"
+    is not interval-expressible).
+
+    Returns ``(doc_id, n_tokens_before, n_tokens_after, text_clean)``
+    for every input document (text_clean is the normalized text with
+    removed tokens cut; '' when everything was cut or the doc was
+    empty).
+
+    Scale shape: identical to duplicate_span_stats (one hash shuffle
+    for the occurrence count + first-occurrence min-struct — both
+    map-side combinable — then per-document windows). The rebuild
+    collects each document's surviving tokens into one row — bounded
+    by input-document size, which arrived as one row already.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+
+    base, spans = _spans_with_positions(docs, width, id_col, text_col)
+
+    # duplicated spans with their first occurrence — single grouped
+    # pass: count + lexicographic min(struct) both partial-aggregate
+    dup_first = (
+        spans.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("__first"),
+        )
+        .filter(F.col("__cnt") >= min_count)
+        .select("__h", "__first")
+    )
+    removed = (
+        spans.join(dup_first, "__h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+        .select("doc_id", "pos", (F.col("pos") + F.lit(width - 1)).alias("__end"))
+    )
+
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max("__end").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = removed.withColumn(
+        "__new_island",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new_island").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    cut_positions = (
+        islands.groupBy("doc_id", "__island")
+        .agg(F.min("pos").alias("__s"), F.max("__end").alias("__e"))
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("__s"), F.col("__e"))).alias("idx")
+        )
+    )
+
+    tokens = base.select(
+        "doc_id", F.posexplode("__w").alias("__p0", "tok")
+    ).select("doc_id", (F.col("__p0") + 1).alias("idx"), "tok")
+    kept = tokens.join(cut_positions, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_after"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok)"),
+        ).alias("__text_clean"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("__n_tokens").cast("long").alias("n_tokens_before"),
+        F.coalesce(F.col("__n_after"), F.lit(0)).cast("long").alias("n_tokens_after"),
+        F.coalesce(F.col("__text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     width: int = 8,

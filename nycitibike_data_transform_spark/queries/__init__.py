@@ -82,8 +82,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hash_sample",
     # new r5: surgical skew-join wired into the registry (r4 item #5)
     "skew_join_events",
-    # new r5: span-level dedup, mixture planning, export sharding
+    # new r5: span-level dedup (measure + cut), mixture planning,
+    # export sharding
     "span_dedup",
+    "span_strip",
     "mixture_plan",
     "shard_manifest",
     # r2-evidence-only queries rotate back in (r4 item #2)

@@ -581,6 +581,9 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ngram_jaccard_pairs(
         t["documents"], n=_JACCARD_N, threshold=_JACCARD_THRESHOLD, mode="blocked"
     )
+    # both join sides reference the same simhash subtree; Spark's
+    # ReusedExchange dedupes it at execution (verified: checkpointing
+    # here instead measured 3× slower warm — don't "help" the planner)
     sh = simhash64(t["documents"])
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sh_b"))
@@ -1655,6 +1658,94 @@ SELECT s.doc_id,
 FROM sized s LEFT JOIN per_doc p USING (doc_id)
 """
 
+def _q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut step of substring dedup: remove every occurrence of a
+    duplicated 8-token span except the globally-first one, merging
+    overlapping cuts, and rebuild the surviving text. Pairs with
+    ``span_dedup`` (which only measures)."""
+    from nycitibike_data_transform_spark.operators.spans import strip_duplicate_spans
+
+    t = load(spark, sf_dir, "documents")
+    return strip_duplicate_spans(t["documents"], width=_SPAN_WIDTH)
+
+
+_SPAN_STRIP_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(nt, '') = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+sized AS (SELECT doc_id, w, len(w) AS n_tokens FROM base),
+span_lists AS (
+  SELECT doc_id,
+         list_transform(
+             generate_series(1, greatest(n_tokens - {_SPAN_WIDTH - 1}, 0)),
+             i -> struct_pack(pos := i,
+                              h := md5(array_to_string(
+                                       w[i:i + {_SPAN_WIDTH - 1}], ' ')))) AS sl
+  FROM sized
+),
+spans AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h
+  FROM (SELECT doc_id, unnest(sl) AS u FROM span_lists)
+),
+ranked AS (
+  SELECT doc_id, pos, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS cnt
+  FROM spans
+),
+removed AS (
+  SELECT doc_id, pos, pos + {_SPAN_WIDTH - 1} AS epos
+  FROM ranked WHERE cnt >= 2 AND rn > 1
+),
+flagged AS (
+  SELECT doc_id, pos, epos,
+         CASE WHEN max(epos) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > max(epos) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM removed
+),
+islands AS (
+  SELECT doc_id, pos, epos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, island, min(pos) AS s, max(epos) AS e
+  FROM islands GROUP BY 1, 2
+),
+cut AS (SELECT doc_id, unnest(generate_series(s, e)) AS idx FROM merged),
+tokens AS (
+  SELECT doc_id, u.idx AS idx, u.tok AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, n_tokens),
+                      i -> struct_pack(idx := i, tok := w[i]))) AS u
+        FROM sized)
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tokens t
+  WHERE NOT EXISTS (SELECT 1 FROM cut c
+                    WHERE c.doc_id = t.doc_id AND c.idx = t.idx)
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_after,
+         string_agg(tok, ' ' ORDER BY idx) AS text_clean
+  FROM kept GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens_before,
+       CAST(coalesce(r.n_after, 0) AS BIGINT) AS n_tokens_after,
+       coalesce(r.text_clean, '') AS text_clean
+FROM sized s LEFT JOIN reb r USING (doc_id)
+"""
+
 # ------------------------------------------------------- mixture planning
 
 
@@ -1824,6 +1915,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _MULTIMODAL_META_SQL),
     "image_pipeline": QuerySpec(_q_image_pipeline, _IMAGE_PIPELINE_SQL),
     "span_dedup": QuerySpec(_q_span_dedup, _SPAN_DEDUP_SQL),
+    "span_strip": QuerySpec(_q_span_strip, _SPAN_STRIP_SQL),
     "mixture_plan": QuerySpec(_q_mixture_plan, _MIXTURE_PLAN_SQL),
     "shard_manifest": QuerySpec(_q_shard_manifest, _SHARD_MANIFEST_SQL),
 }

@@ -34,6 +34,7 @@ DOC_QUERIES = (
     "embedding_near_dup",
     "crossmodal_dup_check",
     "span_dedup",
+    "span_strip",
     "mixture_plan",
     "shard_manifest",
 )
@@ -108,6 +109,7 @@ ADVERSARIAL_QUERIES = (
     "chunk_documents",
     "dedup_incremental",
     "span_dedup",
+    "span_strip",
     "mixture_plan",
     "shard_manifest",
 )

@@ -6,6 +6,8 @@ from __future__ import annotations
 import math
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.operators.spans import duplicate_span_stats
@@ -120,6 +122,124 @@ def test_mixture_plan_geometric_mean(spark, tmp_path):
     assert out["mid"]["target_tokens"] == 12 and out["mid"]["n_epochs"] == 2
     assert out["big"]["target_tokens"] == 18 and out["big"]["n_epochs"] == 1
     assert out["big"]["sample_fraction"] == 1.0
+
+
+def test_strip_keeps_first_occurrence_cuts_rest(spark):
+    from nycitibike_data_transform_spark.operators.spans import strip_duplicate_spans
+
+    docs = _docs(
+        spark,
+        [(1, "a b c d e f"), (2, "x a b c d e y"), (3, "p q r s t"), (4, None)],
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(docs, width=4).collect()}
+    # doc1 holds the first occurrences of both shared spans: untouched
+    assert out[1]["text_clean"] == "a b c d e f"
+    assert out[1]["n_tokens_after"] == 6
+    # doc2's copies (positions 2-3 → merged [2,6]) are cut
+    assert out[2]["text_clean"] == "x y"
+    assert out[2]["n_tokens_after"] == 2
+    assert out[3]["text_clean"] == "p q r s t"
+    assert out[4]["text_clean"] == "" and out[4]["n_tokens_before"] == 0
+
+
+def test_strip_identical_docs_keep_exactly_one(spark):
+    from nycitibike_data_transform_spark.operators.spans import strip_duplicate_spans
+
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(spark, [(1, text), (2, text), (3, text)])
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(docs, width=4).collect()}
+    assert out[1]["text_clean"] == text  # first doc owns every span
+    assert out[2]["text_clean"] == "" and out[3]["text_clean"] == ""
+
+
+def test_strip_invariants_on_testdata(spark, sf_dir):
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.functions.text import normalize_text
+    from nycitibike_data_transform_spark.operators.spans import (
+        duplicate_span_stats,
+        strip_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stripped = strip_duplicate_spans(docs, width=8)
+    stats = duplicate_span_stats(docs, width=8)
+    joined = stripped.join(stats, "doc_id")
+    # cut count is bounded by the dup coverage (the kept-first
+    # occurrences are a subset of the duplicated intervals)
+    bad = joined.filter(
+        (F.col("n_tokens_after") > F.col("n_tokens_before"))
+        | (F.col("n_tokens_before") - F.col("n_tokens_after") > F.col("dup_tokens"))
+    )
+    assert bad.count() == 0
+    # untouched docs reproduce their normalized text verbatim
+    norm = docs.select(
+        "doc_id", F.coalesce(normalize_text(F.col("text")), F.lit("")).alias("nt")
+    )
+    mismatched = (
+        joined.filter(F.col("n_dup_spans") == 0)
+        .join(norm, "doc_id")
+        .filter(F.col("text_clean") != F.col("nt"))
+    )
+    assert mismatched.count() == 0
+
+
+def _ref_span_stats(rows: list[tuple[int, str]], width: int) -> dict[int, tuple]:
+    """Pure-Python reference for duplicate_span_stats."""
+    import re
+
+    toks: dict[int, list[str]] = {}
+    for doc_id, text in rows:
+        nt = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        toks[doc_id] = nt.split(" ") if nt else []
+    occurrences: dict[tuple, list[tuple[int, int]]] = {}
+    for d, w in toks.items():
+        for p in range(len(w) - width + 1):
+            occurrences.setdefault(tuple(w[p : p + width]), []).append((d, p + 1))
+    dup_spans = {s for s, occ in occurrences.items() if len(occ) >= 2}
+    out = {}
+    for d, w in toks.items():
+        n = len(w)
+        positions = sorted(
+            p for s in dup_spans for (dd, p) in occurrences[s] if dd == d
+        )
+        covered, last_end = 0, 0
+        for p in positions:
+            lo, hi = max(p, last_end + 1), p + width - 1
+            if hi > last_end:
+                covered += hi - lo + 1
+                last_end = hi
+        out[d] = (
+            n,
+            max(n - width + 1, 0),
+            len(positions),
+            covered,
+            round(covered / n, 6) if n else 0.0,
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_span_stats_match_python_reference(spark, corpora):
+    rows = [(i, " ".join(tokens)) for i, tokens in enumerate(corpora)]
+    docs = _docs(spark, rows)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_spans"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["dup_token_fraction"],
+        )
+        for r in duplicate_span_stats(docs, width=3).collect()
+    }
+    assert got == _ref_span_stats(rows, width=3)
 
 
 def test_shard_manifest_partitions_corpus(spark, sf_dir):

@@ -43,6 +43,13 @@ QUERIES = (
     "source_mix_report",
     "dedup_clusters",
     "dedup_incremental",
+    # r5: span explode + hash-shuffle count + per-doc island merge —
+    # K× docs means K× spans AND K× occurrences of every duplicated
+    # span (replica groups), so ~K growth proves the count/join path
+    # has no pairwise term
+    "span_dedup",
+    "mixture_plan",
+    "shard_manifest",
 )
 
 
