@@ -88,6 +88,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "span_strip",
     "mixture_plan",
     "shard_manifest",
+    "embedding_dedup",
+    "curriculum_stages",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",

@@ -1815,6 +1815,80 @@ SELECT source,
 FROM per_source, m
 """
 
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, reduced to its
+    decision rule): drop every vector that is the higher-id member of
+    an embedding-cosine near-dup pair, keep the rest. This query runs
+    the exact pair tier so the oracle can state the same rule in
+    closed form; at corpus scale the pair generation routes through
+    SRP banding (``embedding_near_dup_pairs(method="auto")``) and the
+    anti-join is unchanged."""
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    pairs = embedding_near_dup_pairs(emb, _NEAR_DUP_THRESHOLD, method="grid")
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+_EMBEDDING_DEDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {_NEAR_DUP_THRESHOLD}
+)
+SELECT vec_id, label
+FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+_CURRICULUM_STAGES = 4
+
+
+def _q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: within each source domain, order
+    documents easy→hard (token count as the difficulty proxy,
+    deterministic doc_id tie-break) and split into 4 equal training
+    stages with ntile. One shuffle on source; each stratum sorts its
+    own rows only (the accepted per-stratum external-sort shape —
+    see stratified_sample's docstring)."""
+    from pyspark.sql import Window
+
+    from nycitibike_data_transform_spark.functions.text import token_count
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    tok = token_count(F.col("text")).cast("long")
+    w = Window.partitionBy("source").orderBy("__tok", "doc_id")
+    return (
+        docs.select("doc_id", "source", tok.alias("__tok"))
+        .withColumn("stage", F.ntile(_CURRICULUM_STAGES).over(w))
+        .select(
+            "doc_id", "source", F.col("__tok").alias("n_tokens"), "stage"
+        )
+    )
+
+
+_CURRICULUM_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN coalesce(nt, '') = '' THEN 0
+                   ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, source,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+)
+SELECT doc_id, source, n_tokens,
+       ntile({_CURRICULUM_STAGES}) OVER (PARTITION BY source
+                                         ORDER BY n_tokens, doc_id) AS stage
+FROM tok
+"""
+
 # ------------------------------------------------------- shard manifest
 
 _N_SHARDS = 16
@@ -1918,4 +1992,6 @@ QUERIES: dict[str, QuerySpec] = {
     "span_strip": QuerySpec(_q_span_strip, _SPAN_STRIP_SQL),
     "mixture_plan": QuerySpec(_q_mixture_plan, _MIXTURE_PLAN_SQL),
     "shard_manifest": QuerySpec(_q_shard_manifest, _SHARD_MANIFEST_SQL),
+    "embedding_dedup": QuerySpec(_q_embedding_dedup, _EMBEDDING_DEDUP_SQL),
+    "curriculum_stages": QuerySpec(_q_curriculum_stages, _CURRICULUM_SQL),
 }

@@ -37,6 +37,8 @@ DOC_QUERIES = (
     "span_strip",
     "mixture_plan",
     "shard_manifest",
+    "embedding_dedup",
+    "curriculum_stages",
 )
 
 # Global-aggregate verdict queries: a SQL aggregation with no GROUP BY
@@ -112,6 +114,7 @@ ADVERSARIAL_QUERIES = (
     "span_strip",
     "mixture_plan",
     "shard_manifest",
+    "curriculum_stages",
 )
 
 

@@ -130,3 +130,44 @@ def test_incremental_near_dup_operator_cross_set_only(spark):
     assert got[12] == (0, 0)
     # batch-internal dups (10 vs 11) must NOT count: cross-set only
     assert got[10][0] == 1 and got[11][0] == 1
+
+
+# ----------------------------------------------------- r5 queries
+
+
+def test_curriculum_stages_orders_easy_to_hard(spark, sf_dir):
+    from nycitibike_data_transform_spark.catalog import load_table
+
+    out = all_queries()["curriculum_stages"].spark(spark, sf_dir)
+    rows = out.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    assert {r["stage"] for r in rows} == {1, 2, 3, 4}
+    # within every source, each stage-1 doc is no longer than any
+    # stage-4 doc (ntile over (n_tokens, doc_id) is monotone)
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for members in by_source.values():
+        s1 = [r["n_tokens"] for r in members if r["stage"] == 1]
+        s4 = [r["n_tokens"] for r in members if r["stage"] == 4]
+        if s1 and s4:
+            assert max(s1) <= min(s4)
+        # ntile balance: stage sizes differ by at most one
+        sizes = [sum(1 for r in members if r["stage"] == s) for s in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_embedding_dedup_drops_exactly_pair_members(spark, sf_dir):
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, 0.45, method="grid")
+    expected_dropped = {r["id_b"] for r in pairs.collect()}
+    kept = {r["vec_id"] for r in all_queries()["embedding_dedup"].spark(spark, sf_dir).collect()}
+    everyone = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept == everyone - expected_dropped
+    assert len(expected_dropped) > 0  # non-vacuous at sf0.001
