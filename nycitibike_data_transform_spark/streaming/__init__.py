@@ -10,6 +10,7 @@ from nycitibike_data_transform_spark.streaming.events import (
     write_stream_exactly_once,
 )
 from nycitibike_data_transform_spark.streaming.documents import (
+    document_dedup_stream,
     quality_filter_stream,
     read_documents_stream,
     source_counts_stream,
@@ -24,6 +25,7 @@ __all__ = [
     "click_purchase_join_stream",
     "running_user_totals",
     "read_documents_stream",
+    "document_dedup_stream",
     "quality_filter_stream",
     "source_counts_stream",
     "run_stream_to_memory",

@@ -54,6 +54,28 @@ def quality_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *quality_filter_columns())
 
 
+def document_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup of the document feed: the same
+    normalized-text md5 fingerprint the batch ``dedup_exact`` query
+    keys on, deduplicated with ``dropDuplicatesWithinWatermark`` over
+    an ingest-time watermark — a replayed or double-delivered document
+    inside the 10-minute horizon is emitted once. State is bounded by
+    the horizon (fingerprints seen in the last 10 minutes), not the
+    corpus, which is what makes exact dedup viable on an unbounded
+    feed; a full-history dedup belongs to the batch path."""
+    from nycitibike_data_transform_spark.functions.text import normalize_text
+
+    docs = read_documents_stream(spark, sf_dir)
+    fingerprint = F.md5(F.coalesce(normalize_text(F.col("text")), F.lit("")))
+    return (
+        docs.withColumn("fingerprint", fingerprint)
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .drop("ingest_ts")
+    )
+
+
 def source_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) doc/token counts as a streaming aggregation.
     State is one row per domain pair — bounded by |sources × langs|,

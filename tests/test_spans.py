@@ -242,6 +242,52 @@ def test_span_stats_match_python_reference(spark, corpora):
     assert got == _ref_span_stats(rows, width=3)
 
 
+def _ref_strip(rows: list[tuple[int, str]], width: int) -> dict[int, tuple]:
+    """Pure-Python reference for strip_duplicate_spans."""
+    import re
+
+    toks: dict[int, list[str]] = {}
+    for doc_id, text in rows:
+        nt = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        toks[doc_id] = nt.split(" ") if nt else []
+    occurrences: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        w = toks[d]
+        for p in range(len(w) - width + 1):
+            occurrences.setdefault(tuple(w[p : p + width]), []).append((d, p + 1))
+    cut: dict[int, set[int]] = {d: set() for d in toks}
+    for occ in occurrences.values():
+        if len(occ) < 2:
+            continue
+        for d, p in sorted(occ)[1:]:  # keep globally-first occurrence
+            cut[d].update(range(p, p + width))
+    out = {}
+    for d, w in toks.items():
+        kept = [t for i, t in enumerate(w, start=1) if i not in cut[d]]
+        out[d] = (len(w), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_strip_matches_python_reference(spark, corpora):
+    from nycitibike_data_transform_spark.operators.spans import strip_duplicate_spans
+
+    rows = [(i, " ".join(tokens)) for i, tokens in enumerate(corpora)]
+    docs = _docs(spark, rows)
+    got = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"], r["text_clean"])
+        for r in strip_duplicate_spans(docs, width=3).collect()
+    }
+    assert got == _ref_strip(rows, width=3)
+
+
 def test_shard_manifest_partitions_corpus(spark, sf_dir):
     from nycitibike_data_transform_spark.catalog import load_table
     from nycitibike_data_transform_spark.queries import all_queries

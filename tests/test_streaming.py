@@ -145,6 +145,32 @@ def test_foreachbatch_exactly_once_sink(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == batch_total
 
 
+def test_document_dedup_stream_matches_batch_fingerprints(spark, sf_dir):
+    """Streaming exact dedup emits exactly one row per distinct batch
+    fingerprint on a bounded input (all arrivals inside one
+    watermark horizon)."""
+    from nycitibike_data_transform_spark.streaming.documents import (
+        document_dedup_stream,
+    )
+
+    df = document_dedup_stream(spark, sf_dir)
+    assert df.isStreaming
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("doc_dedup_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "SELECT count(*) n, count(DISTINCT fingerprint) d FROM doc_dedup_test"
+    ).first()
+    batch = all_queries()["dedup_exact"].spark(spark, sf_dir)
+    assert out["n"] == out["d"]  # no duplicate fingerprints emitted
+    assert out["n"] == batch.count()  # one survivor per batch group
+
+
 def test_quality_filter_stream_matches_batch(spark, sf_dir):
     from nycitibike_data_transform_spark.streaming.documents import (
         quality_filter_stream,
