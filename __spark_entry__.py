@@ -39,7 +39,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query; hash-sketch operators
-    (minhash/simhash/LSH-ANN, engine-specific hash bits) and HLL
-    sketches are intentionally omitted → rows-only checks."""
+    """DuckDB-runnable ANSI SQL per query — since round 5 EVERY
+    registry query has one: sketch operators whose raw outputs are
+    engine-specific (minhash/simhash/LSH-ANN/HLL/xxhash sampling)
+    emit closed-form invariant verdicts the oracle states exactly
+    (containment, recall floors, rtol bounds, split disjointness)."""
     return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle}

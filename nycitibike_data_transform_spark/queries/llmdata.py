@@ -1777,18 +1777,19 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.floor(
         F.sqrt(F.col("available_tokens").cast("double") * F.col("__max_avail"))
     ).cast("long")
+    # an all-empty source has 0 available tokens: its target is 0 and
+    # the 0/0 fraction must be 0, not NaN (ANSI cast(ceil(NaN)) raises)
+    frac = F.when(F.col("available_tokens") == 0, F.lit(0.0)).otherwise(
+        target.cast("double") / F.col("available_tokens")
+    )
     return (
         per_source.crossJoin(F.broadcast(max_row))
         .select(
             "source",
             "available_tokens",
             target.alias("target_tokens"),
-            F.round(
-                target.cast("double") / F.col("available_tokens"), 6
-            ).alias("sample_fraction"),
-            F.ceil(target.cast("double") / F.col("available_tokens"))
-            .cast("long")
-            .alias("n_epochs"),
+            F.round(frac, 6).alias("sample_fraction"),
+            F.ceil(frac).cast("long").alias("n_epochs"),
         )
     )
 
@@ -1803,16 +1804,20 @@ WITH per_source AS (
         FROM documents)
   GROUP BY 1
 ),
-m AS (SELECT max(available_tokens) AS max_avail FROM per_source)
-SELECT source,
-       available_tokens,
-       CAST(floor(sqrt(CAST(available_tokens AS DOUBLE) * max_avail)) AS BIGINT)
-           AS target_tokens,
-       round(CAST(floor(sqrt(CAST(available_tokens AS DOUBLE) * max_avail)) AS DOUBLE)
-             / available_tokens, 6) AS sample_fraction,
-       CAST(ceil(CAST(floor(sqrt(CAST(available_tokens AS DOUBLE) * max_avail)) AS DOUBLE)
-                 / available_tokens) AS BIGINT) AS n_epochs
-FROM per_source, m
+m AS (SELECT max(available_tokens) AS max_avail FROM per_source),
+t AS (
+  SELECT source, available_tokens,
+         CAST(floor(sqrt(CAST(available_tokens AS DOUBLE) * max_avail)) AS BIGINT)
+             AS target_tokens,
+         CASE WHEN available_tokens = 0 THEN 0.0
+              ELSE CAST(floor(sqrt(CAST(available_tokens AS DOUBLE) * max_avail))
+                        AS DOUBLE) / available_tokens END AS frac
+  FROM per_source, m
+)
+SELECT source, available_tokens, target_tokens,
+       round(frac, 6) AS sample_fraction,
+       CAST(ceil(frac) AS BIGINT) AS n_epochs
+FROM t
 """
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

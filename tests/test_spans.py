@@ -288,6 +288,28 @@ def test_strip_matches_python_reference(spark, corpora):
     assert got == _ref_strip(rows, width=3)
 
 
+def test_mixture_plan_all_empty_source_gets_zero_not_nan(spark, tmp_path):
+    rows = [
+        (1, "", "emptysrc"),
+        (2, "   ", "emptysrc"),
+        (3, " ".join(["w"] * 8), "real"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], DOCS_SCHEMA
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    out = {
+        r["source"]: r
+        for r in all_queries()["mixture_plan"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out["emptysrc"]["available_tokens"] == 0
+    assert out["emptysrc"]["target_tokens"] == 0
+    assert out["emptysrc"]["sample_fraction"] == 0.0
+    assert out["emptysrc"]["n_epochs"] == 0
+    assert out["real"]["n_epochs"] == 1
+
+
 def test_shard_manifest_partitions_corpus(spark, sf_dir):
     from nycitibike_data_transform_spark.catalog import load_table
     from nycitibike_data_transform_spark.queries import all_queries

@@ -19,6 +19,12 @@ dedup_clusters 7.7× (vs ~100× pair growth — and down from 80× before
 connected_components checkpointed its edge list; see graph.py),
 dedup_incremental ~1× (banded cross-set join).
 
+Round-5 run (2026-08-14, same K): decontaminate 1.94×, stratified
+1.40×, source_mix 1.29×, dedup_clusters 9.7×, dedup_incremental ~1×,
+span_dedup 1.73×, mixture_plan 1.26×, shard_manifest 1.19× — the span
+pipeline's hash-count shuffle grows linearly even though every
+replica group multiplies duplicate-span occurrences by K.
+
 Usage: python tools/stress_llmdata.py [K] [scratch_dir]
 Prints one JSON line with per-query [t_1x, t_Kx, ratio].
 """
@@ -48,6 +54,7 @@ QUERIES = (
     # span (replica groups), so ~K growth proves the count/join path
     # has no pairwise term
     "span_dedup",
+    "span_strip",
     "mixture_plan",
     "shard_manifest",
 )
