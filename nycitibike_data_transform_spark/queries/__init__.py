@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "shard_manifest",
     "embedding_dedup",
     "curriculum_stages",
+    "dataset_report",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",

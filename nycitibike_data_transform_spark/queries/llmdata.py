@@ -1115,6 +1115,74 @@ SELECT doc_id,
 FROM sig
 """
 
+_DATASET_REPORT_GROUPING = """
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_share,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS INTEGER) AS gid
+FROM {src}
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+"""
+
+
+def _q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data card a training-corpus export publishes: doc/token
+    counts and quality-pass share per (source, lang), per source, and
+    corpus-wide, in one GROUPING SETS pass (grouping id disambiguates
+    rollup rows from genuine NULL domains). Two-phase hash agg over
+    |sources × langs| groups — one shuffle, map-side combined."""
+    t = load(spark, sf_dir, "documents")
+    cols = quality_score_columns(F.col("text"))
+    per_doc = fan_out(t["documents"]).select(
+        "source",
+        "lang",
+        cols["n_tokens"].cast("long").alias("n_tokens"),
+        quality_filter_columns()[-1],  # aliased 'keep'
+    )
+    per_doc.createOrReplaceTempView("__dataset_docs")
+    return spark.sql(_DATASET_REPORT_GROUPING.format(src="__dataset_docs"))
+
+
+_DATASET_REPORT_SQL = rf"""
+WITH norm AS (
+  SELECT source, lang,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT source, lang, nt,
+         CASE WHEN length(nt) = 0 THEN 0
+              ELSE CAST(len(string_split(nt, ' ')) AS INTEGER) END AS n_tokens,
+         ' ' || nt || ' ' AS padded
+  FROM norm
+),
+sig AS (
+  SELECT source, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE CAST(length(replace(nt, ' ', '')) AS DOUBLE) / n_tokens END, 6)
+             AS mean_token_len,
+         round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE (
+             (length(padded) - length(replace(padded, ' the ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' and ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' of ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' a ', ''))) / 3.0
+           + (length(padded) - length(replace(padded, ' to ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' in ', ''))) / 4.0
+         ) / n_tokens END, 6) AS stopword_ratio
+  FROM tok
+),
+perdoc AS (
+  SELECT source, lang, n_tokens,
+         CAST(n_tokens BETWEEN {_QF_MIN_TOKENS} AND {_QF_MAX_TOKENS}
+              AND mean_token_len BETWEEN {_QF_MIN_MEAN_TOK} AND {_QF_MAX_MEAN_TOK}
+              AND stopword_ratio >= {_QF_MIN_STOPWORD} AS INT) AS keep
+  FROM sig
+)
+{_DATASET_REPORT_GROUPING.format(src="perdoc")}
+"""
+
 # ---------------------------------------------------- decontamination
 
 # every doc_id ≡ 0 (mod this) plays the held-out benchmark set; the
@@ -1999,4 +2067,5 @@ QUERIES: dict[str, QuerySpec] = {
     "shard_manifest": QuerySpec(_q_shard_manifest, _SHARD_MANIFEST_SQL),
     "embedding_dedup": QuerySpec(_q_embedding_dedup, _EMBEDDING_DEDUP_SQL),
     "curriculum_stages": QuerySpec(_q_curriculum_stages, _CURRICULUM_SQL),
+    "dataset_report": QuerySpec(_q_dataset_report, _DATASET_REPORT_SQL),
 }

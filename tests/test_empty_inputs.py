@@ -39,15 +39,20 @@ DOC_QUERIES = (
     "shard_manifest",
     "embedding_dedup",
     "curriculum_stages",
+    # GROUPING SETS containing () still yields 0 groups over an empty
+    # relation (both engines) — only implicit global aggregation
+    # produces the 1-row summary shape
+    "dataset_report",
 )
 
-# Global-aggregate verdict queries: a SQL aggregation with no GROUP BY
-# returns exactly one row even over empty input (count=0, recall NULL)
-# — the correct empty-corpus answer is one summary row, not zero rows.
-SUMMARY_QUERIES = (
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
-)
+# Global-aggregate queries: a SQL aggregation with no GROUP BY
+# returns exactly one row even over empty input — the correct
+# empty-corpus answer is one summary row with zero counts, not zero
+# rows. name -> zero-count column to check.
+SUMMARY_QUERIES = {
+    "cosine_topk_lsh": "n_exact_pairs",
+    "cosine_topk_ivf": "n_exact_pairs",
+}
 
 
 @pytest.fixture(scope="module")
@@ -65,11 +70,11 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
     assert all_queries()[name].spark(spark, empty_dir).count() == 0
 
 
-@pytest.mark.parametrize("name", SUMMARY_QUERIES)
+@pytest.mark.parametrize("name", sorted(SUMMARY_QUERIES))
 def test_summary_query_survives_empty_tables(spark, empty_dir, name):
     rows = all_queries()[name].spark(spark, empty_dir).collect()
     assert len(rows) == 1
-    assert rows[0]["n_exact_pairs"] == 0
+    assert rows[0][SUMMARY_QUERIES[name]] == 0
 
 
 def test_srp_tier_survives_empty_embeddings(spark, empty_dir):
@@ -115,6 +120,7 @@ ADVERSARIAL_QUERIES = (
     "mixture_plan",
     "shard_manifest",
     "curriculum_stages",
+    "dataset_report",
 )
 
 
