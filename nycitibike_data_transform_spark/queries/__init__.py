@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_dedup",
     "curriculum_stages",
     "dataset_report",
+    "compression_signal",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",

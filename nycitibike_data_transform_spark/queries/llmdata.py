@@ -1115,6 +1115,36 @@ SELECT doc_id,
 FROM sig
 """
 
+def _q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (Arrow-batched zlib pandas_udf
+    — see operators/compression.py). The raw DEFLATE byte count is
+    not engine-portable, so the oracle-facing columns are the exact
+    NULL pattern plus a bounds verdict; the ratio's semantics
+    (repetitive ≪ prose) are pinned by unit tests."""
+    from nycitibike_data_transform_spark.operators.compression import (
+        ratio_verdict,
+        zlib_ratio,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = fan_out(t["documents"])
+    r = zlib_ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_chars"),
+        ratio_verdict(F.col("text"), r).alias("ratio_ok"),
+    )
+
+
+_COMPRESSION_SIGNAL_SQL = """
+SELECT doc_id,
+       CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+       CASE WHEN text IS NULL OR length(text) = 0 THEN NULL ELSE true END
+           AS ratio_ok
+FROM documents
+"""
+
+
 _DATASET_REPORT_GROUPING = """
 SELECT source, lang,
        count(*) AS n_docs,
@@ -2068,4 +2098,5 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_dedup": QuerySpec(_q_embedding_dedup, _EMBEDDING_DEDUP_SQL),
     "curriculum_stages": QuerySpec(_q_curriculum_stages, _CURRICULUM_SQL),
     "dataset_report": QuerySpec(_q_dataset_report, _DATASET_REPORT_SQL),
+    "compression_signal": QuerySpec(_q_compression_signal, _COMPRESSION_SIGNAL_SQL),
 }

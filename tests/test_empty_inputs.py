@@ -43,6 +43,7 @@ DOC_QUERIES = (
     # relation (both engines) — only implicit global aggregation
     # produces the 1-row summary shape
     "dataset_report",
+    "compression_signal",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -121,6 +122,7 @@ ADVERSARIAL_QUERIES = (
     "shard_manifest",
     "curriculum_stages",
     "dataset_report",
+    "compression_signal",
 )
 
 
