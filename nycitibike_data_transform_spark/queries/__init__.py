@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "curriculum_stages",
     "dataset_report",
     "compression_signal",
+    "perplexity_score",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",

@@ -1145,6 +1145,93 @@ FROM documents
 """
 
 
+def _q_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity per document — the degenerate
+    (order-free) member of the n-gram-LM family CCNet-style pipelines
+    filter on: log-ppl(doc) = ln(N) − (1/n)·Σ m_w·ln(count_w), where
+    count_w is the token's corpus frequency and N the corpus token
+    total. Out-of-distribution / gibberish documents score high,
+    boilerplate scores low.
+
+    Determinism: the per-document Σ m·ln(count) is a DOUBLE sum, so
+    both engines fold it in the SAME token order — Spark via
+    F.aggregate over an array_sort'ed (token, m, count) list, DuckDB
+    via an ORDER BY-qualified aggregate (binary collation matches
+    Spark's string order; tokens are distinct per doc so the order is
+    total). ln is transcendental → result rounded to 6 (contract in
+    queries/__init__.py). Scale shape: two shuffles (corpus vocab
+    count on token, per-doc fold on doc_id) + a 1-row total broadcast;
+    the vocab join shuffles on token — no broadcast dependence on
+    vocabulary size."""
+    from nycitibike_data_transform_spark.operators.spans import _token_array
+
+    t = load(spark, sf_dir, "documents")
+    docs = fan_out(t["documents"])
+    tok_rows = docs.select(
+        "doc_id", F.explode(_token_array("text")).alias("tok")
+    )
+    vocab = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = tok_rows.agg(F.count(F.lit(1)).alias("__n_total"))
+    per = tok_rows.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("__m"))
+    folded = (
+        per.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__m").alias("__n_tok"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "__m", "__c"))),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["__m"].cast("double") * F.log(x["__c"].cast("double")),
+            ).alias("__sum_mlogc"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(folded, "doc_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.log(F.col("__n_total").cast("double"))
+                - F.col("__sum_mlogc") / F.col("__n_tok"),
+                6,
+            ).alias("log_perplexity"),
+        )
+    )
+
+
+_PERPLEXITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(nt, '') = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+tok_rows AS (
+  SELECT doc_id, unnest(w) AS tok FROM base WHERE len(w) > 0
+),
+vocab AS (SELECT tok, count(*) AS c FROM tok_rows GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM tok_rows),
+per AS (SELECT doc_id, tok, count(*) AS m FROM tok_rows GROUP BY 1, 2),
+folded AS (
+  SELECT doc_id,
+         CAST(sum(m) AS BIGINT) AS n_tok,
+         sum(CAST(m AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY tok) AS sum_mlogc
+  FROM per JOIN vocab USING (tok)
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(coalesce(f.n_tok, 0) AS BIGINT) AS n_tokens,
+       round(ln(CAST(t.n_total AS DOUBLE)) - f.sum_mlogc / f.n_tok, 6)
+           AS log_perplexity
+FROM base b
+LEFT JOIN folded f USING (doc_id), tot t
+"""
+
+
 _DATASET_REPORT_GROUPING = """
 SELECT source, lang,
        count(*) AS n_docs,
@@ -2099,4 +2186,5 @@ QUERIES: dict[str, QuerySpec] = {
     "curriculum_stages": QuerySpec(_q_curriculum_stages, _CURRICULUM_SQL),
     "dataset_report": QuerySpec(_q_dataset_report, _DATASET_REPORT_SQL),
     "compression_signal": QuerySpec(_q_compression_signal, _COMPRESSION_SIGNAL_SQL),
+    "perplexity_score": QuerySpec(_q_perplexity_score, _PERPLEXITY_SQL),
 }

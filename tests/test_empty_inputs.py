@@ -44,6 +44,7 @@ DOC_QUERIES = (
     # produces the 1-row summary shape
     "dataset_report",
     "compression_signal",
+    "perplexity_score",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -123,6 +124,7 @@ ADVERSARIAL_QUERIES = (
     "curriculum_stages",
     "dataset_report",
     "compression_signal",
+    "perplexity_score",
 )
 
 

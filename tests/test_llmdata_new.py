@@ -171,3 +171,48 @@ def test_embedding_dedup_drops_exactly_pair_members(spark, sf_dir):
     everyone = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert kept == everyone - expected_dropped
     assert len(expected_dropped) > 0  # non-vacuous at sf0.001
+
+
+def test_perplexity_semantics_on_fixture(spark, tmp_path):
+    """Repeated boilerplate scores LOW perplexity, a doc of
+    corpus-rare tokens scores HIGH; hand-checked closed form on a
+    tiny corpus."""
+    import math
+
+    rows = [
+        (1, "a a a a"),        # common tokens
+        (2, "a a a a"),
+        (3, "x y z q"),        # singletons
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["perplexity_score"].spark(spark, str(tmp_path)).collect()
+    }
+    # corpus: N=12; 'a' count 8, singles count 1 each
+    assert out[1]["log_perplexity"] == round(math.log(12) - math.log(8), 6)
+    assert out[3]["log_perplexity"] == round(math.log(12) - 0.0, 6)
+    assert out[3]["log_perplexity"] > out[1]["log_perplexity"]
+    assert out[1]["n_tokens"] == 4
+
+
+def test_perplexity_empty_docs_get_null(spark, tmp_path):
+    rows = [(1, None), (2, ""), (3, "hello hello world")]
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t) if t else 0) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["perplexity_score"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["log_perplexity"] is None and out[1]["n_tokens"] == 0
+    assert out[2]["log_perplexity"] is None
+    assert out[3]["log_perplexity"] is not None and out[3]["n_tokens"] == 3
