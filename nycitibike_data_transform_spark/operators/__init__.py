@@ -30,6 +30,11 @@ from nycitibike_data_transform_spark.operators.sampling import (
 )
 from nycitibike_data_transform_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from nycitibike_data_transform_spark.operators.skew import hot_keys, skew_split_join
+from nycitibike_data_transform_spark.operators.spans import (
+    duplicate_span_stats,
+    strip_duplicate_spans,
+)
+from nycitibike_data_transform_spark.operators.compression import zlib_ratio
 from nycitibike_data_transform_spark.operators.util import fan_out
 
 __all__ = [
@@ -61,5 +66,8 @@ __all__ = [
     "cosine_topk_lsh",
     "hot_keys",
     "skew_split_join",
+    "duplicate_span_stats",
+    "strip_duplicate_spans",
+    "zlib_ratio",
     "fan_out",
 ]
