@@ -132,3 +132,72 @@ def pack_sequences(
             F.floor(end_incl / seq_len).cast("long").alias("last_bin"),
         )
     )
+
+
+def render_packed_bins(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the actual ``seq_len``-token training rows the
+    packing describes: tokenize each document, lay the corpus out as
+    one id-ordered token stream (via ``pack_sequences``), and emit one
+    row per bin with its rendered text — a straddling document
+    contributes a token segment to each bin it spans.
+
+    Output: ``(bin_id, n_docs, n_tokens, text)``; every bin except
+    possibly the last holds exactly ``seq_len`` tokens.
+
+    Scale shape: pack_sequences' two-phase prefix sum plus one
+    (doc × spanned-bin) explode — O(docs + total_tokens/seq_len) rows
+    — and one shuffle on bin_id whose groups are bounded at seq_len
+    tokens. The per-bin concat orders segments by their global offset
+    (array_sort on a (seg_start, seg_text) struct), so the rendered
+    text is deterministic under any partitioning."""
+    from nycitibike_data_transform_spark.operators.spans import _token_array
+
+    toks = (
+        docs.select(F.col(id_col), _token_array(text_col).alias("__w"))
+        .withColumn("__n", F.size("__w"))
+        .filter(F.col("__n") > 0)
+    )
+    packed = pack_sequences(
+        toks.select(F.col(id_col), F.col("__n").alias("n_tokens")),
+        seq_len,
+        id_col=id_col,
+        tokens_col="n_tokens",
+    )
+    joined = packed.join(toks.select(F.col(id_col), "__w"), id_col)
+    seg = F.explode(
+        F.expr(
+            f"transform(sequence(first_bin, last_bin), b -> named_struct("
+            f" 'bin_id', b,"
+            f" 'seg_start', greatest(start_offset, b * {seq_len}),"
+            f" 'seg_len', least(start_offset + n_tokens, (b + 1) * {seq_len})"
+            f"            - greatest(start_offset, b * {seq_len})))"
+        )
+    ).alias("__s")
+    segs = joined.select("start_offset", "__w", seg).select(
+        F.col("__s.bin_id").alias("bin_id"),
+        F.col("__s.seg_start").alias("__seg_start"),
+        F.col("__s.seg_len").alias("__seg_len"),
+        F.expr(
+            "concat_ws(' ', slice(__w, cast(__s.seg_start - start_offset + 1 as int),"
+            " cast(__s.seg_len as int)))"
+        ).alias("__seg_text"),
+    )
+    return (
+        segs.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__seg_len").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(__seg_start, __seg_text))), x -> x.__seg_text)"
+                ),
+            ).alias("text"),
+        )
+    )

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dataset_report",
     "compression_signal",
     "perplexity_score",
+    "pack_render",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",

@@ -1232,6 +1232,65 @@ LEFT JOIN folded f USING (doc_id), tot t
 """
 
 
+_RENDER_SEQ_LEN = 64
+
+
+def _q_pack_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training rows: the corpus laid out as one
+    id-ordered token stream and chopped into 64-token bins, each bin
+    rendered as text (straddling docs contribute a segment per bin).
+    Engine side uses pack_sequences' two-phase prefix sum; the oracle
+    is the naive single-window global layout — byte-exact agreement
+    proves the scalable decomposition renders identically."""
+    from nycitibike_data_transform_spark.operators.packing import render_packed_bins
+
+    t = load(spark, sf_dir, "documents")
+    return render_packed_bins(t["documents"], _RENDER_SEQ_LEN)
+
+
+_PACK_RENDER_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(nt, '') = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+sized AS (SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) > 0),
+off AS (
+  SELECT doc_id, w, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM sized
+),
+spans AS (
+  SELECT doc_id, w, n, s,
+         CAST(floor(CAST(s AS DOUBLE) / {_RENDER_SEQ_LEN}) AS BIGINT) AS fb,
+         CAST(floor(CAST(s + n - 1 AS DOUBLE) / {_RENDER_SEQ_LEN}) AS BIGINT) AS lb
+  FROM off
+),
+segs AS (
+  SELECT b AS bin_id,
+         greatest(s, b * {_RENDER_SEQ_LEN}) AS seg_start,
+         least(s + n, (b + 1) * {_RENDER_SEQ_LEN})
+             - greatest(s, b * {_RENDER_SEQ_LEN}) AS seg_len,
+         array_to_string(
+             w[CAST(greatest(s, b * {_RENDER_SEQ_LEN}) - s + 1 AS BIGINT)
+               : CAST(greatest(s, b * {_RENDER_SEQ_LEN}) - s
+                      + least(s + n, (b + 1) * {_RENDER_SEQ_LEN})
+                      - greatest(s, b * {_RENDER_SEQ_LEN}) AS BIGINT)], ' ')
+             AS seg_text
+  FROM spans, unnest(generate_series(fb, lb)) AS t(b)
+)
+SELECT bin_id,
+       count(*) AS n_docs,
+       CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+       string_agg(seg_text, ' ' ORDER BY seg_start) AS text
+FROM segs
+GROUP BY 1
+"""
+
+
 _DATASET_REPORT_GROUPING = """
 SELECT source, lang,
        count(*) AS n_docs,
@@ -2187,4 +2246,5 @@ QUERIES: dict[str, QuerySpec] = {
     "dataset_report": QuerySpec(_q_dataset_report, _DATASET_REPORT_SQL),
     "compression_signal": QuerySpec(_q_compression_signal, _COMPRESSION_SIGNAL_SQL),
     "perplexity_score": QuerySpec(_q_perplexity_score, _PERPLEXITY_SQL),
+    "pack_render": QuerySpec(_q_pack_render, _PACK_RENDER_SQL),
 }

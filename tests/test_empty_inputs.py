@@ -45,6 +45,7 @@ DOC_QUERIES = (
     "dataset_report",
     "compression_signal",
     "perplexity_score",
+    "pack_render",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -125,6 +126,7 @@ ADVERSARIAL_QUERIES = (
     "dataset_report",
     "compression_signal",
     "perplexity_score",
+    "pack_render",
 )
 
 

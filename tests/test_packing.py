@@ -127,3 +127,52 @@ def test_rejects_null_ids(spark):
 def test_empty_input_auto_width(spark):
     df = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_sequences(df, 10).count() == 0
+
+
+# ------------------------------------------------------- bin rendering
+
+
+def test_render_packed_bins_exact_layout(spark):
+    from nycitibike_data_transform_spark.operators.packing import render_packed_bins
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h"), (3, "i j k l")],
+        "doc_id long, text string",
+    )
+    out = {r["bin_id"]: r for r in render_packed_bins(docs, 4).collect()}
+    assert out[0]["text"] == "a b c d" and out[0]["n_docs"] == 1
+    assert out[1]["text"] == "e f g h" and out[1]["n_docs"] == 2
+    assert out[2]["text"] == "i j k l"
+    assert all(r["n_tokens"] == 4 for r in out.values())
+
+
+def test_render_doc_straddling_many_bins(spark):
+    from nycitibike_data_transform_spark.operators.packing import render_packed_bins
+
+    # one 10-token doc across 4 bins of 3
+    docs = spark.createDataFrame(
+        [(7, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    out = {r["bin_id"]: r for r in render_packed_bins(docs, 3).collect()}
+    assert [out[b]["text"] for b in range(4)] == [
+        "t0 t1 t2", "t3 t4 t5", "t6 t7 t8", "t9",
+    ]
+    assert out[3]["n_tokens"] == 1  # short final bin
+
+
+def test_render_skips_empty_docs_and_covers_all_tokens(spark, sf_dir):
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.functions.text import token_count
+    from nycitibike_data_transform_spark.operators.packing import render_packed_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = render_packed_bins(docs, 64)
+    total_rendered = out.agg(F.sum("n_tokens")).first()[0]
+    total_tokens = docs.select(
+        token_count(F.col("text")).cast("long").alias("t")
+    ).agg(F.sum("t")).first()[0]
+    assert total_rendered == total_tokens
+    # every bin but the last is exactly full
+    n_bins = out.count()
+    full = out.filter(F.col("n_tokens") == 64).count()
+    assert full >= n_bins - 1
