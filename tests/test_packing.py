@@ -176,3 +176,45 @@ def test_render_skips_empty_docs_and_covers_all_tokens(spark, sf_dir):
     n_bins = out.count()
     full = out.filter(F.col("n_tokens") == 64).count()
     assert full >= n_bins - 1
+
+
+def _ref_render(rows, seq_len):
+    """Pure-Python reference: id-ordered token stream chopped into
+    seq_len bins."""
+    import re
+
+    stream = []
+    for _, text in sorted(rows):
+        nt = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        stream.extend(nt.split(" ") if nt else [])
+    out = {}
+    for b in range(0, (len(stream) + seq_len - 1) // seq_len):
+        seg = stream[b * seq_len : (b + 1) * seq_len]
+        out[b] = (len(seg), " ".join(seg))
+    return out
+
+
+def test_render_matches_python_reference_randomized(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nycitibike_data_transform_spark.operators.packing import render_packed_bins
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("abc"), min_size=0, max_size=9),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def inner(corpora):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["bin_id"]: (r["n_tokens"], r["text"])
+            for r in render_packed_bins(docs, 4).collect()
+        }
+        assert got == _ref_render(rows, 4)
+
+    inner()

@@ -57,6 +57,10 @@ QUERIES = (
     "span_strip",
     "mixture_plan",
     "shard_manifest",
+    # r5 tail: vocab-count + ordered-fold (perplexity) and the packed
+    # bin renderer (prefix sum + segment explode) — both linear shapes
+    "perplexity_score",
+    "pack_render",
 )
 
 
