@@ -191,22 +191,7 @@ def duplicate_span_stats(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _token_array(text_col).alias("__w")
-    ).withColumn("__n_tokens", F.size("__w"))
-
-    # (doc_id, pos, span-hash) — 1-based positions, matching SQL slice
-    # semantics so the DuckDB oracle mirrors this expression exactly.
-    span_structs = F.when(
-        F.col("__n_tokens") >= width,
-        F.expr(
-            f"transform(sequence(1, __n_tokens - {width - 1}),"
-            f" i -> struct(i as pos, concat_ws(' ', slice(__w, i, {width})) as span))"
-        ),
-    ).otherwise(F.expr("array()").cast("array<struct<pos:int,span:string>>"))
-    spans = base.select(
-        "doc_id", F.explode(span_structs).alias("__s")
-    ).select("doc_id", F.col("__s.pos").alias("pos"), F.md5("__s.span").alias("__h"))
+    base, spans = _spans_with_positions(docs, width, id_col, text_col)
 
     dup_hashes = (
         spans.groupBy("__h")
