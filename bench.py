@@ -38,23 +38,14 @@ HEADLINE = [
 ]
 
 
-def query_families() -> dict[str, str]:
-    """Map every registry query name to its source module (family)."""
-    from nycitibike_data_transform_spark.queries import (
-        advanced,
-        aux_nyc,
-        core,
-        events,
-        llmdata,
-        marts,
-    )
-
-    fam: dict[str, str] = {}
-    for mod in (core, marts, advanced, events, llmdata, aux_nyc):
-        short = mod.__name__.rsplit(".", 1)[-1]
-        for name in mod.QUERIES:
-            fam[name] = short
-    return fam
+def query_families(registry) -> dict[str, str]:
+    """Map every registry query name to its source module (family) —
+    derived from the callables themselves so a new query module can
+    never drift out of sync with this sweep."""
+    return {
+        name: spec.spark.__module__.rsplit(".", 1)[-1]
+        for name, spec in registry.items()
+    }
 
 
 def main() -> None:
@@ -91,7 +82,7 @@ def main() -> None:
     # codegen compile, which dominates for wide-aggregate queries
     # (simhash's 64 agg buffers: ~13 s compile, ~1.5 s warm). Compare
     # sweep numbers cold-to-cold across rounds, not to headline mins.
-    families = query_families()
+    families = query_families(registry)
     registry_timings: dict[str, float] = {}
     family_totals: dict[str, float] = {}
     for name, spec in registry.items():

@@ -42,9 +42,21 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count; empty/blank text counts 0 tokens."""
+    """Whitespace token count; empty/blank text counts 0 tokens.
+    NULL text stays NULL (mirrors the SQL oracles' propagation) —
+    callers aggregating across documents should coalesce to 0."""
     c = normalize_text(col)
     return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, " "))).cast("int")
+
+
+def token_array(col: Column | str) -> Column:
+    """Whitespace tokens of normalized text; NULL/blank → empty array
+    (downstream size/explode never see NULL). The shared tokenizer for
+    the span, packing, and perplexity pipelines."""
+    norm = F.coalesce(normalize_text(col), F.lit(""))
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
 
 
 def substring_occurrences(col: Column | str, needle: str) -> Column:

@@ -155,10 +155,10 @@ def render_packed_bins(
     tokens. The per-bin concat orders segments by their global offset
     (array_sort on a (seg_start, seg_text) struct), so the rendered
     text is deterministic under any partitioning."""
-    from nycitibike_data_transform_spark.operators.spans import _token_array
+    from nycitibike_data_transform_spark.functions.text import token_array
 
     toks = (
-        docs.select(F.col(id_col), _token_array(text_col).alias("__w"))
+        docs.select(F.col(id_col), token_array(text_col).alias("__w"))
         .withColumn("__n", F.size("__w"))
         .filter(F.col("__n") > 0)
     )

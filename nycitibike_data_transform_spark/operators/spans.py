@@ -33,16 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nycitibike_data_transform_spark.functions.text import normalize_text
+from nycitibike_data_transform_spark.functions.text import token_array
 
-
-def _token_array(text_col: str) -> F.Column:
-    """Whitespace tokens of normalized text; NULL/blank → empty array
-    (so downstream size/explode never see NULL)."""
-    norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
-    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
+# backward-compatible alias: the helper was promoted to
+# functions.text.token_array (shared with packing and perplexity)
+_token_array = token_array
 
 
 def _spans_with_positions(

@@ -1163,16 +1163,19 @@ def _q_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     count on token, per-doc fold on doc_id) + a 1-row total broadcast;
     the vocab join shuffles on token — no broadcast dependence on
     vocabulary size."""
-    from nycitibike_data_transform_spark.operators.spans import _token_array
+    from nycitibike_data_transform_spark.functions.text import token_array
 
     t = load(spark, sf_dir, "documents")
     docs = fan_out(t["documents"])
     tok_rows = docs.select(
-        "doc_id", F.explode(_token_array("text")).alias("tok")
+        "doc_id", F.explode(token_array("text")).alias("tok")
     )
-    vocab = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
-    total = tok_rows.agg(F.count(F.lit(1)).alias("__n_total"))
+    # one explode pass: vocab counts and the corpus total both derive
+    # from the per-(doc, token) aggregate instead of re-running the
+    # tokenize+explode subtree three times (review finding r5)
     per = tok_rows.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("__m"))
+    vocab = per.groupBy("tok").agg(F.sum("__m").alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n_total"))
     folded = (
         per.join(vocab, "tok")
         .groupBy("doc_id")
@@ -2012,8 +2015,13 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     from nycitibike_data_transform_spark.functions.text import token_count
 
+    # coalesce: token_count(NULL text) is NULL, and a source whose
+    # docs are ALL NULL-text would sum to NULL, bypassing the
+    # zero-token guard below (review finding r5)
     per_source = docs.groupBy("source").agg(
-        F.sum(token_count(F.col("text")).cast("long")).alias("available_tokens")
+        F.sum(
+            F.coalesce(token_count(F.col("text")), F.lit(0)).cast("long")
+        ).alias("available_tokens")
     )
     max_row = per_source.agg(
         F.max("available_tokens").alias("__max_avail")
@@ -2112,7 +2120,9 @@ def _q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir, "documents")
     docs = t["documents"]
-    tok = token_count(F.col("text")).cast("long")
+    # NULL text counts as 0 tokens (oracle parity + stable ordering:
+    # NULL would sort before 0 and shift ntile boundaries)
+    tok = F.coalesce(token_count(F.col("text")), F.lit(0)).cast("long")
     w = Window.partitionBy("source").orderBy("__tok", "doc_id")
     return (
         docs.select("doc_id", "source", tok.alias("__tok"))
@@ -2166,7 +2176,9 @@ def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             shard.alias("shard_id"),
             "doc_id",
-            token_count(F.col("text")).cast("long").alias("__tok"),
+            F.coalesce(token_count(F.col("text")), F.lit(0))
+            .cast("long")
+            .alias("__tok"),
             F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("__chars"),
         )
         .groupBy("shard_id")

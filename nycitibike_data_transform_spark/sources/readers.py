@@ -105,8 +105,10 @@ def read_jsonl_documents(
         schema = T.StructType(
             [*schema.fields, T.StructField("_corrupt_record", T.StringType(), True)]
         )
+    # pass the list itself — *unpacking* would send the second path
+    # into DataFrameReader.json's schema parameter
     paths = path if isinstance(path, list) else [path]
-    return spark.read.schema(schema).option("mode", mode).json(*paths)
+    return spark.read.schema(schema).option("mode", mode).json(paths)
 
 
 def write_jsonl_documents(df: DataFrame, path: str, shards: int | None = None) -> None:

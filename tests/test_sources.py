@@ -115,3 +115,20 @@ def test_jsonl_strict_raises_on_corrupt(spark, tmp_path):
     p.write_text('{"doc_id": 1}\nnot json\n')
     with pytest.raises(Exception):
         read_jsonl_documents(spark, str(p), strict=True).count()
+
+
+def test_jsonl_reader_accepts_multiple_paths(spark, sf_dir, tmp_path):
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.sources.readers import (
+        read_jsonl_documents,
+        write_jsonl_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a, b = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    write_jsonl_documents(a, f"{tmp_path}/a")
+    write_jsonl_documents(b, f"{tmp_path}/b")
+    back = read_jsonl_documents(
+        spark, [f"{tmp_path}/a", f"{tmp_path}/b"], strict=True
+    )
+    assert back.count() == docs.count()

@@ -319,3 +319,37 @@ def test_shard_manifest_partitions_corpus(spark, sf_dir):
     assert sum(r["n_docs"] for r in out) == docs.count()
     assert all(0 <= r["shard_id"] < 16 for r in out)
     assert all(r["min_doc_id"] <= r["max_doc_id"] for r in out)
+
+
+def test_export_queries_treat_null_text_as_zero_tokens(spark, tmp_path):
+    """A source/shard whose documents are ALL NULL-text must report 0
+    tokens (not NULL) from mixture_plan / shard_manifest, and
+    curriculum_stages must rank NULL-text docs as 0-token docs —
+    matching the oracles' coalesce semantics (review finding r5)."""
+    rows = [
+        (1, None, "nullsrc"),
+        (2, None, "nullsrc"),
+        (3, " ".join(["w"] * 8), "real"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t) if t else 0) for i, t, s in rows], DOCS_SCHEMA
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    mix = {
+        r["source"]: r
+        for r in all_queries()["mixture_plan"].spark(spark, str(tmp_path)).collect()
+    }
+    assert mix["nullsrc"]["available_tokens"] == 0
+    assert mix["nullsrc"]["target_tokens"] == 0
+    assert mix["nullsrc"]["sample_fraction"] == 0.0 and mix["nullsrc"]["n_epochs"] == 0
+
+    cur = {
+        r["doc_id"]: r
+        for r in all_queries()["curriculum_stages"].spark(spark, str(tmp_path)).collect()
+    }
+    assert cur[1]["n_tokens"] == 0 and cur[2]["n_tokens"] == 0
+
+    shards = all_queries()["shard_manifest"].spark(spark, str(tmp_path)).collect()
+    assert all(r["n_tokens"] is not None for r in shards)
+    assert sum(r["n_tokens"] for r in shards) == 8
