@@ -20,6 +20,8 @@ from graphlib import TopologicalSorter
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nycitibike_data_transform_spark.versioning import VersionedTable
+
 
 def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """Incremental MERGE (delete-insert emulation): rows from
@@ -86,7 +88,15 @@ def merge_upsert_partitioned(
             f"updates={sorted(updates.columns)}"
         )
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    affected = existing.filter(F.col(partition_col).isin(touched))
+    # isin() never matches NULL, but NULL is a legal partition value
+    # (__HIVE_DEFAULT_PARTITION__) and dynamic overwrite WILL rewrite
+    # it — without the isNull branch the existing null-partition rows
+    # would be silently dropped from the merge (review finding r5)
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(touched):
+        cond = cond | F.col(partition_col).isNull()
+    affected = existing.filter(cond)
     merged = merge_upsert(
         affected.select(*updates.columns), updates, keys
     ).localCheckpoint()
@@ -114,20 +124,36 @@ def scd2_apply(
     this environment):
 
     - ``dim`` rows whose key has an update get their open interval
-      closed at the update's timestamp;
-    - every update becomes a new current row (open interval).
+      closed at the batch's FIRST update timestamp for that key;
+    - the batch's updates for one key CHAIN: each closes at the next
+      update's timestamp, only the latest stays current — a batch
+      carrying several versions of a key yields a correct interval
+      history, never multiple simultaneously-open rows;
+    - an update whose ``(key, ts)`` already exists in ``dim`` as a
+      row's ``start_col`` is skipped, so re-running the same batch
+      (retry after a failed downstream write) is a no-op — true
+      idempotence, not the caller-beware caveat it used to be.
 
-    ``dim=None`` bootstraps from updates alone. Shuffle: each side
-    hashes once on the key. History stays append-only — re-running
-    with the same updates is idempotent IF callers de-duplicate
-    updates per (key, ts) first.
+    ``dim=None`` bootstraps from updates alone (chained). Shuffle:
+    each side hashes once on the key; the within-batch chaining is a
+    lag/lead window over the (tiny) update batch.
     """
     if not keys:
         raise ValueError("scd2_apply needs at least one key column")
+    from pyspark.sql import Window
+
+    if dim is not None:
+        # idempotence: drop updates already applied (their (key, ts)
+        # is some dim row's start) — a re-run becomes a no-op
+        seen = dim.select(*keys, F.col(start_col).alias(ts_col))
+        updates = updates.join(seen, [*keys, ts_col], "left_anti")
+
+    w_chain = Window.partitionBy(*keys).orderBy(ts_col)
+    nxt = F.lead(ts_col).over(w_chain)
     new_rows = (
         updates.withColumn(start_col, F.col(ts_col))
-        .withColumn(end_col, F.lit(None).cast("timestamp"))
-        .withColumn(current_col, F.lit(True))
+        .withColumn(end_col, nxt.cast("timestamp"))
+        .withColumn(current_col, nxt.isNull())
         .drop(ts_col)
     )
     if dim is None:
@@ -209,7 +235,11 @@ class Pipeline:
         return order
 
     def run(
-        self, spark: SparkSession, materialize: bool = True, versioned: bool = False
+        self,
+        spark: SparkSession,
+        materialize: bool = True,
+        versioned: bool = False,
+        keep_versions: int | None = None,
     ) -> dict[str, DataFrame]:
         """Build every model in topo order; optionally persist each as
         parquet (full refresh). Returns name -> DataFrame.
@@ -219,7 +249,13 @@ class Pipeline:
         (``versioning.VersionedTable``): each run commits a new
         immutable snapshot with an atomic pointer swap, so a killed
         run never corrupts the table, readers are snapshot-isolated,
-        and prior runs stay time-travel readable."""
+        and prior runs stay time-travel readable. ``keep_versions``
+        bounds retention (vacuum after each commit) — on the
+        reference's 4-hourly cadence an unbounded history is 6 full
+        table copies per day per model, so production runs should set
+        it; ``None`` keeps everything (explicit archival choice)."""
+        if keep_versions is not None and not versioned:
+            raise ValueError("keep_versions requires versioned=True")
         built: dict[str, DataFrame] = {}
 
         def resolve(name: str) -> DataFrame:
@@ -237,12 +273,10 @@ class Pipeline:
             if materialize and self.warehouse_dir:
                 path = f"{self.warehouse_dir}/{name}"
                 if versioned:
-                    from nycitibike_data_transform_spark.versioning import (
-                        VersionedTable,
-                    )
-
                     table = VersionedTable(path)
                     table.write_version(df, partition_by=model.partition_by)
+                    if keep_versions is not None:
+                        table.vacuum(keep=keep_versions)
                     df = table.read_current(spark)
                 else:
                     writer = df.write.mode("overwrite")

@@ -32,12 +32,17 @@ directory, so:
 
 Scale posture: the manifest holds file PATHS and schema metadata, not
 data — thousands of entries at most, like a Delta log checkpoint. The
-pointer swap is one rename. On a local/HDFS filesystem rename is
-atomic; on S3-style object stores the single-key PUT of ``_current``
-is the atomic primitive (concurrent WRITERS additionally need a
-conditional-put/lock service, exactly as Delta on S3 does — single-
-writer-many-readers is the supported contract here, matching the
-reference's one-scheduler model).
+pointer swap is one rename, fsync'd (file then directory) so the
+commit survives power loss, not just process death.
+
+Scope: THIS implementation's metadata I/O (manifest, pointer, vacuum)
+uses the local filesystem, so ``root`` must be a local path — a
+remote URI (hdfs://, s3a://) is rejected at construction rather than
+silently splitting the table's state between the cluster (data) and
+the driver host (metadata). The DESIGN ports to object stores — swap
+the pointer rename for a conditional PUT, exactly as Delta on S3 does
+— but that port is not written here. Single-writer-many-readers is
+the supported contract, matching the reference's one-scheduler model.
 """
 
 from __future__ import annotations
@@ -49,10 +54,34 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _durable_write(path: str, content: str) -> None:
+    """write-temp + fsync + atomic rename + fsync(dir): the rename is
+    the commit point and both the bytes and the directory entry are
+    on disk before this returns (process-kill safety needs only the
+    rename; power-loss safety needs the fsyncs)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    dir_fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
+
+
 class VersionedTable:
     """Single-writer, many-reader versioned parquet table."""
 
     def __init__(self, root: str):
+        if "://" in root:
+            raise ValueError(
+                f"VersionedTable root must be a local path, got {root!r}: "
+                "manifest/pointer I/O is local-filesystem (see module doc); "
+                "an object-store deployment needs the conditional-PUT port"
+            )
         self.root = root
         self._versions_dir = os.path.join(root, "_versions")
         self._pointer = os.path.join(root, "_current")
@@ -101,7 +130,13 @@ class VersionedTable:
             raise ValueError(
                 f"version {version} not committed (current={cur})"
             )
-        if not os.path.exists(self._manifest_path(version)):
+        if not os.path.exists(self._manifest_path(version)) or not os.path.isdir(
+            self._data_dir(version)
+        ):
+            # manifest-first vacuum ordering means a crashed vacuum can
+            # leave data without manifest, never the reverse — but check
+            # both so either shape gets this clear error instead of an
+            # opaque path-not-found from the parquet reader
             raise ValueError(f"version {version} was vacuumed")
         return spark.read.parquet(self._data_dir(version))
 
@@ -143,15 +178,8 @@ class VersionedTable:
             "partition_by": list(partition_by),
             "files": files,
         }
-        tmp = self._manifest_path(version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(version))
-
-        ptr_tmp = self._pointer + ".tmp"
-        with open(ptr_tmp, "w") as f:
-            f.write(str(version))
-        os.replace(ptr_tmp, self._pointer)  # the commit point
+        _durable_write(self._manifest_path(version), json.dumps(manifest))
+        _durable_write(self._pointer, str(version))  # the commit point
         return version
 
     def vacuum(self, keep: int = 2) -> list[int]:
@@ -164,16 +192,25 @@ class VersionedTable:
         drop = committed[:-keep] if len(committed) > keep else []
         removed = []
         for v in drop:
-            shutil.rmtree(self._data_dir(v), ignore_errors=True)
+            # manifest FIRST: a crash between the two steps must leave
+            # "clearly vacuumed" (no manifest), never "looks committed
+            # but data is gone" — versions()/read_version key off the
+            # manifest's existence
             try:
                 os.remove(self._manifest_path(v))
             except FileNotFoundError:
                 pass
+            shutil.rmtree(self._data_dir(v), ignore_errors=True)
             removed.append(v)
-        # orphans: data dirs above the committed pointer
+        # orphans: data dirs above the committed pointer (crashed
+        # writes) and manifest-less dirs below it (a vacuum that
+        # crashed between manifest removal and data removal)
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
             for name in os.listdir(data_root):
-                if name.startswith("v") and int(name[1:]) > cur:
+                if not name.startswith("v"):
+                    continue
+                v = int(name[1:])
+                if v > cur or not os.path.exists(self._manifest_path(v)):
                     shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
         return removed

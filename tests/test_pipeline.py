@@ -195,3 +195,68 @@ def test_full_reference_pipeline_end_to_end(spark, tmp_path, sf_dir):
     pruned = mart.filter(F.col("ride_date") == some_date)
     assert "PartitionFilters" in formatted_plan(pruned)
     assert (tmp_path / "wh" / "mart_borough_daily").exists()
+
+
+def test_scd2_chains_multiple_updates_for_one_key(spark):
+    import datetime as dt
+
+    from nycitibike_data_transform_spark.pipeline import scd2_apply
+
+    t1, t2, t3 = (
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 2, 1),
+        dt.datetime(2024, 3, 1),
+    )
+    dim = scd2_apply(
+        None,
+        spark.createDataFrame([(1, "v0", t1)], "k int, name string, ts timestamp"),
+        ["k"],
+        "ts",
+    )
+    # one batch carrying TWO versions of key 1 must chain intervals
+    batch = spark.createDataFrame(
+        [(1, "v1", t2), (1, "v2", t3)], "k int, name string, ts timestamp"
+    )
+    dim2 = scd2_apply(dim, batch, ["k"], "ts")
+    rows = sorted(dim2.collect(), key=lambda r: r["valid_from"])
+    assert [r["name"] for r in rows] == ["v0", "v1", "v2"]
+    assert [r["is_current"] for r in rows] == [False, False, True]
+    assert rows[0]["valid_to"] == t2
+    assert rows[1]["valid_to"] == t3  # chained within the batch
+    assert rows[2]["valid_to"] is None
+    assert dim2.filter("is_current").count() == 1
+
+
+def test_scd2_rerun_same_batch_is_noop(spark):
+    import datetime as dt
+
+    from nycitibike_data_transform_spark.pipeline import scd2_apply
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    u1 = spark.createDataFrame([(1, "v0", t1)], "k int, name string, ts timestamp")
+    u2 = spark.createDataFrame([(1, "v1", t2)], "k int, name string, ts timestamp")
+    dim = scd2_apply(scd2_apply(None, u1, ["k"], "ts"), u2, ["k"], "ts")
+    # retry after a failed downstream write: apply the same batch again
+    dim_retry = scd2_apply(dim, u2, ["k"], "ts")
+    a = sorted(map(tuple, dim.collect()))
+    b = sorted(map(tuple, dim_retry.collect()))
+    assert a == b  # no duplicate rows, no zero-width intervals
+
+
+def test_merge_upsert_partitioned_preserves_null_partition(spark, tmp_path):
+    from nycitibike_data_transform_spark.pipeline import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    existing = spark.createDataFrame(
+        [(1, "keep-null", None), (2, "keep-a", "a"), (3, "old", None)],
+        "k int, v string, p string",
+    )
+    existing.write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame([(3, "new", None)], "k int, v string, p string")
+    touched = merge_upsert_partitioned(spark, path, updates, ["k"], "p")
+    assert touched == [None]
+    rows = {r["k"]: (r["v"], r["p"]) for r in spark.read.parquet(path).collect()}
+    # k=1 lives in the NULL partition and was NOT in updates: preserved
+    assert rows[1] == ("keep-null", None)
+    assert rows[3] == ("new", None)
+    assert rows[2] == ("keep-a", "a")  # untouched partition intact

@@ -71,10 +71,10 @@ def test_crash_mid_write_never_corrupts_current(spark, tmp_path, monkeypatch, cr
     if crash_at == "manifest":
         import json as _json
 
-        def bad_dump(*a, **k):
+        def bad_dumps(*a, **k):
             raise boom
 
-        monkeypatch.setattr(_json, "dump", bad_dump)
+        monkeypatch.setattr(_json, "dumps", bad_dumps)
     else:  # pointer
         real_replace = os.replace
 
@@ -156,3 +156,58 @@ def test_pipeline_versioned_materialization(spark, tmp_path):
     assert t.versions() == [1, 2]
     assert {r["k"] for r in t.read_version(spark, 1).collect()} == {0}
     assert {r["k"] for r in t.read_current(spark).collect()} == {1}
+
+
+def test_remote_root_rejected():
+    import pytest
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    with pytest.raises(ValueError, match="local path"):
+        VersionedTable("s3a://bucket/wh/table")
+    with pytest.raises(ValueError, match="local path"):
+        VersionedTable("hdfs://nn/wh/table")
+
+
+def test_vacuum_crash_between_manifest_and_data_is_recoverable(spark, tmp_path):
+    """Manifest-first vacuum ordering: if vacuum dies after removing
+    the manifest but before the data dir, the version reads as
+    'vacuumed' (clear error, not a parquet path failure) and the next
+    vacuum sweeps the orphaned data dir."""
+    import os
+
+    import pytest
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.write_version(spark.range(i + 1).toDF("x"))
+    # simulate the crash: v1's manifest gone, data dir still present
+    os.remove(t._manifest_path(1))
+    assert os.path.isdir(t._data_dir(1))
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read_version(spark, 1)
+    assert t.versions() == [2, 3]
+    t.vacuum(keep=2)
+    assert not os.path.isdir(t._data_dir(1))  # orphan swept
+    assert t.read_current(spark).count() == 3
+
+
+def test_pipeline_run_bounds_retention(spark, tmp_path, sf_dir):
+    from nycitibike_data_transform_spark.pipeline import Pipeline
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    p = Pipeline(warehouse_dir=str(tmp_path))
+    p.add_source("nation", lambda s: s.read.parquet(f"{sf_dir}/nation.parquet"))
+    p.add_model("dim", lambda s, nation: nation.select("n_nationkey"), deps=("nation",))
+    for _ in range(4):
+        p.run(spark, versioned=True, keep_versions=2)
+    t = VersionedTable(str(tmp_path / "dim"))
+    assert t.versions() == [3, 4]  # retention bounded at 2
+    assert t.read_current(spark).count() == 25
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires versioned"):
+        p.run(spark, keep_versions=2)
