@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nycitibike_data_transform_spark.functions.text import normalize_text, text_fingerprint
+from nycitibike_data_transform_spark.functions.text import (
+    normalize_text,
+    text_fingerprint,
+    token_array,
+)
 from nycitibike_data_transform_spark.operators.util import fan_out
 
 # ----------------------------------------------------------------- exact
@@ -52,15 +56,29 @@ def drop_exact_duplicates(
 ) -> DataFrame:
     """Keep only the min-id representative row of each duplicate group
     (window-free: semi-join against the winners, preserving all source
-    columns without shuffling the full payload through a window)."""
-    winners = exact_dedup(df, text_col, id_col).select(id_col)
-    return df.join(winners, id_col, "left_semi")
+    columns without shuffling the full payload through a window).
+
+    Contentless documents (NULL or whitespace-only text) are NOT
+    deduplicated against each other — they all share one fingerprint
+    and naive grouping would silently delete every one but the first
+    even though they are not copies of anything. They pass through
+    unchanged; dropping them is a quality-filter decision, not a
+    dedup decision."""
+    norm_len = F.length(F.coalesce(normalize_text(F.col(text_col)), F.lit("")))
+    contentful = df.filter(norm_len > 0)
+    contentless = df.filter(norm_len == 0)
+    winners = exact_dedup(contentful, text_col, id_col).select(id_col)
+    return contentful.join(winners, id_col, "left_semi").unionByName(contentless)
 
 
 # -------------------------------------------------------- shingles / jaccard
 
 def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:
-    return df.withColumn(out_col, F.split(normalize_text(text_col), " "))
+    """The shared tokenizer (functions.text.token_array): NULL/blank
+    text → empty array, so every downstream pipeline (shingles,
+    MinHash, SimHash) agrees that contentless docs have no tokens —
+    a bare split() would hand SimHash a [''] token for blank docs."""
+    return df.withColumn(out_col, token_array(text_col))
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -114,6 +132,13 @@ def ngram_jaccard_pairs(
     off for oracle-checked queries.
     """
     if mode == "blocked":
+        if max_shingle_df is not None:
+            raise ValueError(
+                "max_shingle_df applies to the exact tier's shingle "
+                "self-join only; the blocked tier has no hot-shingle "
+                "reducer to cap (its join key is the MinHash bucket) — "
+                "drop the argument or use mode='exact'"
+            )
         candidates = minhash_candidate_pairs(
             df, text_col, id_col, n, num_hashes=num_hashes, bands=bands
         )
@@ -308,8 +333,14 @@ def jaccard_on_candidate_pairs(
     jaccard = common.cast("double") / (
         F.size("set_a") + F.size("set_b") - common
     ).cast("double")
+    # no broadcast HINT on candidates: their volume ≈ true-pair volume,
+    # which on a heavily-duplicated crawl is billions of rows — a
+    # forced broadcast would OOM the driver exactly where this
+    # operator is needed most. AQE still broadcasts at runtime
+    # whenever the candidate set is actually small (the common case),
+    # so the small-corpus plan is unchanged.
     return (
-        sa.join(F.broadcast(candidates), "doc_a")
+        sa.join(candidates, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -461,6 +492,10 @@ def flag_contaminated(
 
     bench_shingles = _sh(benchmark).select("shingle").distinct()
     if method == "auto":
+        # materialize the distinct set before counting it — the sizing
+        # count and the join below would otherwise each run the full
+        # benchmark tokenize+explode+distinct from scratch
+        bench_shingles = bench_shingles.localCheckpoint(eager=True)
         n_bench = bench_shingles.count()
         method = "broadcast" if n_bench <= broadcast_max_shingles else "shuffle"
     bench_side = (
@@ -565,33 +600,33 @@ def embedding_near_dup_pairs(
             )
             method = "grid"
 
-    # norms precomputed per vector BEFORE the pair join: the pair space
-    # is O(n²), so anything computable per-row must not run per-pair
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), l2_norm(vec_col).alias("na")
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), l2_norm(vec_col).alias("nb")
-    )
     denom = F.col("na") * F.col("nb")
     cosine = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
         dot_product(F.col("vec_a"), F.col("vec_b")) / denom
     )
     if method == "grid":
         blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int")
-        base = embeddings.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+        # norm computed BEFORE the B-way replication explode — a
+        # post-explode norm would be evaluated up to B times per
+        # vector (review finding r5), violating this function's own
+        # per-row-work-before-pair-join rule
+        base = embeddings.select(
+            F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_n"), blk.alias("_blk")
+        )
         left = base.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("vec_a"),
+            F.col("_n").alias("na"),
             F.col("_blk").alias("_lo"),
             F.explode(F.sequence(F.col("_blk"), F.lit(blocks - 1))).alias("_hi"),
-        ).withColumn("na", l2_norm("vec_a"))
+        )
         right = base.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vec_b"),
+            F.col("_n").alias("nb"),
             F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_lo"),
             F.col("_blk").alias("_hi"),
-        ).withColumn("nb", l2_norm("vec_b"))
+        )
         # cross-block pairs meet once (possibly id-unordered); same-block
         # pairs meet in both orders → keep one, then canonicalize ids.
         paired = (
@@ -646,6 +681,16 @@ def embedding_near_dup_pairs(
         raise ValueError(
             f"unknown method: {method!r} (expected 'grid', 'srp', or 'broadcast')"
         )
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(vec_col).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(vec_col).alias("nb"),
+    )
     return (
         fan_out(a)
         .join(F.broadcast(b), F.col("id_a") < F.col("id_b"))

@@ -65,9 +65,21 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine.alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k rank over (query_id, neighbor_id, cosine).
+    NULL cosines (zero-norm query or candidate — similarity undefined)
+    are excluded BEFORE ranking: without the filter they'd still
+    receive row numbers (nulls sort last but are numbered) and a
+    zero-norm query would 'return' k arbitrary neighbors."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -110,25 +122,6 @@ def srp_bucket(
     return df.withColumn("bucket", bucket.cast("int"))
 
 
-def _srp_bucket_expr(vec_col: str, dim: int, bits: int, seed: int):
-    """Bucket-id Column for one SRP table (int in [0, 2^bits))."""
-    planes = _projection_vectors(dim, bits, seed)
-    bucket = None
-    for i, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("int")
-
-
 def _banded_buckets(
     df: DataFrame, out_id: str, dim: int, bits: int, bands: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -160,8 +153,12 @@ def _banded_buckets(
         bucketed = signs.reshape(len(x), bands, bits) @ weights  # (n, bands)
         return pd.Series(list(bucketed.astype(np.int32)))
 
+    # NULL or wrong-length vectors would crash np.vstack inside the
+    # Python worker with an opaque error; filter them JVM-side first —
+    # mirroring how the expression tiers null-propagate such rows out
     return (
-        df.select(
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"{out_id}_vec"),
             F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket"),
@@ -204,6 +201,9 @@ def train_ivf_centroids(
     never the vectors themselves. Returns a (k, dim) numpy array —
     index metadata, small by construction, lives driver-side like any
     ANN index's quantizer."""
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )  # NULL/ragged vectors would crash the Arrow matmul
     seed_rows = (
         corpus.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
         .orderBy("__h")
@@ -225,12 +225,11 @@ def train_ivf_centroids(
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        # empty clusters keep their previous centroid (copy + sparse
+        # overwrite: a cluster with no members gets no sums rows)
         new = centroids.copy()
-        counts = np.zeros(len(centroids))
         for r in sums:
             new[r["cid"], r["pos"]] = r["s"] / r["n"]
-            counts[r["cid"]] = r["n"]
-        # empty clusters keep their previous centroid
         centroids = new
     return centroids
 
@@ -264,6 +263,11 @@ def cosine_topk_ivf(
         )
     c_assign = _assign_udf(centroids, nprobe=1)
     q_assign = _assign_udf(centroids, nprobe=nprobe)
+    # same NULL/ragged guard as _banded_buckets: the assign matmul
+    # can't take a missing or wrong-length vector
+    guard = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    corpus = corpus.filter(guard)
+    queries = queries.filter(guard)
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
@@ -285,12 +289,7 @@ def cosine_topk_ivf(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine.alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_topk_lsh(
@@ -327,9 +326,4 @@ def cosine_topk_lsh(
         "neighbor_id",
         cosine_similarity(F.col("query_id_vec"), F.col("neighbor_id_vec")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rank_topk(scored, k)

@@ -646,6 +646,7 @@ FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
+  WHERE cosine IS NOT NULL
 ) WHERE rank <= {_TOPK}
 """
 

@@ -255,3 +255,31 @@ def test_incremental_equals_exact_cross_set_on_testdata(spark, sf_dir):
     }
     assert got == truth
     assert any(v > 0 for v in truth.values())  # non-vacuous
+
+
+def test_drop_exact_duplicates_keeps_all_contentless_docs(spark):
+    from nycitibike_data_transform_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+
+    rows = [
+        (1, "same text here"),
+        (2, "same text here"),   # true duplicate of 1
+        (3, None),
+        (4, None),               # NOT a duplicate of 3 — no content
+        (5, "   "),
+        (6, "unique words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in drop_exact_duplicates(docs).collect()}
+    assert kept == {1, 3, 4, 5, 6}  # only the true duplicate dropped
+
+
+def test_blocked_mode_rejects_max_shingle_df(spark):
+    import pytest
+
+    from nycitibike_data_transform_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_shingle_df"):
+        ngram_jaccard_pairs(docs, mode="blocked", max_shingle_df=10)

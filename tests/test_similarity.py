@@ -90,3 +90,40 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     c2 = train_ivf_centroids(emb, dim=64, n_centroids=8, iterations=1)
     assert np.array_equal(c1, c2)
     assert c1.shape == (8, 64)
+
+
+def test_null_and_ragged_vectors_survive_all_tiers(spark):
+    """A NULL embedding or wrong-length vector must be filtered out
+    JVM-side, not crash the Arrow matmul in the Python worker."""
+    from nycitibike_data_transform_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, None),            # NULL vector
+        (4, [1.0, 2.0]),      # ragged length
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 1")
+    for out in (
+        cosine_topk(emb, q, k=3),
+        cosine_topk_lsh(emb, q, dim=3, k=3, bits=2, bands=4),
+        cosine_topk_ivf(emb, q, dim=3, k=3, n_centroids=2, nprobe=2),
+    ):
+        got = {r["neighbor_id"] for r in out.collect()}
+        assert 3 not in got and 4 not in got  # guarded rows never rank
+
+
+def test_zero_norm_query_returns_no_neighbors(spark):
+    from nycitibike_data_transform_spark.operators.similarity import cosine_topk
+
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(emb, emb.filter("vec_id = 1"), k=2)
+    # cosine undefined against a zero vector → no ranked neighbors
+    assert out.count() == 0
