@@ -727,3 +727,116 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def hamming_distance64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ------------------------------------------------- set-containment (prefix filter)
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed set-containment pairs: ``(src, dst)`` where
+    ``|S(src) ∩ S(dst)| / |S(src)| ≥ threshold`` over n-gram shingle
+    sets — the asymmetric cousin of Jaccard that catches PARTIAL
+    copies (a short doc quoted wholesale inside a long one has high
+    containment but low Jaccard, so MinHash-for-Jaccard never
+    surfaces it). Returns
+    ``(src_doc, dst_doc, src_shingles, overlap, containment)``;
+    both directions are emitted when both qualify (exact duplicates
+    appear twice, once per direction).
+
+    Unlike the LSH tiers this is EXACT with no recall loss: candidate
+    generation uses the *prefix filter* from the set-similarity-join
+    literature (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search"; Xiao et al. 2008 PPJoin). Order each doc's shingles by
+    global document frequency ascending (rarest first). A qualifying
+    container may miss at most ``|S| - ceil(t·|S|)`` of src's
+    shingles, so it must share one of src's
+    ``L = |S| - ceil(t·|S|) + 1`` RAREST shingles. Joining just that
+    L-shingle signature against the corpus shingle table yields a
+    complete candidate set.
+
+    Scale shape (100 TB):
+    - the signature join's keys are rare by construction (prefix
+      shingles are chosen df-ascending), so the classic hot-shingle
+      reducer of a naive shingle self-join never forms; boilerplate
+      shingles with huge df sit at the END of the df order and never
+      enter a signature at realistic thresholds;
+    - df counting and signature ranking are one shuffle on shingle
+      plus one per-doc window (shuffle on doc id);
+    - verification is the array_intersect pattern shared with the
+      Jaccard tiers: each side's shingle SET travels as one array
+      column through linear equi-joins on id — no exploded self-join;
+    - ceil(t·|S|) is computed with a 1e-9 downward bias so FP rounding
+      can only ENLARGE the signature (more candidates, never a missed
+      pair); the threshold itself is applied exactly in verification
+      with the same division the oracle uses.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    sh = (
+        tokenize(df, text_col)
+        .select(F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    w_size = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("__n_sh", F.count(F.lit(1)).over(w_size))
+    )
+    # signature length: |S| - ceil(t|S|) + 1, ceil biased low (→ L high)
+    sig_len = (
+        F.col("__n_sh")
+        - F.ceil(F.lit(threshold) * F.col("__n_sh") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    sigs = ranked.filter(F.col("__rk") <= sig_len).select(
+        F.col(id_col).alias("src_doc"), "shingle"
+    )
+    candidates = (
+        sigs.join(sh.select(F.col(id_col).alias("dst_doc"), "shingle"), "shingle")
+        .filter(F.col("src_doc") != F.col("dst_doc"))
+        .select("src_doc", "dst_doc")
+        .distinct()
+    )
+
+    # exact verify: shingle sets as arrays, linear joins by id (the
+    # jaccard_on_candidate_pairs shape — repartition pins one shared
+    # shingle computation under both join branches)
+    sets = (
+        tokenize(df, text_col)
+        .select(
+            F.col(id_col),
+            F.filter(shingles(F.col("tokens"), n), lambda s: F.length(s) > 0).alias(
+                "sh_set"
+            ),
+        )
+        .repartition(F.col(id_col))
+    )
+    s_src = sets.select(F.col(id_col).alias("src_doc"), F.col("sh_set").alias("set_src"))
+    s_dst = sets.select(F.col(id_col).alias("dst_doc"), F.col("sh_set").alias("set_dst"))
+    overlap = F.size(F.array_intersect("set_src", "set_dst"))
+    containment = overlap.cast("double") / F.size("set_src").cast("double")
+    return (
+        s_src.join(candidates, "src_doc")
+        .join(s_dst, "dst_doc")
+        .select(
+            "src_doc",
+            "dst_doc",
+            F.size("set_src").cast("int").alias("src_shingles"),
+            overlap.cast("int").alias("overlap"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1,0 +1,210 @@
+"""Corpus selection and deterministic shuffling for training export.
+
+Two export-time operators a training-data pipeline needs after
+filtering/dedup have decided WHAT is eligible:
+
+- ``token_budget_select``: greedy quality-ordered selection under a
+  global token budget ("give me the best N-billion tokens"). The core
+  computation is a cumulative token sum over the global quality order
+  — the same GLOBAL-prefix-sum shape as ``operators/packing.py``, and
+  the same textbook anti-pattern if written as one
+  ``Window.orderBy(...)`` (the whole corpus through a single reducer).
+  Implemented as the scalable two-phase prefix sum, bucketed on a
+  monotone band of the ordering key.
+
+- ``deterministic_shuffle``: a seeded, reproducible global shuffle
+  order + shard assignment (training wants corpus order decorrelated
+  from crawl/source order, and two runs with the same seed must
+  produce byte-identical shards). The global rank over the md5 keys is
+  again a two-phase prefix sum: the first two hex chars of the key ARE
+  a monotone 256-way bucketing of the key order, so within-bucket
+  ranks plus 256 bucket offsets reconstruct the exact global rank —
+  no global sort, no single-reducer window.
+
+North-star additions (SURVEY.md §2.9); the reference has no corpus
+surface (its models are relational SQL over ride feeds,
+models/staging/*.sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from nycitibike_data_transform_spark.operators.packing import MAX_BUCKETS
+
+
+def _null_guard(col: str, op: str) -> F.Column:
+    """An error expression fused into a required column so the plan
+    cannot prune the check away (same pattern as pack_sequences)."""
+    return F.when(
+        F.col(col).isNull(),
+        F.raise_error(F.lit(f"{op}: NULL {col}")).cast("long"),
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy take-while selection under a global token budget.
+
+    Documents are ranked by ``(score DESC, id ASC)`` — a total,
+    deterministic order — and selected while the running token total
+    stays ≤ ``budget`` (take-while: the first overflowing document
+    stops the selection; later smaller documents are NOT back-filled,
+    which keeps the output a pure prefix of the quality order and
+    therefore stable under corpus growth at the tail).
+
+    Output: one row per input doc —
+    ``(id_col, score, n_tokens, cum_tokens, selected)`` where
+    ``cum_tokens`` is the inclusive running total in selection order
+    and ``selected`` is 1 for the kept prefix.
+
+    Scale shape: two-phase global prefix sum. Docs bucket by a
+    monotone band of ``-score`` (band width derived from the observed
+    score range, per-band totals capped at ``MAX_BUCKETS`` rows);
+    running sums run WITHIN bands in parallel, then the band totals —
+    metadata-sized — get their own running sum and rejoin as base
+    offsets. One shuffle of (id, score, n_tokens) triples; the corpus
+    never serializes through one reducer. Caveat: a corpus where one
+    score value dominates concentrates its band on one reducer — when
+    every score is identical the operator falls back to bucketing by
+    id (the order is then purely the id order, same as packing).
+
+    ``id_col`` must be numeric non-NULL; NULL scores raise (a NULL
+    would sort nondeterministically between engines).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"token_budget_select: id_col {id_col!r} must be numeric, got "
+            f"{id_type.simpleString()}"
+        )
+    tok = (
+        _null_guard(id_col, "token_budget_select")
+        .when(
+            F.col(score_col).isNull(),
+            F.raise_error(F.lit(f"token_budget_select: NULL {score_col}")).cast("long"),
+        )
+        .otherwise(F.col(tokens_col).cast("long"))
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.col(score_col).cast("double").alias("score"),
+        tok.alias("__tok"),
+    )
+
+    # band width from the observed score range (one metadata-sized agg)
+    rng = d.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).first()
+    if rng["lo"] is None:  # empty input: any constant band works
+        bucket = F.lit(0).cast("long").alias("__bucket")
+    elif rng["hi"] == rng["lo"]:
+        # degenerate: order is purely by id — bucket by id like packing
+        id_rng = d.agg(
+            F.min(F.col(id_col).cast("double")).alias("lo"),
+            F.max(F.col(id_col).cast("double")).alias("hi"),
+        ).first()
+        span = float(id_rng["hi"]) - float(id_rng["lo"]) + 1.0
+        iw = max(1, int(span / MAX_BUCKETS) + 1)
+        bucket = F.floor(F.col(id_col) / F.lit(iw)).cast("long").alias("__bucket")
+    else:
+        width = (float(rng["hi"]) - float(rng["lo"])) / MAX_BUCKETS
+        # floor of a monotone map of -score: band order == score DESC
+        bucket = (
+            F.floor((-F.col("score")) / F.lit(width)).cast("long").alias("__bucket")
+        )
+    d = d.select(id_col, "score", "__tok", bucket)
+
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = d.withColumn("__run_in", F.sum("__tok").over(w_in))
+
+    # per-band totals: ≤ MAX_BUCKETS rows — the single-partition window
+    # here is over band metadata, not the corpus
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        d.groupBy("__bucket")
+        .agg(F.sum("__tok").alias("__btot"))
+        .withColumn("__base", F.coalesce(F.sum("__btot").over(w_b), F.lit(0)))
+        .select("__bucket", "__base")
+    )
+    cum = F.col("__base") + F.col("__run_in")
+    return (
+        within.join(F.broadcast(bases), "__bucket")
+        .select(
+            F.col(id_col),
+            F.col("score"),
+            F.col("__tok").alias("n_tokens"),
+            cum.cast("long").alias("cum_tokens"),
+            (cum <= F.lit(budget)).cast("int").alias("selected"),
+        )
+    )
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    seed: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded, reproducible global shuffle position + shard assignment.
+
+    Each doc's shuffle key is ``md5(seed || ':' || id)``; the global
+    position is the 1-based rank in ``(key ASC, id ASC)`` order and
+    the shard is round-robin ``(position - 1) % n_shards``. Same seed
+    → byte-identical order on any cluster size or engine (md5 is
+    engine-portable, unlike xxhash64 whose seed handling differs).
+
+    Scale shape: the first two hex chars of the key are a monotone
+    256-way bucketing of the key order (fixed-width hex compares
+    lexicographically == numerically), so the global rank decomposes
+    into parallel within-bucket ``row_number``s plus 256 bucket-count
+    offsets — a two-phase prefix sum; no global sort, no
+    single-reducer window, one shuffle of (id, 32-byte key) pairs.
+
+    Output: ``(id_col, shuffle_key, shuffle_pos, shard_id)``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # NULL-id guard fused into the key column itself (a separate guard
+    # column would be pruned away; same pattern as pack_sequences)
+    key = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"deterministic_shuffle: NULL {id_col}")).cast("string"),
+    ).otherwise(
+        F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    )
+    d = docs.select(F.col(id_col), key.alias("shuffle_key"))
+    bucket = F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int").alias("__bucket")
+    d = d.select(id_col, "shuffle_key", bucket)
+
+    w_in = Window.partitionBy("__bucket").orderBy(
+        F.col("shuffle_key").asc(), F.col(id_col).asc()
+    )
+    within = d.withColumn("__rn", F.row_number().over(w_in))
+
+    # ≤ 256 rows: offsets of each bucket in the global key order
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        d.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__base", F.coalesce(F.sum("__cnt").over(w_b), F.lit(0)))
+        .select("__bucket", "__base")
+    )
+    pos = (F.col("__base") + F.col("__rn")).cast("long")
+    return within.join(F.broadcast(bases), "__bucket").select(
+        F.col(id_col),
+        F.col("shuffle_key"),
+        pos.alias("shuffle_pos"),
+        ((pos - 1) % F.lit(n_shards)).cast("int").alias("shard_id"),
+    )

@@ -94,6 +94,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "compression_signal",
     "perplexity_score",
     "pack_render",
+    # new r5 (late-round): export-side corpus prep — budgeted
+    # selection, seeded shuffle, bigram LM, token histogram, and the
+    # prefix-filtered containment join (partial-copy detection)
+    "token_budget_select",
+    "global_shuffle",
+    "bigram_lm",
+    "token_histogram",
+    "containment_pairs",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",
@@ -135,14 +143,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "haversine",
     "quality_filter",
     "dedup_clusters",
+    # ---- past the 50-entry window: every entry below is hash-green
+    # in CORRECTNESS_r04 (44 in-window rows last round) and stays
+    # runnable + locally verified via tools/check_oracle.py ----
     "dedup_incremental",
     "dedup_keep_best",
     "stratified_sample",
     "window_running_qty",
     "quantiles",
-    # ---- past the 50-entry window: every entry below is hash-green
-    # in CORRECTNESS_r04 (44 in-window rows last round) and stays
-    # runnable + locally verified via tools/check_oracle.py ----
     "repetition_ratio",
     "source_mix_report",
     "resample_balanced",
@@ -183,10 +191,11 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         llmdata,
         marts,
+        textprep,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, marts, advanced, events, llmdata, aux_nyc):
+    for mod in (core, marts, advanced, events, llmdata, aux_nyc, textprep):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

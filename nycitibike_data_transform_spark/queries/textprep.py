@@ -1,0 +1,342 @@
+"""Corpus-preparation queries — budgeted selection, deterministic
+shuffling, n-gram language modeling, token histograms, and
+set-containment partial-copy detection (north-star additions,
+SURVEY.md §2.9) over the driver's ``documents`` table.
+
+These cover the export half of a training-data pipeline: after
+filtering and dedup decide what is *eligible*, these decide what is
+*shipped* and in what order. All five carry full SQL oracles — every
+operator here is exact/deterministic by construction (the global
+prefix sums are two-phase in Spark but proven against DuckDB's naive
+global windows; the containment join's prefix filter is lossless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.functions.text import (
+    quality_score_columns,
+    token_array,
+    token_count,
+)
+from nycitibike_data_transform_spark.operators.dedup import containment_pairs
+from nycitibike_data_transform_spark.operators.selection import (
+    deterministic_shuffle,
+    token_budget_select,
+)
+from nycitibike_data_transform_spark.queries import QuerySpec, load
+
+# ------------------------------------------------- token-budget selection
+
+_TB_BUDGET = 8_000  # ~1/3 of the sf0.01 corpus: a real strict subset
+
+
+def _q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered selection under a global token budget
+    ("ship the best 8k tokens"): docs ranked by (stopword-ratio
+    quality proxy DESC, doc_id ASC), taken while the running token
+    total stays within budget. The cumulative sum is a scalable
+    two-phase prefix sum (operators/selection.py); the oracle is the
+    naive single-window formulation, proving the decomposition exact."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sig = quality_score_columns(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.round(F.coalesce(sig["stopword_ratio"], F.lit(0.0)), 6).alias("score"),
+        F.coalesce(token_count("text"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    return token_budget_select(scored, budget=_TB_BUDGET)
+
+
+_TOKEN_BUDGET_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, nt,
+         CASE WHEN length(coalesce(nt, '')) = 0 THEN 0
+              ELSE CAST(len(string_split(nt, ' ')) AS INTEGER) END AS n_tokens,
+         ' ' || coalesce(nt, '') || ' ' AS padded
+  FROM norm
+),
+sc AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE (
+             (length(padded) - length(replace(padded, ' the ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' and ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' of ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' a ', ''))) / 3.0
+           + (length(padded) - length(replace(padded, ' to ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' in ', ''))) / 4.0
+         ) / n_tokens END, 6) AS score
+  FROM tok
+)
+SELECT doc_id, score, n_tokens,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(n_tokens) OVER w <= {_TB_BUDGET} AS INT) AS selected
+FROM sc
+WINDOW w AS (ORDER BY score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+# ------------------------------------------------- deterministic shuffle
+
+_SHUFFLE_SEED = "graft-r5"
+_N_SHARDS = 16
+
+
+def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded reproducible global shuffle: md5(seed:id) key, 1-based
+    global position in key order, round-robin shard. The global rank
+    is a two-phase prefix sum over the 256-way hex-prefix bucketing of
+    the key order (operators/selection.py) — the oracle's single
+    ROW_NUMBER window proves the decomposition exact."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return deterministic_shuffle(
+        docs.select("doc_id"), seed=_SHUFFLE_SEED, n_shards=_N_SHARDS
+    )
+
+
+_GLOBAL_SHUFFLE_SQL = rf"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+           AS shuffle_pos,
+       CAST((row_number() OVER (ORDER BY shuffle_key, doc_id) - 1)
+            % {_N_SHARDS} AS INT) AS shard_id
+FROM keyed
+"""
+
+# ------------------------------------------------------------- bigram LM
+
+_BL_TOP_PREFIXES = 20
+_BL_TOP_SUCC = 3
+
+
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model: MLE conditional probabilities
+    P(w2 | w1) for the top successors of the most frequent prefixes
+    (deterministic count-then-lexicographic tie-breaks). The building
+    block of perplexity scoring and of repeated-phrase diagnostics.
+
+    Scale shape: bigrams explode narrowly per doc (n_tokens - 1 rows)
+    and collapse immediately in a map-side-combinable count keyed by
+    the pair — post-shuffle volume is the bigram VOCABULARY, not the
+    corpus. Prefix totals reduce that again; the windows run over
+    vocabulary-sized frames only."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bigrams = F.when(
+        F.size("__w") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__w) - 1),"
+            " i -> struct(element_at(__w, i) as w1, element_at(__w, i + 1) as w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    pc = (
+        docs.select(token_array("text").alias("__w"))
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    pf = pc.groupBy("w1").agg(F.sum("pair_count").cast("long").alias("prefix_count"))
+    from pyspark.sql import Window
+
+    top_prefix = (
+        pf.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.col("prefix_count").desc(), F.col("w1").asc())
+            ),
+        )
+        .filter(F.col("__rn") <= _BL_TOP_PREFIXES)
+        .select("w1", "prefix_count")
+    )
+    ranked = pc.withColumn(
+        "succ_rank",
+        F.row_number().over(
+            Window.partitionBy("w1").orderBy(
+                F.col("pair_count").desc(), F.col("w2").asc()
+            )
+        ),
+    ).filter(F.col("succ_rank") <= _BL_TOP_SUCC)
+    return ranked.join(F.broadcast(top_prefix), "w1").select(
+        "w1",
+        "w2",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        "prefix_count",
+        F.round(
+            F.col("pair_count").cast("double") / F.col("prefix_count").cast("double"), 6
+        ).alias("cond_p"),
+        F.col("succ_rank").cast("int").alias("succ_rank"),
+    )
+
+
+_BIGRAM_LM_SQL = rf"""
+WITH toks AS (
+  SELECT CASE WHEN coalesce(nt, '') = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+bg AS (
+  SELECT u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 1, 0)),
+                   i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS u
+        FROM toks)
+),
+pc AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2),
+pf AS (SELECT w1, CAST(sum(pair_count) AS BIGINT) AS prefix_count
+       FROM pc GROUP BY 1),
+topp AS (
+  SELECT w1, prefix_count
+  FROM (SELECT w1, prefix_count,
+               row_number() OVER (ORDER BY prefix_count DESC, w1) AS rn
+        FROM pf)
+  WHERE rn <= {_BL_TOP_PREFIXES}
+),
+ranked AS (
+  SELECT w1, w2, pair_count,
+         row_number() OVER (PARTITION BY w1
+                            ORDER BY pair_count DESC, w2) AS succ_rank
+  FROM pc
+)
+SELECT r.w1, r.w2,
+       CAST(r.pair_count AS BIGINT) AS pair_count,
+       t.prefix_count,
+       round(CAST(r.pair_count AS DOUBLE) / CAST(t.prefix_count AS DOUBLE), 6)
+           AS cond_p,
+       CAST(r.succ_rank AS INT) AS succ_rank
+FROM ranked r JOIN topp t USING (w1)
+WHERE r.succ_rank <= {_BL_TOP_SUCC}
+"""
+
+# ------------------------------------------------------- token histogram
+
+
+def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log2-bucketed token-length histogram — the standard
+    corpus-composition diagnostic (is one source all tweets and
+    another all books?). Bucket b holds docs with 2^(b-1) ≤ tokens
+    < 2^b, via the engine-portable length-of-binary-string trick
+    (``bin()`` exists in Spark and DuckDB; no floating log2 whose
+    exact-power-of-two edges differ between libm implementations).
+    One map-side-combinable aggregation on (source, bucket) — output
+    is |sources| × ~32 rows at any corpus size."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    n = F.coalesce(token_count("text"), F.lit(0))
+    bucket = (
+        F.when(n == 0, F.lit(0)).otherwise(F.length(F.bin(n.cast("long")))).cast("int")
+    )
+    grouped = (
+        docs.select(F.col("source"), bucket.alias("bucket"), n.cast("long").alias("__n"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+        )
+    )
+    return grouped.select(
+        "source",
+        "bucket",
+        F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"))
+        .alias("bucket_lo"),
+        F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1"))
+        .alias("bucket_hi"),
+        "n_docs",
+        "total_tokens",
+    )
+
+
+_TOKEN_HISTOGRAM_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         CASE WHEN length(coalesce(nt, '')) = 0 THEN 0
+              ELSE len(string_split(nt, ' ')) END AS n_tokens
+  FROM (SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+bucketed AS (
+  SELECT source,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE length(bin(CAST(n_tokens AS BIGINT))) END AS bucket,
+         n_tokens
+  FROM tok
+)
+SELECT source,
+       CAST(bucket AS INT) AS bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0
+                 ELSE CAST(1 AS BIGINT) << (bucket - 1) END AS BIGINT) AS bucket_lo,
+       CAST(CASE WHEN bucket = 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM bucketed
+GROUP BY source, bucket
+"""
+
+# ------------------------------------------- set-containment partial copies
+
+_CT_N = 3
+_CT_THRESHOLD = 0.8
+
+
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed set-containment pairs (partial-copy detection): src is
+    ≥80%-contained in dst over 3-gram shingle sets. Catches the
+    quote-inclusion case Jaccard-based near-dup misses (short doc
+    embedded in a long one). EXACT via the lossless prefix filter
+    (operators/dedup.py:containment_pairs); the oracle is the naive
+    all-pairs shingle join, proving the filter drops nothing."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return containment_pairs(docs, n=_CT_N, threshold=_CT_THRESHOLD)
+
+
+_CONTAINMENT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - {_CT_N - 1}, 0)),
+             i -> array_to_string(w[i:i + {_CT_N - 1}], ' '))) AS shingle_set
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(shingle_set) AS shingle
+  FROM sh_list WHERE len(shingle_set) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS ov
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_doc, dst_doc,
+       CAST(s.n_sh AS INT) AS src_shingles,
+       CAST(ov AS INT) AS overlap,
+       CAST(ov AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS containment
+FROM pairs JOIN sizes s ON src_doc = s.doc_id
+WHERE CAST(ov AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= {_CT_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "token_budget_select": QuerySpec(_q_token_budget_select, _TOKEN_BUDGET_SQL),
+    "global_shuffle": QuerySpec(_q_global_shuffle, _GLOBAL_SHUFFLE_SQL),
+    "bigram_lm": QuerySpec(_q_bigram_lm, _BIGRAM_LM_SQL),
+    "token_histogram": QuerySpec(_q_token_histogram, _TOKEN_HISTOGRAM_SQL),
+    "containment_pairs": QuerySpec(_q_containment_pairs, _CONTAINMENT_SQL),
+}

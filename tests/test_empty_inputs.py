@@ -46,6 +46,11 @@ DOC_QUERIES = (
     "compression_signal",
     "perplexity_score",
     "pack_render",
+    "token_budget_select",
+    "global_shuffle",
+    "bigram_lm",
+    "token_histogram",
+    "containment_pairs",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -127,6 +132,11 @@ ADVERSARIAL_QUERIES = (
     "compression_signal",
     "perplexity_score",
     "pack_render",
+    "token_budget_select",
+    "global_shuffle",
+    "bigram_lm",
+    "token_histogram",
+    "containment_pairs",
 )
 
 

@@ -1,0 +1,185 @@
+"""Corpus selection/shuffle operators: the two-phase prefix sums must
+match naive greedy references, shuffles must be seeded permutations,
+and the containment prefix filter must be lossless vs all-pairs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from nycitibike_data_transform_spark.operators.dedup import containment_pairs
+from nycitibike_data_transform_spark.operators.selection import (
+    deterministic_shuffle,
+    token_budget_select,
+)
+
+# ------------------------------------------------- token_budget_select
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # scores with ties (ids break them), token counts chosen so the
+    # budget boundary lands mid-corpus and a LATER smaller doc would
+    # still fit (proving take-while, not best-fit)
+    rows = [
+        (1, 0.9, 10),
+        (2, 0.9, 20),   # tie with 1 → id order
+        (3, 0.5, 40),
+        (4, 0.5, 5),    # would fit after 3 overflows the budget=60 case
+        (5, 0.1, 1),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+
+
+def _greedy(rows, budget):
+    out, cum = {}, 0
+    for did, score, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += tok
+        out[did] = (cum, 1 if cum <= budget else 0)
+    return out
+
+
+def test_budget_matches_greedy_reference(spark, scored):
+    rows = [(r["doc_id"], r["score"], r["n_tokens"]) for r in scored.collect()]
+    for budget in (0, 29, 30, 31, 60, 75, 76, 1000):
+        got = {
+            r["doc_id"]: (r["cum_tokens"], r["selected"])
+            for r in token_budget_select(scored, budget).collect()
+        }
+        assert got == _greedy(rows, budget), f"budget={budget}"
+
+
+def test_take_while_not_best_fit(spark, scored):
+    # budget 60: docs 1,2 fit (cum 30); doc 3 overflows at 70; doc 4
+    # (cum 75) and 5 (cum 76) must NOT be back-filled even though
+    # doc 4 alone would fit in the remaining 30
+    got = {r["doc_id"]: r["selected"] for r in token_budget_select(scored, 60).collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 0}
+
+
+def test_equal_scores_fall_back_to_id_order(spark):
+    df = spark.createDataFrame(
+        [(i, 0.5, 10) for i in range(1, 8)], "doc_id long, score double, n_tokens long"
+    )
+    got = {r["doc_id"]: r["selected"] for r in token_budget_select(df, 35).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0}
+
+
+def test_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "doc_id long, score double, n_tokens long")
+    assert token_budget_select(empty, 100).count() == 0
+    with pytest.raises(ValueError):
+        token_budget_select(empty, -1)
+    strs = spark.createDataFrame([("a", 0.5, 1)], "doc_id string, score double, n_tokens long")
+    with pytest.raises(TypeError):
+        token_budget_select(strs, 10)
+
+
+def test_null_score_raises(spark):
+    df = spark.createDataFrame(
+        [(1, None, 10)], "doc_id long, score double, n_tokens long"
+    )
+    with pytest.raises(Exception, match="NULL score"):
+        token_budget_select(df, 10).collect()
+
+
+# ------------------------------------------------ deterministic_shuffle
+
+
+def test_shuffle_is_seeded_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = deterministic_shuffle(df, seed="s1", n_shards=7).collect()
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(1, 201))
+    # position order == (md5 key, id) order, verified against hashlib
+    expected = sorted(
+        range(200), key=lambda i: (hashlib.md5(f"s1:{i}".encode()).hexdigest(), i)
+    )
+    got = [r["doc_id"] for r in sorted(out, key=lambda r: r["shuffle_pos"])]
+    assert got == expected
+    # round-robin shards
+    assert all(r["shard_id"] == (r["shuffle_pos"] - 1) % 7 for r in out)
+
+
+def test_shuffle_stable_and_seed_sensitive(spark):
+    df = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    a = {r["doc_id"]: r["shuffle_pos"] for r in deterministic_shuffle(df, "x").collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in deterministic_shuffle(df, "x").collect()}
+    c = {r["doc_id"]: r["shuffle_pos"] for r in deterministic_shuffle(df, "y").collect()}
+    assert a == b
+    assert a != c  # 64! orders; identical permutation ≈ impossible
+    with pytest.raises(ValueError):
+        deterministic_shuffle(df, "x", n_shards=0)
+
+
+def test_shuffle_null_id_raises(spark):
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        deterministic_shuffle(df, "s").collect()
+
+
+# -------------------------------------------------- containment_pairs
+
+
+@pytest.fixture(scope="module")
+def contain_docs(spark):
+    quote = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, quote),  # fully quoted inside 2 → containment 1.0, low jaccard
+        (2, "intro words here " + quote + " and a very long tail of unrelated "
+            "tokens one two three four five six seven eight nine ten"),
+        (3, "completely different content with no shared trigrams at all ok"),
+        (4, quote),  # exact dup of 1: both directions with 1 and 2
+        (5, None),   # NULL text: no shingles, never appears
+        (6, "xy"),   # too short for a trigram
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exact_containment(rows, n, threshold):
+    def sh(text):
+        if not text:
+            return set()
+        w = text.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {did: sh(t) for did, t in rows}
+    out = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b or not sb:
+                continue
+            ov = len(sa & sb)
+            if ov / len(sa) >= threshold:
+                out.add((a, b, len(sa), ov))
+    return out
+
+
+def test_containment_matches_all_pairs(spark, contain_docs):
+    rows = [(r["doc_id"], r["text"]) for r in contain_docs.collect()]
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r["src_doc"], r["dst_doc"], r["src_shingles"], r["overlap"])
+            for r in containment_pairs(contain_docs, threshold=t).collect()
+        }
+        assert got == _exact_containment(rows, 3, t), f"threshold={t}"
+
+
+def test_containment_finds_partial_copy_jaccard_misses(spark, contain_docs):
+    got = containment_pairs(contain_docs, threshold=0.8).collect()
+    directed = {(r["src_doc"], r["dst_doc"]): r["containment"] for r in got}
+    assert directed[(1, 2)] == 1.0          # quote fully contained
+    assert (2, 1) not in directed           # big doc not contained in quote
+    assert directed[(1, 4)] == 1.0 and directed[(4, 1)] == 1.0  # exact dup: both
+    assert not any(3 in p or 5 in p or 6 in p for p in directed)
+
+
+def test_containment_threshold_validation(spark, contain_docs):
+    with pytest.raises(ValueError):
+        containment_pairs(contain_docs, threshold=0.0)
+    with pytest.raises(ValueError):
+        containment_pairs(contain_docs, threshold=1.5)
