@@ -333,10 +333,171 @@ WHERE CAST(ov AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= {_CT_THRESHOLD}
 """
 
 
+# ------------------------------------------------- model-based quality
+
+# fixed logistic weights (a stand-in for a trained fasttext/regression
+# quality classifier — the standard "model-based filtering" stage; the
+# POINT here is the scoring plumbing, which is identical for learned
+# weights loaded from a table)
+_QL_W0 = -2.0   # bias
+_QL_W_TOK = 0.5    # per (n_tokens / 100)
+_QL_W_MTL = 0.3    # per mean token length
+_QL_W_SW = 8.0     # per stopword ratio
+_QL_CUT = 0.5
+
+
+def _q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a logistic model over the shared
+    quality signals (token count, mean token length, stopword ratio)
+    with fixed weights — the shape of fastText/regression quality
+    classifiers used for corpus filtering (e.g. the CCNet/GPT-3
+    quality-model stage). Signals are rounded to 6 decimals BEFORE the
+    linear combination so both engines feed identical doubles into the
+    (libm-divergent) exp, and the probability is rounded to 6 after.
+    Pure narrow projection — zero shuffles, whole-stage codegen."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sig = quality_score_columns(F.col("text"))
+    n_tok = F.coalesce(sig["n_tokens"], F.lit(0)).cast("double")
+    mtl = F.round(F.coalesce(sig["mean_token_len"], F.lit(0.0)), 6)
+    sw = F.round(F.coalesce(sig["stopword_ratio"], F.lit(0.0)), 6)
+    z = (
+        F.lit(_QL_W0)
+        + F.lit(_QL_W_TOK) * (n_tok / F.lit(100.0))
+        + F.lit(_QL_W_MTL) * mtl
+        + F.lit(_QL_W_SW) * sw
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        mtl.alias("mean_token_len"),
+        sw.alias("stopword_ratio"),
+        p.alias("quality_p"),
+        (p >= F.lit(_QL_CUT)).cast("int").alias("keep"),
+    )
+
+
+_QUALITY_LOGIT_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, nt,
+         CASE WHEN length(coalesce(nt, '')) = 0 THEN 0
+              ELSE CAST(len(string_split(nt, ' ')) AS INTEGER) END AS n_tokens,
+         ' ' || coalesce(nt, '') || ' ' AS padded
+  FROM norm
+),
+sig AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE CAST(length(replace(nt, ' ', '')) AS DOUBLE) / n_tokens END, 6)
+             AS mean_token_len,
+         round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE (
+             (length(padded) - length(replace(padded, ' the ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' and ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' of ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' a ', ''))) / 3.0
+           + (length(padded) - length(replace(padded, ' to ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' in ', ''))) / 4.0
+         ) / n_tokens END, 6) AS stopword_ratio
+  FROM tok
+),
+z AS (
+  SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+         {_QL_W0} + {_QL_W_TOK} * (CAST(n_tokens AS DOUBLE) / 100.0)
+                  + {_QL_W_MTL} * mean_token_len
+                  + {_QL_W_SW} * stopword_ratio AS zv
+  FROM sig
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       mean_token_len, stopword_ratio,
+       round(1.0 / (1.0 + exp(-zv)), 6) AS quality_p,
+       CAST(round(1.0 / (1.0 + exp(-zv)), 6) >= {_QL_CUT} AS INT) AS keep
+FROM z
+"""
+
+# ------------------------------------------------------- novelty score
+
+_NV_N = 3
+
+
+def _q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles that appear NOWHERE else in the corpus (df = 1) — the
+    diversity complement of the dedup family (a doc can evade near-dup
+    thresholds yet contribute almost nothing new). Docs with no
+    shingles are excluded (novelty undefined).
+
+    Scale shape: one shuffle of (shingle, doc) pairs for the df count
+    (map-side combinable) and one groupBy on doc id — the same two
+    linear shuffles as exact dedup; no joins against the corpus text."""
+    from nycitibike_data_transform_spark.operators.dedup import shingles, tokenize
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sh = (
+        tokenize(docs, "text")
+        .select(F.col("doc_id"), F.explode(shingles(F.col("tokens"), _NV_N)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("shingle")
+    per_doc = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.round(
+            F.col("n_unique").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("novelty"),
+    )
+
+
+_NOVELTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - {_NV_N - 1}, 0)),
+             i -> array_to_string(w[i:i + {_NV_N - 1}], ' '))) AS shingle_set
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(shingle_set) AS shingle
+  FROM sh_list WHERE len(shingle_set) > 0
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sh s JOIN dfreq d USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "token_budget_select": QuerySpec(_q_token_budget_select, _TOKEN_BUDGET_SQL),
     "global_shuffle": QuerySpec(_q_global_shuffle, _GLOBAL_SHUFFLE_SQL),
     "bigram_lm": QuerySpec(_q_bigram_lm, _BIGRAM_LM_SQL),
     "token_histogram": QuerySpec(_q_token_histogram, _TOKEN_HISTOGRAM_SQL),
     "containment_pairs": QuerySpec(_q_containment_pairs, _CONTAINMENT_SQL),
+    "quality_logit": QuerySpec(_q_quality_logit, _QUALITY_LOGIT_SQL),
+    "novelty_score": QuerySpec(_q_novelty_score, _NOVELTY_SQL),
 }

@@ -51,6 +51,8 @@ DOC_QUERIES = (
     "bigram_lm",
     "token_histogram",
     "containment_pairs",
+    "quality_logit",
+    "novelty_score",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -137,6 +139,8 @@ ADVERSARIAL_QUERIES = (
     "bigram_lm",
     "token_histogram",
     "containment_pairs",
+    "quality_logit",
+    "novelty_score",
 )
 
 

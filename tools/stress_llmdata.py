@@ -61,6 +61,17 @@ QUERIES = (
     # bin renderer (prefix sum + segment explode) — both linear shapes
     "perplexity_score",
     "pack_render",
+    # r5 export batch: the two two-phase prefix sums (band/bucket
+    # windows + metadata-sized offset tables) and the bigram
+    # map-side-combinable count — all linear shapes
+    "token_budget_select",
+    "global_shuffle",
+    "bigram_lm",
+    # hard bar like dedup_clusters: replica groups are K-cliques of
+    # exact dups, so TRUE containment pairs grow ~K² per dup group;
+    # ~K wall growth shows the prefix-filter candidate join stays
+    # bounded by docs + true pairs, never docs²
+    "containment_pairs",
 )
 
 
