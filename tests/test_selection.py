@@ -183,3 +183,47 @@ def test_containment_threshold_validation(spark, contain_docs):
         containment_pairs(contain_docs, threshold=0.0)
     with pytest.raises(ValueError):
         containment_pairs(contain_docs, threshold=1.5)
+
+
+# ------------------------------------------- hypothesis differentials
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(0.0, 1.0, allow_nan=False), st.integers(0, 50)),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(0, 300),
+)
+def test_budget_select_differential(spark, score_toks, budget):
+    rows = [(i, round(s, 6), t) for i, (s, t) in enumerate(score_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["selected"])
+        for r in token_budget_select(df, budget).collect()
+    }
+    assert got == _greedy(rows, budget)
+
+
+# small token alphabet so random docs actually share shingles
+_WORDS = st.sampled_from(["a", "b", "c", "d"])
+_DOC = st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_DOC, min_size=0, max_size=10), st.sampled_from([0.5, 0.8, 1.0]))
+def test_containment_differential(spark, texts, threshold):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows or [(0, None)], "doc_id long, text string")
+    if not rows:
+        rows = [(0, None)]
+    got = {
+        (r["src_doc"], r["dst_doc"], r["src_shingles"], r["overlap"])
+        for r in containment_pairs(df, n=2, threshold=threshold).collect()
+    }
+    assert got == _exact_containment(rows, 2, threshold)
