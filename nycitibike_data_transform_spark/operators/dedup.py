@@ -737,6 +737,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    dst: DataFrame | None = None,
 ) -> DataFrame:
     """Directed set-containment pairs: ``(src, dst)`` where
     ``|S(src) ∩ S(dst)| / |S(src)| ≥ threshold`` over n-gram shingle
@@ -747,6 +748,12 @@ def containment_pairs(
     ``(src_doc, dst_doc, src_shingles, overlap, containment)``;
     both directions are emitted when both qualify (exact duplicates
     appear twice, once per direction).
+
+    Pass ``dst`` for CROSS mode: src docs come from ``df`` and
+    containers from ``dst`` (the train/val leakage shape — "is any
+    val doc mostly contained in some train doc"). Only work
+    proportional to the two sides is done — no self-pairs within
+    either side are computed.
 
     Unlike the LSH tiers this is EXACT with no recall loss: candidate
     generation uses the *prefix filter* from the set-similarity-join
@@ -779,19 +786,32 @@ def containment_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from pyspark.sql import Window
 
-    sh = (
-        tokenize(df, text_col)
-        .select(F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    def _sh(frame: DataFrame) -> DataFrame:
+        return (
+            tokenize(frame, text_col)
+            .select(
+                F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle")
+            )
+            .filter(F.length("shingle") > 0)
+            .distinct()
+        )
+
+    sh = _sh(df)
+    # cross mode: signatures come from ``df`` (the contained side),
+    # probes and the df-rarity ordering from ``dst`` (the containing
+    # corpus). Completeness is order-independent — the prefix bound
+    # holds for ANY fixed total order on a doc's shingles — so ranking
+    # src shingles by DST frequency (absent → 0, i.e. rarest) is a
+    # join-key-rarity heuristic, never a correctness condition.
+    sh_dst = sh if dst is None else _sh(dst)
+    dfreq = sh_dst.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w_rank = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
     )
     w_size = Window.partitionBy(id_col)
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq, "shingle", "left")
+        .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
         .withColumn("__rk", F.row_number().over(w_rank))
         .withColumn("__n_sh", F.count(F.lit(1)).over(w_size))
     )
@@ -805,7 +825,7 @@ def containment_pairs(
         F.col(id_col).alias("src_doc"), "shingle"
     )
     candidates = (
-        sigs.join(sh.select(F.col(id_col).alias("dst_doc"), "shingle"), "shingle")
+        sigs.join(sh_dst.select(F.col(id_col).alias("dst_doc"), "shingle"), "shingle")
         .filter(F.col("src_doc") != F.col("dst_doc"))
         .select("src_doc", "dst_doc")
         .distinct()
@@ -814,18 +834,24 @@ def containment_pairs(
     # exact verify: shingle sets as arrays, linear joins by id (the
     # jaccard_on_candidate_pairs shape — repartition pins one shared
     # shingle computation under both join branches)
-    sets = (
-        tokenize(df, text_col)
-        .select(
-            F.col(id_col),
-            F.filter(shingles(F.col("tokens"), n), lambda s: F.length(s) > 0).alias(
-                "sh_set"
-            ),
+    def _sets(frame: DataFrame) -> DataFrame:
+        return (
+            tokenize(frame, text_col)
+            .select(
+                F.col(id_col),
+                F.filter(
+                    shingles(F.col("tokens"), n), lambda s: F.length(s) > 0
+                ).alias("sh_set"),
+            )
+            .repartition(F.col(id_col))
         )
-        .repartition(F.col(id_col))
-    )
+
+    sets = _sets(df)
+    sets_dst = sets if dst is None else _sets(dst)
     s_src = sets.select(F.col(id_col).alias("src_doc"), F.col("sh_set").alias("set_src"))
-    s_dst = sets.select(F.col(id_col).alias("dst_doc"), F.col("sh_set").alias("set_dst"))
+    s_dst = sets_dst.select(
+        F.col(id_col).alias("dst_doc"), F.col("sh_set").alias("set_dst")
+    )
     overlap = F.size(F.array_intersect("set_src", "set_dst"))
     containment = overlap.cast("double") / F.size("set_src").cast("double")
     return (

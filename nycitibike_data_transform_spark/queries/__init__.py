@@ -108,6 +108,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "containment_pairs",
     "quality_logit",
     "novelty_score",
+    "split_leakage",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",
@@ -121,7 +122,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_purchase_click",
     "text_stats",
     "language_id",
-    "multimodal_meta",
     "events_json",
     "scrub_pii",
     "chunk_documents",
@@ -160,6 +160,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "embedding_norms",
     "null_semantics",
+    # multimodal_meta's attach/metadata plumbing is a strict subset of
+    # in-window image_pipeline (pixel-exact oracle) — it cedes its
+    # slot to split_leakage
+    "multimodal_meta",
     "dedup_incremental",
     "dedup_keep_best",
     "stratified_sample",

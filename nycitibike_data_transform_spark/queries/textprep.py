@@ -492,6 +492,104 @@ GROUP BY s.doc_id
 """
 
 
+# ---------------------------------------------- train/val split leakage
+
+_SL_SEED = "split"
+_SL_VAL_NIBBLES = ("0", "1", "2")  # last md5 hex char → ~18.75% val
+_SL_THRESHOLD = 0.8
+_SL_N = 3
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit: split the corpus deterministically by
+    an md5 nibble (engine-portable, rerun-stable), then report, for
+    every val doc, how many TRAIN docs contain ≥80% of its 3-gram
+    shingles — the "did my held-out set leak into training" check that
+    must run before any eval is trusted. Containment (not Jaccard) is
+    the right relation here: a short val doc pasted inside a long
+    train doc is full leakage at tiny Jaccard.
+
+    Output: one row per val doc —
+    ``(doc_id, n_train_matches, max_containment, leaked)``.
+
+    Scale shape: the cross mode of ``containment_pairs`` — val-side
+    signatures (the small side) probe the train shingle table on
+    rare-by-construction keys; no val×train pair materializes outside
+    true-candidate order, and no train-train work is done at all.
+    The split itself is a pure filter that pushes into the scan."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    nib = F.substring(
+        F.md5(F.concat(F.lit(_SL_SEED), F.lit(":"), F.col("doc_id").cast("string"))),
+        32,
+        1,
+    )
+    is_val = nib.isin(*_SL_VAL_NIBBLES)
+    val = docs.filter(is_val)
+    train = docs.filter(~is_val)
+    pairs = containment_pairs(val, n=_SL_N, threshold=_SL_THRESHOLD, dst=train)
+    hits = pairs.groupBy(F.col("src_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_matches"),
+        F.round(F.max("containment"), 6).alias("max_containment"),
+    )
+    return (
+        val.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_train_matches"), F.lit(0)).alias("n_train_matches"),
+            F.coalesce(F.col("max_containment"), F.lit(0.0)).alias("max_containment"),
+            (F.coalesce(F.col("n_train_matches"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("leaked"),
+        )
+    )
+
+
+_SPLIT_LEAKAGE_SQL = rf"""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5('{_SL_SEED}:' || CAST(doc_id AS VARCHAR)), 32, 1)
+                   IN ('{_SL_VAL_NIBBLES[0]}','{_SL_VAL_NIBBLES[1]}','{_SL_VAL_NIBBLES[2]}')
+              THEN 'val' ELSE 'train' END AS part
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, part,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM split
+),
+sh_list AS (
+  SELECT doc_id, part,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - {_SL_N - 1}, 0)),
+             i -> array_to_string(w[i:i + {_SL_N - 1}], ' '))) AS ss
+  FROM toks
+),
+sh AS (SELECT doc_id, part, unnest(ss) AS shingle FROM sh_list WHERE len(ss) > 0),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh WHERE part = 'val' GROUP BY 1),
+cross_pairs AS (
+  SELECT a.doc_id AS val_doc, b.doc_id AS train_doc, count(*) AS ov
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.part = 'val' AND b.part = 'train'
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT val_doc AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_train_matches,
+         round(max(CAST(ov AS DOUBLE) / s.n_sh), 6) AS max_containment
+  FROM cross_pairs JOIN sizes s ON val_doc = s.doc_id
+  WHERE CAST(ov AS DOUBLE) / s.n_sh >= {_SL_THRESHOLD}
+  GROUP BY 1
+)
+SELECT v.doc_id,
+       coalesce(h.n_train_matches, 0) AS n_train_matches,
+       coalesce(h.max_containment, 0.0) AS max_containment,
+       CAST(coalesce(h.n_train_matches, 0) > 0 AS INT) AS leaked
+FROM (SELECT doc_id FROM split WHERE part = 'val') v
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "token_budget_select": QuerySpec(_q_token_budget_select, _TOKEN_BUDGET_SQL),
     "global_shuffle": QuerySpec(_q_global_shuffle, _GLOBAL_SHUFFLE_SQL),
@@ -500,4 +598,5 @@ QUERIES: dict[str, QuerySpec] = {
     "containment_pairs": QuerySpec(_q_containment_pairs, _CONTAINMENT_SQL),
     "quality_logit": QuerySpec(_q_quality_logit, _QUALITY_LOGIT_SQL),
     "novelty_score": QuerySpec(_q_novelty_score, _NOVELTY_SQL),
+    "split_leakage": QuerySpec(_q_split_leakage, _SPLIT_LEAKAGE_SQL),
 }

@@ -53,6 +53,7 @@ DOC_QUERIES = (
     "containment_pairs",
     "quality_logit",
     "novelty_score",
+    "split_leakage",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -141,6 +142,7 @@ ADVERSARIAL_QUERIES = (
     "containment_pairs",
     "quality_logit",
     "novelty_score",
+    "split_leakage",
 )
 
 

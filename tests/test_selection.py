@@ -227,3 +227,69 @@ def test_containment_differential(spark, texts, threshold):
         for r in containment_pairs(df, n=2, threshold=threshold).collect()
     }
     assert got == _exact_containment(rows, 2, threshold)
+
+
+# ------------------------------------------- cross-mode containment
+
+
+def _exact_cross_containment(src_rows, dst_rows, n, threshold):
+    def sh(text):
+        if not text:
+            return set()
+        w = text.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    out = set()
+    for a, ta in src_rows:
+        sa = sh(ta)
+        if not sa:
+            continue
+        for b, tb in dst_rows:
+            if a == b:
+                continue
+            ov = len(sa & sh(tb))
+            if ov / len(sa) >= threshold:
+                out.add((a, b, len(sa), ov))
+    return out
+
+
+def test_containment_cross_mode_matches_all_pairs(spark, contain_docs):
+    rows = [(r["doc_id"], r["text"]) for r in contain_docs.collect()]
+    src_rows = [r for r in rows if r[0] in (1, 3, 6)]
+    dst_rows = [r for r in rows if r[0] in (2, 4, 5)]
+    src = contain_docs.filter(F.col("doc_id").isin([i for i, _ in src_rows]))
+    dst = contain_docs.filter(F.col("doc_id").isin([i for i, _ in dst_rows]))
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r["src_doc"], r["dst_doc"], r["src_shingles"], r["overlap"])
+            for r in containment_pairs(src, threshold=t, dst=dst).collect()
+        }
+        assert got == _exact_cross_containment(src_rows, dst_rows, 3, t), f"t={t}"
+    # no within-side pairs ever appear: 1 and 4 are exact dups but sit
+    # on opposite sides, so only the (1→4 src→dst) direction shows
+    directed = {
+        (r["src_doc"], r["dst_doc"])
+        for r in containment_pairs(src, threshold=0.8, dst=dst).collect()
+    }
+    assert (1, 4) in directed and (4, 1) not in directed
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_DOC, min_size=0, max_size=6),
+    st.lists(_DOC, min_size=0, max_size=6),
+)
+def test_containment_cross_differential(spark, src_texts, dst_texts):
+    src_rows = list(enumerate(src_texts))
+    dst_rows = [(100 + i, t) for i, t in enumerate(dst_texts)]
+    src = spark.createDataFrame(src_rows or [(0, None)], "doc_id long, text string")
+    dst = spark.createDataFrame(dst_rows or [(100, None)], "doc_id long, text string")
+    if not src_rows:
+        src_rows = [(0, None)]
+    if not dst_rows:
+        dst_rows = [(100, None)]
+    got = {
+        (r["src_doc"], r["dst_doc"], r["src_shingles"], r["overlap"])
+        for r in containment_pairs(src, n=2, threshold=0.5, dst=dst).collect()
+    }
+    assert got == _exact_cross_containment(src_rows, dst_rows, 2, 0.5)
