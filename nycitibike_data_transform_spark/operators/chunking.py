@@ -58,3 +58,77 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where the
+    rolling hash of the trailing ``window`` tokens hits a fixed
+    pattern (first md5 hex char = '0' → expected chunk ≈ 16 tokens),
+    instead of at fixed offsets. The property fixed-size chunking
+    lacks: an insertion near the head only re-chunks UP TO the next
+    content boundary — every later chunk is byte-identical, so
+    chunk-hash dedup across document versions/mirrors still matches
+    (the rsync/LBFS/storage-dedup trick, Muthitacharoen et al. 2001,
+    applied to corpus text).
+
+    Output: ``(id_col, chunk_id, n_chunk_tokens, chunk_text,
+    chunk_hash)`` — chunk_id is 1-based per doc; empty docs yield no
+    rows. A boundary cuts AFTER the token that completes the match.
+
+    Scale shape: boundary flags are computed per doc inside codegen
+    (one md5 per token over a ``window``-token slice — O(n·window)
+    narrow work, no shuffle); the explode carries (pos, token, flag)
+    rows into ONE per-doc window (shuffle on doc id) for the running
+    boundary count, and one groupBy (doc, chunk) rebuilds chunk text
+    via the sorted-struct fold. Same two linear shuffles as the span
+    pipeline; the md5 chunk hash (32 bytes) is what any downstream
+    cross-corpus dedup shuffles, never the chunk text.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyspark.sql import Window as W
+
+    from nycitibike_data_transform_spark.functions.text import token_array
+
+    base = df.select(F.col(id_col), token_array(text_col).alias("__w")).withColumn(
+        "__n", F.size("__w")
+    )
+    cells = F.expr(
+        f"""transform(sequence(1, __n),
+          i -> struct(
+            i as pos,
+            element_at(__w, i) as tok,
+            CASE WHEN i >= {window}
+                  AND substring(md5(concat_ws(' ',
+                        slice(__w, i - {window} + 1, {window}))), 1, 1) = '0'
+                 THEN 1 ELSE 0 END as b))"""
+    )
+    flagged = (
+        base.filter(F.col("__n") > 0)
+        .select(F.col(id_col), F.explode(cells).alias("c"))
+        .select(id_col, "c.pos", "c.tok", "c.b")
+    )
+    w_prev = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    assigned = flagged.withColumn(
+        "chunk_id", (F.coalesce(F.sum("b").over(w_prev), F.lit(0)) + 1).cast("int")
+    )
+    text = F.concat_ws(
+        " ", F.expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")
+    )
+    return (
+        assigned.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunk_tokens"),
+            text.alias("chunk_text"),
+        )
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )

@@ -115,10 +115,19 @@ def token_budget_select(
         iw = max(1, int(span / MAX_BUCKETS) + 1)
         bucket = F.floor(F.col(id_col) / F.lit(iw)).cast("long").alias("__bucket")
     else:
-        width = (float(rng["hi"]) - float(rng["lo"])) / MAX_BUCKETS
-        # floor of a monotone map of -score: band order == score DESC
+        hi = float(rng["hi"])
+        width = (hi - float(rng["lo"])) / MAX_BUCKETS
+        if width <= 0.0:  # subnormal range underflowed the division:
+            width = 1.0   # one band — degenerate perf, still correct
+        # floor of a monotone map of score, SHIFTED so the quotient is
+        # bounded in [0, MAX_BUCKETS]: floor(-score/width) would
+        # overflow the long cast (ANSI error / silent collapse) for
+        # large-magnitude scores over a tiny range; (hi - score) is
+        # monotone DESC in score and bounded by the range itself
         bucket = (
-            F.floor((-F.col("score")) / F.lit(width)).cast("long").alias("__bucket")
+            F.floor((F.lit(hi) - F.col("score")) / F.lit(width))
+            .cast("long")
+            .alias("__bucket")
         )
     d = d.select(id_col, "score", "__tok", bucket)
 

@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_logit",
     "novelty_score",
     "split_leakage",
+    "cdc_chunks",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",
@@ -124,7 +125,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "language_id",
     "events_json",
     "scrub_pii",
-    "chunk_documents",
     "tfidf_top_terms",
     "date_functions",
     "signup_purchase_funnel",
@@ -161,9 +161,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_norms",
     "null_semantics",
     # multimodal_meta's attach/metadata plumbing is a strict subset of
-    # in-window image_pipeline (pixel-exact oracle) — it cedes its
-    # slot to split_leakage
+    # in-window image_pipeline (pixel-exact oracle), and fixed-window
+    # chunk_documents shares its explode machinery with in-window
+    # cdc_chunks — they cede slots to split_leakage / cdc_chunks
     "multimodal_meta",
+    "chunk_documents",
     "dedup_incremental",
     "dedup_keep_best",
     "stratified_sample",

@@ -590,6 +590,76 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+# --------------------------------------------- content-defined chunking
+
+_CDC_W = 4
+
+
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-hash dedup census: variable
+    chunks cut where the rolling 4-token md5 hits the boundary
+    pattern, each chunk tagged with its corpus-wide occurrence count
+    (``chunk_df``) — insertion-stable chunk identity is what lets
+    storage-level dedup survive document edits (operator docstring:
+    operators/chunking.py:cdc_chunks)."""
+    from nycitibike_data_transform_spark.operators.chunking import cdc_chunks
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    chunks = cdc_chunks(docs, window=_CDC_W)
+    counts = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("chunk_df")
+    )
+    return chunks.join(counts, "chunk_hash").select(
+        "doc_id", "chunk_id", "n_chunk_tokens", "chunk_text", "chunk_hash", "chunk_df"
+    )
+
+
+_CDC_CHUNKS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(nt, '') = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+sized AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+cells AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok, u.b AS b
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, n),
+                   i -> struct_pack(pos := i, tok := w[i],
+                        b := CASE WHEN i >= {_CDC_W}
+                                   AND substr(md5(array_to_string(
+                                         w[i - {_CDC_W - 1}:i], ' ')), 1, 1) = '0'
+                             THEN 1 ELSE 0 END))) AS u
+        FROM sized)
+),
+assigned AS (
+  SELECT doc_id, pos, tok,
+         CAST(1 + coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+             AS chunk_id
+  FROM cells
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         CAST(count(*) AS INT) AS n_chunk_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+  FROM assigned GROUP BY 1, 2
+),
+hashed AS (
+  SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text,
+         md5(chunk_text) AS chunk_hash
+  FROM chunks
+)
+SELECT h.doc_id, h.chunk_id, h.n_chunk_tokens, h.chunk_text, h.chunk_hash,
+       CAST(c.cnt AS BIGINT) AS chunk_df
+FROM hashed h
+JOIN (SELECT chunk_hash, count(*) AS cnt FROM hashed GROUP BY 1) c
+  USING (chunk_hash)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "token_budget_select": QuerySpec(_q_token_budget_select, _TOKEN_BUDGET_SQL),
     "global_shuffle": QuerySpec(_q_global_shuffle, _GLOBAL_SHUFFLE_SQL),
@@ -599,4 +669,5 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_logit": QuerySpec(_q_quality_logit, _QUALITY_LOGIT_SQL),
     "novelty_score": QuerySpec(_q_novelty_score, _NOVELTY_SQL),
     "split_leakage": QuerySpec(_q_split_leakage, _SPLIT_LEAKAGE_SQL),
+    "cdc_chunks": QuerySpec(_q_cdc_chunks, _CDC_CHUNKS_SQL),
 }

@@ -54,6 +54,7 @@ DOC_QUERIES = (
     "quality_logit",
     "novelty_score",
     "split_leakage",
+    "cdc_chunks",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -143,6 +144,7 @@ ADVERSARIAL_QUERIES = (
     "quality_logit",
     "novelty_score",
     "split_leakage",
+    "cdc_chunks",
 )
 
 

@@ -293,3 +293,21 @@ def test_containment_cross_differential(spark, src_texts, dst_texts):
         for r in containment_pairs(src, n=2, threshold=0.5, dst=dst).collect()
     }
     assert got == _exact_cross_containment(src_rows, dst_rows, 2, 0.5)
+
+
+def test_budget_select_extreme_score_magnitudes(spark):
+    # large-magnitude scores over a tiny range: the naive -score/width
+    # bucket quotient would overflow the long cast; the shifted
+    # (hi - score)/width form stays in [0, MAX_BUCKETS]
+    rows = [
+        (1, 1e9 + 2e-6, 10),
+        (2, 1e9 + 1e-6, 20),
+        (3, 1e9, 30),
+        (4, -1e9, 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["selected"])
+        for r in token_budget_select(df, 35).collect()
+    }
+    assert got == _greedy(rows, 35)
