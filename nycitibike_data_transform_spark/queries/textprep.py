@@ -1,14 +1,18 @@
 """Corpus-preparation queries — budgeted selection, deterministic
-shuffling, n-gram language modeling, token histograms, and
-set-containment partial-copy detection (north-star additions,
-SURVEY.md §2.9) over the driver's ``documents`` table.
+shuffling, n-gram language modeling, token histograms, model-based
+quality scoring, novelty, containment partial-copy detection,
+train/val leakage auditing, and content-defined chunking (north-star
+additions, SURVEY.md §2.9) over the driver's ``documents`` table.
 
 These cover the export half of a training-data pipeline: after
 filtering and dedup decide what is *eligible*, these decide what is
-*shipped* and in what order. All five carry full SQL oracles — every
-operator here is exact/deterministic by construction (the global
-prefix sums are two-phase in Spark but proven against DuckDB's naive
-global windows; the containment join's prefix filter is lossless).
+*shipped*, in what order, and whether the held-out split can be
+trusted. Every query here carries a full SQL oracle — each operator
+is exact/deterministic by construction (the global prefix sums are
+two-phase in Spark but proven against DuckDB's naive global windows;
+the containment join's prefix filter is lossless; the one
+libm-divergent function, exp in quality_logit, is rounded per the
+registry determinism contract).
 """
 
 from __future__ import annotations

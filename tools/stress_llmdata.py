@@ -72,6 +72,10 @@ QUERIES = (
     # ~K wall growth shows the prefix-filter candidate join stays
     # bounded by docs + true pairs, never docs²
     "containment_pairs",
+    # linear shapes: per-doc boundary flags + two doc-keyed shuffles
+    # (cdc), and val-signatures × train-shingles cross probe (leakage)
+    "cdc_chunks",
+    "split_leakage",
 )
 
 
