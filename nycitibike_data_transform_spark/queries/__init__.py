@@ -110,6 +110,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "novelty_score",
     "split_leakage",
     "cdc_chunks",
+    "retention_cohorts",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",
@@ -126,7 +127,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_json",
     "scrub_pii",
     "tfidf_top_terms",
-    "date_functions",
     "signup_purchase_funnel",
     "fuzzy_name_pairs",
     "range_join_tiers",
@@ -166,6 +166,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # cdc_chunks — they cede slots to split_leakage / cdc_chunks
     "multimodal_meta",
     "chunk_documents",
+    # scalar date surface exercised far more deeply by in-window
+    # retention_cohorts (date_trunc/datediff) — cedes its slot
+    "date_functions",
     "dedup_incremental",
     "dedup_keep_best",
     "stratified_sample",

@@ -295,7 +295,96 @@ GROUP BY 1, 2
 """
 
 
+
+
+# ------------------------------------------------------ retention cohorts
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix — the canonical product-analytics rollup:
+    users grouped by the day of their FIRST signup event (cohort),
+    counted on each later day they made a purchase, with the
+    retention rate against the cohort size. Signup→purchase (not
+    any-event→any-event) keeps the matrix informative: per-user
+    purchase intensity here is ~0.4/day, so rates actually decay
+    instead of pinning at 1.0. Pre-signup purchases (possible in the
+    synthetic feed) are excluded — offset ≥ 0.
+
+    Scale shape: one map-side-combinable min() per user, one shuffle
+    join of purchases to their user's cohort, and a two-phase
+    distinct-count on (cohort, offset) — output is |days|² rows
+    regardless of event volume."""
+    t = load(spark, sf_dir, "events")
+    ev = t["events"]
+    firsts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    cohort = F.date_trunc("day", F.col("first_ts")).cast("date")
+    activity = F.date_trunc("day", F.col("ts")).cast("date")
+    joined = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            cohort.alias("cohort_day"),
+            F.datediff(activity, cohort).cast("int").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") >= 0)
+    )
+    active = joined.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = (
+        firsts.select("user_id", cohort.alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.countDistinct("user_id").alias("cohort_size"))
+    )
+    return active.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention_rate"),
+    )
+
+
+_RETENTION_SQL = r"""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+joined AS (
+  SELECT e.user_id, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day,
+                        CAST(date_trunc('day', e.ts) AS DATE)) AS INT)
+             AS day_offset
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND date_diff('day', f.cohort_day,
+                  CAST(date_trunc('day', e.ts) AS DATE)) >= 0
+),
+active AS (
+  SELECT cohort_day, day_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM joined GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY 1
+)
+SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size,
+       round(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+           AS retention_rate
+FROM active a JOIN sizes s USING (cohort_day)
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "retention_cohorts": QuerySpec(_q_retention_cohorts, _RETENTION_SQL),
     "skew_join_events": QuerySpec(_q_skew_join_events, _SKEW_JOIN_SQL),
     "signup_purchase_funnel": QuerySpec(_q_signup_purchase_funnel, _FUNNEL_SQL),
     "window_variants": QuerySpec(_q_window_variants, _WINDOW_VARIANTS_SQL),
