@@ -111,6 +111,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "split_leakage",
     "cdc_chunks",
     "retention_cohorts",
+    "supplier_wait",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",
@@ -131,7 +132,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "range_join_tiers",
     "correlated_subquery",
-    "string_functions",
     "dedup_exact",
     "bpe_token_count",
     # ---- past the 50-entry window (exactly 50 entries above): every
@@ -169,6 +169,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # scalar date surface exercised far more deeply by in-window
     # retention_cohorts (date_trunc/datediff) — cedes its slot
     "date_functions",
+    # scalar string surface exercised by every text query — cedes its
+    # slot to the Q21-shape de-correlation proof (supplier_wait)
+    "string_functions",
     "dedup_incremental",
     "dedup_keep_best",
     "stratified_sample",

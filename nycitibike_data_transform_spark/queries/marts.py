@@ -535,7 +535,99 @@ GROUP BY 1
 """
 
 
+
+
+# ---------------------------------------------- suppliers who kept orders waiting
+
+
+def _q_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema's dates: for multi-supplier orders, find the supplier
+    who was the ONLY one to ship late (> 60 days after the order
+    date), count such orders per supplier, top 20.
+
+    The reference point of this query is the PLAN: Q21's correlated
+    EXISTS + NOT EXISTS pair is de-correlated into one per-order
+    aggregate (distinct suppliers, distinct late suppliers) joined
+    back to the late line items — two shuffles on orderkey and one
+    map-side-combinable count, instead of two correlated re-scans of
+    lineitem. The DuckDB oracle keeps the textbook EXISTS/NOT EXISTS
+    formulation, proving the de-correlation exact. Supplier names
+    attach via broadcast (KB-sized dim)."""
+    t = load(spark, sf_dir, "lineitem", "orders", "supplier")
+    li = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    waiting = (
+        li.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    counts = waiting.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    ranked = counts.join(
+        F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc()))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= 20).select(
+        "s_suppkey", "s_name", "numwait", "rank"
+    )
+
+
+_SUPPLIER_WAIT_SQL = r"""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+waiting AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM li l1
+  WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+    AND EXISTS (SELECT 1 FROM li l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM li l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+),
+counts AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+  FROM waiting GROUP BY 1
+),
+ranked AS (
+  SELECT s.s_suppkey, s.s_name, c.numwait,
+         row_number() OVER (ORDER BY c.numwait DESC, s.s_suppkey) AS rn
+  FROM counts c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+)
+SELECT s_suppkey, s_name, numwait, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 20
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "supplier_wait": QuerySpec(_q_supplier_wait, _SUPPLIER_WAIT_SQL),
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_SUMMARY_SQL),
     "price_histogram": QuerySpec(_q_price_histogram, _PRICE_HISTOGRAM_SQL),
     "shipping_priority": QuerySpec(_q_shipping_priority, _SHIPPING_PRIORITY_SQL),
