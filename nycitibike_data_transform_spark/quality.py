@@ -72,14 +72,20 @@ def freshness_violation(
 ) -> DataFrame:
     """Source-freshness check (the dbt ``source freshness`` analogue,
     matching the reference's 4-hour cadence SLO): returns a one-row
-    violation frame when the newest row is older than ``max_age``.
+    violation frame when the newest row is older than ``max_age`` —
+    or when the source is EMPTY (newest_row NULL): a feed that
+    stopped producing entirely is the stalest feed of all, and the
+    naive ``age > max`` comparison would silently wave it through
+    (NULL compares to nothing).
     ``now`` is passed in (a datetime) so checks are reproducible."""
     age = F.unix_micros(F.lit(now).cast("timestamp")) - F.unix_micros(F.max(F.col(ts_col)))
     out = df.agg(
         F.max(ts_col).alias("newest_row"),
         (age / 1_000_000).alias("age_seconds"),
     )
-    return out.filter(F.col("age_seconds") > max_age_seconds)
+    return out.filter(
+        (F.col("age_seconds") > max_age_seconds) | F.col("newest_row").isNull()
+    )
 
 
 class QualityError(AssertionError):

@@ -72,3 +72,15 @@ def test_freshness(spark, sf_dir):
     assert freshness_violation(events, "ts", four_hours, fresh_now).count() == 0
     v = freshness_violation(events, "ts", four_hours, stale_now).collect()
     assert len(v) == 1 and v[0]["age_seconds"] == 36000.0
+
+
+def test_freshness_empty_source_is_stale(spark):
+    # a feed that stopped producing must flag, not silently pass
+    # (max(ts)=NULL used to fall out of the age comparison)
+    import datetime as dt
+
+    from nycitibike_data_transform_spark.quality import freshness_violation
+
+    empty = spark.createDataFrame([], "ts timestamp, v long")
+    v = freshness_violation(empty, "ts", 3600, dt.datetime(2024, 1, 1)).collect()
+    assert len(v) == 1 and v[0]["newest_row"] is None
