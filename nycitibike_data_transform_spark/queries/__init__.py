@@ -112,6 +112,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_chunks",
     "retention_cohorts",
     "supplier_wait",
+    "lang_confusion",
     # r2-evidence-only queries rotate back in (r4 item #2)
     "ngram_jaccard",
     "dedup_near",
@@ -124,7 +125,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sessionize",
     "asof_purchase_click",
     "text_stats",
-    "language_id",
     "events_json",
     "scrub_pii",
     "tfidf_top_terms",
@@ -172,6 +172,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # scalar string surface exercised by every text query — cedes its
     # slot to the Q21-shape de-correlation proof (supplier_wait)
     "string_functions",
+    # language_id's per-doc prediction feeds in-window lang_confusion
+    # (same expressions, aggregated with ground truth) — cedes its slot
+    "language_id",
     "dedup_incremental",
     "dedup_keep_best",
     "stratified_sample",

@@ -150,6 +150,53 @@ FROM scored
     )
 )
 
+# ------------------------------------------------- language confusion matrix
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the heuristic
+    marker-based predictor against the corpus's ground-truth ``lang``
+    column, row-normalized (share of each true language). The
+    eval-side companion of ``language_id`` — a filtering heuristic is
+    only trustworthy with its error profile on record.
+
+    Scale shape: the per-doc prediction is pure codegen; the matrix is
+    one map-side-combinable count on (lang, pred) — |langs|² rows out
+    regardless of corpus size; the share window runs over matrix rows
+    only."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "documents")
+    pred = t["documents"].select(
+        "lang", language_id(F.col("text")).alias("lang_pred")
+    )
+    counts = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("share_of_true_lang"),
+    )
+
+
+_LANG_CONFUSION_SQL = (
+    "WITH pred AS (" + _LANGUAGE_ID_SQL + ")\n"
+    + r"""
+SELECT d.lang, p.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY d.lang), 6)
+           AS share_of_true_lang
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""
+)
+
 # -------------------------------------------------------------- fingerprint
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2236,6 +2283,7 @@ QUERIES: dict[str, QuerySpec] = {
     "repetition_ratio": QuerySpec(_q_repetition_ratio, _REPETITION_SQL),
     "text_stats": QuerySpec(_q_text_stats, _TEXT_STATS_SQL),
     "language_id": QuerySpec(_q_language_id, _LANGUAGE_ID_SQL),
+    "lang_confusion": QuerySpec(_q_lang_confusion, _LANG_CONFUSION_SQL),
     "doc_fingerprint": QuerySpec(_q_doc_fingerprint, _DOC_FINGERPRINT_SQL),
     "ngram_jaccard": QuerySpec(_q_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "dedup_near": QuerySpec(_q_dedup_near, _DEDUP_NEAR_SQL),

@@ -55,6 +55,7 @@ DOC_QUERIES = (
     "novelty_score",
     "split_leakage",
     "cdc_chunks",
+    "lang_confusion",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -145,6 +146,7 @@ ADVERSARIAL_QUERIES = (
     "novelty_score",
     "split_leakage",
     "cdc_chunks",
+    "lang_confusion",
 )
 
 
