@@ -136,9 +136,23 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_token_count",
     # ---- past the 50-entry window (exactly 50 entries above): every
     # entry below is hash-green in CORRECTNESS_r04 (44 in-window rows
-    # last round) or is one of the three r2-green trivial projections
-    # noted below; all stay runnable + locally verified via
+    # last round), is one of the three r2-green trivial projections
+    # noted below, or is a late-r5 addition (relational subquery
+    # suite) verified locally at sf0.001/0.01/0.1 and queued for the
+    # r6 window; all stay runnable + locally verified via
     # tools/check_oracle.py ----
+    # late-r5 TPC-H-shape subquery/decorrelation suite (local-only
+    # evidence this round; rotate in-window in r6)
+    "order_priority_check",
+    "customer_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "idle_rich_customers",
+    "profit_by_nation_year",
+    "important_parts",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",
@@ -220,11 +234,12 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         llmdata,
         marts,
+        relational,
         textprep,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, marts, advanced, events, llmdata, aux_nyc, textprep):
+    for mod in (core, marts, relational, advanced, events, llmdata, aux_nyc, textprep):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
