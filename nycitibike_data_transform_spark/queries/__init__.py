@@ -153,6 +153,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "idle_rich_customers",
     "profit_by_nation_year",
     "important_parts",
+    # late-r5 training-pipeline additions (local-only evidence this
+    # round; rotate in-window in r6)
+    "padded_batches",
+    "embedding_quantize",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",

@@ -664,7 +664,193 @@ JOIN (SELECT chunk_hash, count(*) AS cnt FROM hashed GROUP BY 1) c
 """
 
 
+# ------------------------------------------------ length-bucketed batching
+
+_PAD_BATCH_SIZE = 32
+
+
+def _q_padded_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient batch construction for padded (non-packed)
+    training/inference: docs sorted by (token length DESC, doc_id)
+    and cut into fixed-size batches of 32, reporting each batch's
+    padding waste (n_docs·max_len − Σlen). Length-sorting keeps
+    same-length docs together, so waste concentrates in boundary
+    batches — the standard bucketed-batching trick.
+
+    The global rank decomposes over the LENGTH buckets themselves:
+    per-length counts give base offsets via one metadata-sized window
+    (#distinct lengths rows — bounded by the max document length, not
+    the corpus), and a per-length row_number ranks within. No global
+    single-reducer window over the corpus; the oracle is exactly that
+    naive global window, proving the decomposition exact. Residual
+    skew note: one pathological length holding most of the corpus
+    would concentrate its within-length window; real length
+    distributions spread across hundreds of values."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sized = docs.select(
+        "doc_id",
+        F.coalesce(token_count("text"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    per_len = sized.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("__cnt"))
+    longer = (
+        Window.orderBy(F.col("n_tokens").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_len.select(
+        "n_tokens",
+        F.coalesce(F.sum("__cnt").over(longer), F.lit(0)).alias("__offset"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("n_tokens").orderBy("doc_id")
+    )
+    ranked = sized.join(F.broadcast(offsets), "n_tokens").select(
+        "n_tokens",
+        ((F.col("__offset") + within - 1) / F.lit(_PAD_BATCH_SIZE))
+        .cast("long")
+        .alias("batch_id"),
+    )
+    return (
+        ranked.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "min_tokens",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("batch_id")
+    )
+
+
+_PADDED_BATCHES_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+sized AS (
+  SELECT doc_id,
+         CAST(coalesce(CASE WHEN length(coalesce(nt, '')) = 0 THEN 0
+                            ELSE len(string_split(nt, ' ')) END, 0) AS BIGINT)
+             AS n_tokens
+  FROM norm
+),
+ranked AS (
+  SELECT n_tokens,
+         CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+              // {_PAD_BATCH_SIZE} AS BIGINT) AS batch_id
+  FROM sized
+)
+SELECT batch_id,
+       count(*) AS n_docs,
+       max(n_tokens) AS max_tokens,
+       min(n_tokens) AS min_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ------------------------------------------------- int8 quantization
+
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    standard export-side compression for ANN serving (4× smaller,
+    SIMD int dot products). Per vector: scale = max|x|/127, codes
+    q_i = round(x_i/scale) ∈ [−127,127]. Emits integer-exact
+    summaries of the code vector (Σq, Σ|q|, zero count, max code)
+    plus the reconstruction error Σ(x_i − q_i·scale)², folded in
+    index order on both engines (the perplexity_score idiom) and
+    rounded to 6.
+
+    Everything is built-in expression work over the array — transform
+    / aggregate / zip_with, zero UDFs, fully codegen'd, embarrassingly
+    parallel (no shuffle at all)."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"].filter(
+        F.col("embedding").isNotNull()
+    )
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(F.col("embedding"), F.abs)).cast("double")
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    with_scale = emb.select("vec_id", xd.alias("__xd"), scale)
+    q = F.transform(
+        F.col("__xd"),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(F.round(x / F.col("scale")))
+        .cast("int"),
+    )
+    quantized = with_scale.select("vec_id", "scale", "__xd", q.alias("__q"))
+    recon = F.aggregate(
+        F.zip_with(
+            F.col("__xd"),
+            F.col("__q"),
+            lambda x, qi: (x - qi.cast("double") * F.col("scale"))
+            * (x - qi.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return quantized.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c)
+        ).alias("code_l1"),
+        F.size(F.filter(F.col("__q"), lambda c: c == 0)).alias("n_zero"),
+        F.array_max(F.col("__q")).alias("max_code"),
+        F.round(recon, 6).alias("recon_err"),
+    )
+
+
+_EMBEDDING_QUANTIZE_SQL = r"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+             AS scale
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+elems AS (
+  SELECT vec_id, scale,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM base
+),
+coded AS (
+  SELECT vec_id, scale, i, x,
+         CASE WHEN scale = 0 THEN 0
+              ELSE CAST(round(x / scale) AS INTEGER) END AS q
+  FROM elems
+)
+SELECT vec_id,
+       any_value(scale) AS scale,
+       CAST(sum(q) AS BIGINT) AS code_sum,
+       CAST(sum(abs(q)) AS BIGINT) AS code_l1,
+       CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_zero,
+       max(q) AS max_code,
+       round(sum((x - q * scale) * (x - q * scale) ORDER BY i), 6) AS recon_err
+FROM coded
+GROUP BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "padded_batches": QuerySpec(_q_padded_batches, _PADDED_BATCHES_SQL),
+    "embedding_quantize": QuerySpec(_q_embedding_quantize, _EMBEDDING_QUANTIZE_SQL),
     "token_budget_select": QuerySpec(_q_token_budget_select, _TOKEN_BUDGET_SQL),
     "global_shuffle": QuerySpec(_q_global_shuffle, _GLOBAL_SHUFFLE_SQL),
     "bigram_lm": QuerySpec(_q_bigram_lm, _BIGRAM_LM_SQL),

@@ -56,6 +56,8 @@ DOC_QUERIES = (
     "split_leakage",
     "cdc_chunks",
     "lang_confusion",
+    "padded_batches",
+    "embedding_quantize",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -147,6 +149,7 @@ ADVERSARIAL_QUERIES = (
     "split_leakage",
     "cdc_chunks",
     "lang_confusion",
+    "padded_batches",
 )
 
 

@@ -216,3 +216,50 @@ def test_perplexity_empty_docs_get_null(spark, tmp_path):
     assert out[1]["log_perplexity"] is None and out[1]["n_tokens"] == 0
     assert out[2]["log_perplexity"] is None
     assert out[3]["log_perplexity"] is not None and out[3]["n_tokens"] == 3
+
+
+def test_embedding_quantize_zero_vector_guard(spark, tmp_path):
+    """Zero-norm vector → scale 0, all codes 0, zero reconstruction
+    error (no division-by-zero NULL leak); a normal vector's max
+    component maps to ±127."""
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [0.5, -0.25, 0.125, 0.0]),
+    ]
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    out = {
+        r["vec_id"]: r
+        for r in all_queries()["embedding_quantize"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["scale"] == 0.0
+    assert out[1]["code_sum"] == 0 and out[1]["code_l1"] == 0
+    assert out[1]["n_zero"] == 4 and out[1]["recon_err"] == 0.0
+    # power-of-two components quantize exactly: 0.5→127, -0.25→-64 (rounded
+    # from -63.5 away), 0.125→32 (31.75→32), 0→0
+    assert out[2]["max_code"] == 127
+    assert out[2]["n_zero"] == 1
+    assert out[2]["recon_err"] < 1e-4
+
+
+def test_padded_batches_invariants(spark, sf_dir):
+    """Every batch is full except possibly the last; batch max length
+    is non-increasing with batch_id (the length-sorted contract); and
+    total docs are conserved."""
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    rows = all_queries()["padded_batches"].spark(spark, sf_dir).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows[:-1]:
+        assert r["n_docs"] == 32
+    maxes = [r["max_tokens"] for r in rows]
+    assert maxes == sorted(maxes, reverse=True)
+    for r in rows:
+        assert r["padding_waste"] == r["n_docs"] * r["max_tokens"] - r["sum_tokens"]
+        assert r["min_tokens"] <= r["max_tokens"]
