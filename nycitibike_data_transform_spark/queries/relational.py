@@ -538,7 +538,6 @@ def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
             units_to_amount(F.col("value_units"), 4).alias("part_value"),
         )
-        .orderBy("partkey")
     )
 
 
@@ -553,7 +552,6 @@ WITH pv AS (
 SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
 FROM pv
 WHERE v * (SELECT count(*) FROM pv) * 10 > (SELECT sum(v) FROM pv) * 13
-ORDER BY 1
 """
 
 

@@ -729,7 +729,6 @@ def _q_padded_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "padding_waste"
             ),
         )
-        .orderBy("batch_id")
     )
 
 
@@ -759,7 +758,6 @@ SELECT batch_id,
        CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
 FROM ranked
 GROUP BY 1
-ORDER BY 1
 """
 
 # ------------------------------------------------- int8 quantization

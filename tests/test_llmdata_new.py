@@ -253,7 +253,10 @@ def test_padded_batches_invariants(spark, sf_dir):
     from nycitibike_data_transform_spark.catalog import load_table
     from nycitibike_data_transform_spark.queries import all_queries
 
-    rows = all_queries()["padded_batches"].spark(spark, sf_dir).collect()
+    rows = sorted(
+        all_queries()["padded_batches"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
     n_docs_total = load_table(spark, sf_dir, "documents").count()
     assert sum(r["n_docs"] for r in rows) == n_docs_total
     for r in rows[:-1]:
