@@ -157,6 +157,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round; rotate in-window in r6)
     "padded_batches",
     "embedding_quantize",
+    "events_gapfill",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",

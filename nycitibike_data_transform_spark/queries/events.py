@@ -383,7 +383,68 @@ SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size,
 FROM active a JOIN sizes s USING (cohort_day)
 """
 
+# -------------------------------------------- calendar densification
+
+def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type: a dense calendar is
+    generated from the observed [min, max] hour (1-row scalar agg →
+    ``sequence`` explode), cross-joined with the distinct types, and
+    the hourly counts LEFT JOIN onto it so missing hours materialize
+    as explicit zero rows (~215 gap cells at sf0.01). The
+    densification shape time-series dashboards need — a plain GROUP
+    BY silently omits empty buckets.
+
+    Scale posture: the calendar is bounded by the time span (hours),
+    the type dim by the event-type domain — both metadata-sized at
+    any corpus size, so the dense grid and its broadcast are bounded;
+    only the hourly-count aggregation touches the corpus."""
+    t = load(spark, sf_dir, "events")
+    hours = t["events"].select(F.date_trunc("hour", F.col("ts")).alias("h"))
+    bounds = hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = t["events"].select("event_type").distinct()
+    dense = cal.crossJoin(F.broadcast(types))
+    counts = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return dense.join(counts, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("__n").isNull().cast("int").alias("was_gap"),
+    )
+
+
+_EVENTS_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT c.hour, t.event_type,
+       CAST(coalesce(x.n, 0) AS BIGINT) AS n_events,
+       CAST(x.n IS NULL AS INT) AS was_gap
+FROM cal c
+CROSS JOIN types t
+LEFT JOIN counts x ON x.hour = c.hour AND x.event_type = t.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_gapfill": QuerySpec(_q_events_gapfill, _EVENTS_GAPFILL_SQL),
     "retention_cohorts": QuerySpec(_q_retention_cohorts, _RETENTION_SQL),
     "skew_join_events": QuerySpec(_q_skew_join_events, _SKEW_JOIN_SQL),
     "signup_purchase_funnel": QuerySpec(_q_signup_purchase_funnel, _FUNNEL_SQL),
