@@ -547,13 +547,19 @@ def _q_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
     date), count such orders per supplier, top 20.
 
     The reference point of this query is the PLAN: Q21's correlated
-    EXISTS + NOT EXISTS pair is de-correlated into one per-order
-    aggregate (distinct suppliers, distinct late suppliers) joined
-    back to the late line items — two shuffles on orderkey and one
-    map-side-combinable count, instead of two correlated re-scans of
-    lineitem. The DuckDB oracle keeps the textbook EXISTS/NOT EXISTS
-    formulation, proving the de-correlation exact. Supplier names
-    attach via broadcast (KB-sized dim)."""
+    EXISTS + NOT EXISTS pair is de-correlated into ONE pass — the
+    joined frame aggregates to per-(order, supplier) rows with a
+    ``late`` flag (one shuffle, pinned to orderkey so the follow-up
+    window needs no second exchange), and the per-order
+    supplier/late-supplier counts come from a window over that
+    already-aggregated frame instead of a second scan. No
+    countDistinct Expand, no recomputed join subtree (the r5 10×
+    stress caught the original two-branch shape recomputing the
+    lineitem⋈orders join twice — 17× wall at 10× data; this
+    single-pass form is ~linear). The DuckDB oracle keeps the
+    textbook EXISTS/NOT EXISTS formulation, proving the
+    de-correlation exact. Supplier names attach via broadcast
+    (KB-sized dim)."""
     t = load(spark, sf_dir, "lineitem", "orders", "supplier")
     li = (
         t["lineitem"]
@@ -566,19 +572,23 @@ def _q_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late"),
         )
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
-            "n_late"
-        ),
+    # HashPartitioning(l_orderkey) satisfies the (l_orderkey,
+    # l_suppkey) clustering requirement (subset rule), so the groupBy
+    # reuses this exchange and the orderkey window below runs without
+    # another shuffle
+    per_os = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
-    waiting = (
-        li.filter(F.col("late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    per_order = Window.partitionBy("l_orderkey")
+    waiting = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(per_order).alias("n_supp"),
+        F.sum("late").over(per_order).alias("n_late"),
+    ).filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     counts = waiting.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).cast("long").alias("numwait")
     )

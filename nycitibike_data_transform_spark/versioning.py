@@ -182,6 +182,55 @@ class VersionedTable:
         _durable_write(self._pointer, str(version))  # the commit point
         return version
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_mb: int = 128,
+        cluster_by: tuple[str, ...] = (),
+    ) -> int:
+        """Small-file compaction: rewrite the CURRENT snapshot into
+        size-targeted files as a NEW committed version. Data-identical
+        (same rows, same schema, same partition layout) — only the
+        file geometry changes; the previous version stays readable
+        until vacuumed, so a bad compaction is one pointer away from
+        rollback.
+
+        Why it matters at 100 TB: streaming ingests and fine-grained
+        partition merges accumulate kilobyte files whose per-file open
+        cost dominates scans; periodic compaction is the standard
+        Delta/Iceberg OPTIMIZE. File count = ceil(bytes /
+        target_file_mb), computed from the actual on-disk snapshot
+        size, not a guess.
+
+        ``cluster_by`` additionally range-partitions + sorts the
+        rewrite on the given columns (Delta's ZORDER-lite): each
+        output file then covers a narrow, non-overlapping value range,
+        so parquet row-group min/max stats let point/range scans skip
+        whole files. Returns the new version number."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"empty versioned table at {self.root}")
+        manifest = self.manifest(cur)
+        data_dir = self._data_dir(cur)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(data_dir, f)) for f in manifest["files"]
+        )
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        partition_by = tuple(manifest["partition_by"])
+        df = self.read_version(spark, cur)
+        if cluster_by:
+            df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        elif partition_by:
+            # co-locate each partition's rows so partitionBy on write
+            # emits few files per partition dir instead of
+            # n_files × n_partitions fragments
+            df = df.repartition(n_files, *partition_by)
+        else:
+            df = df.repartition(n_files)
+        return self.write_version(df, partition_by=partition_by)
+
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop all but the last ``keep`` committed snapshots (plus any
         orphaned uncommitted directories). Returns removed versions."""

@@ -211,3 +211,73 @@ def test_pipeline_run_bounds_retention(spark, tmp_path, sf_dir):
 
     with pytest.raises(ValueError, match="requires versioned"):
         p.run(spark, keep_versions=2)
+
+
+def test_compact_reduces_files_data_identical(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    v1 = t.write_version(df.repartition(64))  # 64 tiny files
+    assert len(t.manifest(v1)["files"]) == 64
+    v2 = t.compact(spark, target_file_mb=128)
+    assert v2 == v1 + 1
+    assert len(t.manifest(v2)["files"]) < 8
+    before = sorted(map(tuple, t.read_version(spark, v1).collect()))
+    after = sorted(map(tuple, t.read_version(spark, v2).collect()))
+    assert before == after
+    # old version remains time-travelable until vacuumed
+    assert t.read_version(spark, v1).count() == 10_000
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.range(2_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    t.write_version(df.repartition(16), partition_by=("part",))
+    v2 = t.compact(spark, target_file_mb=128)
+    man = t.manifest(v2)
+    assert man["partition_by"] == ["part"]
+    assert all(f.startswith("part=") for f in man["files"])
+    assert t.read_current(spark).filter(F.col("part") == "1").count() == 667
+
+
+def test_compact_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.range(50_000).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("pad1"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad2"),
+    )
+    t.write_version(df.repartition(32))
+    v2 = t.compact(spark, target_file_mb=1, cluster_by=("id",))
+    data_dir = t._data_dir(v2)
+    files = t.manifest(v2)["files"]
+    assert len(files) >= 2  # the 1 MB target forces a multi-file layout
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(os.path.join(data_dir, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        # range-clustered files cover non-overlapping id ranges -> a
+        # point lookup touches exactly one file via row-group stats
+        assert hi1 < lo2
+
+
+def test_compact_empty_table_raises(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="empty"):
+        t.compact(spark)

@@ -76,6 +76,11 @@ QUERIES = (
     # (cdc), and val-signatures × train-shingles cross probe (leakage)
     "cdc_chunks",
     "split_leakage",
+    # late-r5: length-bucket rank decomposition (the offset table stays
+    # #distinct-lengths-sized while docs grow K×) and the shuffle-free
+    # per-vector quantization fold
+    "padded_batches",
+    "embedding_quantize",
 )
 
 
@@ -89,6 +94,15 @@ def build(spark, factor: int, base: str) -> None:
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
         )
     big.repartition(32).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    big_emb = emb
+    for i in range(1, factor):
+        big_emb = big_emb.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{base}/embeddings.parquet"
+    )
 
 
 def time_fresh(spark, sf_dir: str, name: str, runs: int = 2) -> float:
@@ -105,7 +119,9 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark_graft_llmdata_{factor}x"
     spark = get_spark("stress_llmdata")
-    if not os.path.exists(f"{base}/documents.parquet"):
+    if not all(
+        os.path.exists(f"{base}/{t}.parquet") for t in ("documents", "embeddings")
+    ):
         build(spark, factor, base)
     n = spark.read.parquet(f"{base}/documents.parquet").count()
     out = {"factor": factor, "docs": n, "queries": {}}
