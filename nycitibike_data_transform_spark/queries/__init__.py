@@ -158,6 +158,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "padded_batches",
     "embedding_quantize",
     "events_gapfill",
+    "quantized_topk",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",

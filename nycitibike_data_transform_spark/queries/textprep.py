@@ -846,7 +846,186 @@ GROUP BY vec_id
 """
 
 
+# -------------------------------------- quantized retrieval agreement
+
+_QT_K = 5
+_QT_N_QUERIES = 50
+
+
+def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does int8 quantization preserve retrieval? Per query vector,
+    the top-5 neighbors under exact float cosine vs under
+    QUANTIZED-code cosine, reporting the per-query overlap — the
+    audit that must pass before an export ships quantized vectors.
+
+    Key identity: the symmetric scales cancel in cosine
+    ((q_a·q_b·s_a·s_b)/(‖q_a‖s_a·‖q_b‖s_b) = q_a·q_b/(‖q_a‖‖q_b‖)),
+    so the quantized ranking is pure INTEGER dot products over the
+    int8 codes — exact in both engines (64-dim · 127² sums fit a
+    double exactly, so even DuckDB's double fold is exact), ties
+    broken by neighbor_id. The query side is a bounded 50-vector
+    subset broadcast against the corpus (the same reviewed brute
+    shape as cosine_topk; banded tiers are the scale path for the
+    search itself — this query is the quality AUDIT, run on a
+    sample)."""
+    from nycitibike_data_transform_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"].filter(
+        F.col("embedding").isNotNull()
+    )
+    scale = (
+        F.array_max(F.transform(F.col("embedding"), F.abs)).cast("double")
+        / F.lit(127.0)
+    ).alias("__scale")
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("__scale") == 0.0, F.lit(0))
+        .otherwise(F.round(x.cast("double") / F.col("__scale")))
+        .cast("int"),
+    )
+    norm2 = F.aggregate(
+        F.col("__codes"),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + (c * c).cast("long"),
+    )
+    vec = (
+        emb.select("vec_id", "embedding", scale)
+        .withColumn("__codes", codes)
+        .select("vec_id", "__codes", norm2.alias("__n2"))
+    )
+    qside = vec.filter(F.col("vec_id") < _QT_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__codes").alias("__qcodes"),
+        F.col("__n2").alias("__qn2"),
+    )
+    dotq = F.aggregate(
+        F.zip_with(F.col("__codes"), F.col("__qcodes"), lambda a, b: (a * b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = vec.join(
+        F.broadcast(qside), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.when(
+            (F.col("__n2") == 0) | (F.col("__qn2") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            dotq.cast("double")
+            / (F.sqrt(F.col("__qn2").cast("double")) * F.sqrt(F.col("__n2").cast("double")))
+        )
+        .alias("__cosq"),
+    )
+    from pyspark.sql import Window
+
+    qtop = (
+        pairs.filter(F.col("__cosq").isNotNull())
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__cosq").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= _QT_K)
+        .select("query_id", "neighbor_id")
+    )
+    ftop = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < _QT_N_QUERIES), k=_QT_K
+    ).select("query_id", "neighbor_id")
+    overlap = ftop.join(qtop, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        qside.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_common"),
+            F.round(F.coalesce(F.col("__n"), F.lit(0)) / F.lit(float(_QT_K)), 6).alias(
+                "agreement"
+            ),
+        )
+    )
+
+
+_QUANTIZED_TOPK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+             AS scale
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+elems AS (
+  SELECT vec_id, scale,
+         generate_subscripts(xv, 1) AS i,
+         unnest(xv) AS x
+  FROM base
+),
+codes AS (
+  SELECT vec_id,
+         list(CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(round(x / scale) AS INTEGER) END AS DOUBLE)
+              ORDER BY i) AS cv
+  FROM elems
+  GROUP BY vec_id
+),
+qcod AS (
+  SELECT vec_id AS query_id, cv AS qv FROM codes WHERE vec_id < {_QT_N_QUERIES}
+),
+qscored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CASE WHEN list_dot_product(qv, qv) * list_dot_product(cv, cv) = 0
+              THEN NULL
+              ELSE list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         END AS cosq
+  FROM codes c, qcod
+  WHERE query_id <> c.vec_id
+),
+qtop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosq DESC, neighbor_id) AS rk
+    FROM qscored WHERE cosq IS NOT NULL
+  ) WHERE rk <= {_QT_K}
+),
+fscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_dot_product(q.xv, q.xv)) * sqrt(list_dot_product(c.xv, c.xv)) = 0
+              THEN NULL
+              ELSE list_dot_product(q.xv, c.xv)
+                   / (sqrt(list_dot_product(q.xv, q.xv)) * sqrt(list_dot_product(c.xv, c.xv)))
+         END AS cosine
+  FROM base c, base q
+  WHERE q.vec_id < {_QT_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ftop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM fscored WHERE cosine IS NOT NULL
+  ) WHERE rk <= {_QT_K}
+),
+overlap AS (
+  SELECT f.query_id, count(*) AS n
+  FROM ftop f JOIN qtop t USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(o.n, 0) AS INTEGER) AS n_common,
+       round(coalesce(o.n, 0) / {float(_QT_K)}, 6) AS agreement
+FROM qcod q LEFT JOIN overlap o USING (query_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "quantized_topk": QuerySpec(_q_quantized_topk, _QUANTIZED_TOPK_SQL),
     "padded_batches": QuerySpec(_q_padded_batches, _PADDED_BATCHES_SQL),
     "embedding_quantize": QuerySpec(_q_embedding_quantize, _EMBEDDING_QUANTIZE_SQL),
     "token_budget_select": QuerySpec(_q_token_budget_select, _TOKEN_BUDGET_SQL),

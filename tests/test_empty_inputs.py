@@ -58,6 +58,7 @@ DOC_QUERIES = (
     "lang_confusion",
     "padded_batches",
     "embedding_quantize",
+    "quantized_topk",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY

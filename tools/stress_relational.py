@@ -22,6 +22,18 @@ What "passes": every query should grow ≈K (linear in facts), never
 - customer_distribution: the per-customer count domain is fixed (1×
   customers), only counts grow.
 
+Measured at K=10 (60M lineitem rows, 2026-08-14): all thirteen
+queries ≤3.6× wall at 10× data — order_priority_check 2.27×,
+customer_distribution 0.15×, promo_revenue 1.0×, top_supplier 1.96×,
+small_qty_revenue 3.55×, large_volume_customers 3.0×,
+disjunctive_revenue 0.8×, idle_rich_customers 2.44×,
+profit_by_nation_year 0.62×, important_parts 1.38×, supplier_wait
+2.03×, pricing_summary 0.39×, revenue_by_nation 2.11×. The first run
+caught supplier_wait at 17.3× (its two consumers recomputed the
+lineitem⋈orders join, with a countDistinct Expand on top) — fixed by
+the single-pass window rewrite in queries/marts.py; the ratio above
+is the post-fix shape.
+
 Usage: python tools/stress_relational.py [K] [scratch_dir]
 Prints one JSON line with per-query [t_1x, t_Kx, ratio].
 """
