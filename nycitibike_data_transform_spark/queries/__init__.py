@@ -159,6 +159,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_quantize",
     "events_gapfill",
     "quantized_topk",
+    "table_profile",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",

@@ -7,7 +7,7 @@ collect+sort, unpivot, date/string scalar surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.operators.joins import as_of_join, range_join
@@ -398,7 +398,94 @@ FROM customer
 """
 
 
+# ------------------------------------------------------- table profiling
+
+_PROFILE_COLS = (
+    # (column, min/max rendering) — money renders via DECIMAL so both
+    # engines print identical strings; ints/strings/timestamps cast
+    # straight (both engines print 'YYYY-MM-DD HH:MM:SS' for the UTC
+    # session timestamps)
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "string"),
+    ("o_orderpriority", "string"),
+)
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of ``orders`` in ONE pass: per
+    column — row count, nulls, exact distinct count, min, max. The
+    dbt-docs / Deequ statistics surface every warehouse needs before
+    trusting a feed; the engine computes all columns in a single
+    aggregation (one scan) and unpivots to long format.
+
+    Scale note: N exact countDistincts in one aggregate expand the
+    input N-fold (Spark's Expand) — the right default at profile
+    cadence; at 100 TB swap ``countDistinct`` for
+    ``approx_count_distinct`` (the approx tier already verdict-tested
+    by ``approx_distinct``)."""
+    t = load(spark, sf_dir, "orders")
+    df = t["orders"]
+
+    def _render(c: str, kind: str) -> tuple[Column, Column]:
+        if kind == "money":
+            col = F.col(c).cast("decimal(18,2)")
+        else:
+            col = F.col(c)
+        return (
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        )
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c, kind in _PROFILE_COLS:
+        mn, mx = _render(c, kind)
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            mn,
+            mx,
+        ]
+    stats = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return stats.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def _profile_sql() -> str:
+    pieces = []
+    for c, kind in _PROFILE_COLS:
+        expr = f"CAST({c} AS DECIMAL(18,2))" if kind == "money" else c
+        pieces.append(
+            f"""SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({expr}) AS VARCHAR) AS min_value,
+       CAST(max({expr}) AS VARCHAR) AS max_value
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(pieces)
+
+
+_TABLE_PROFILE_SQL = _profile_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "table_profile": QuerySpec(_q_table_profile, _TABLE_PROFILE_SQL),
     "asof_purchase_click": QuerySpec(_q_asof_purchase_click, _ASOF_SQL),
     "null_semantics": QuerySpec(_q_null_semantics, _NULL_SEMANTICS_SQL),
     "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, _FUZZY_SQL),
