@@ -25,6 +25,16 @@ span_dedup 1.73×, mixture_plan 1.26×, shard_manifest 1.19× — the span
 pipeline's hash-count shuffle grows linearly even though every
 replica group multiplies duplicate-span occurrences by K.
 
+Late-r5 run (2026-08-14, K=10, 50k docs, incl. the new entries):
+decontaminate 1.69×, stratified 1.56×, source_mix 1.36×,
+dedup_clusters 7.05×, dedup_incremental 2.35×, span_dedup 1.58×,
+span_strip 1.43×, mixture_plan 1.27×, shard_manifest 1.05×,
+perplexity 1.11×, pack_render 1.48×, token_budget_select 4.67×,
+global_shuffle 3.42×, bigram_lm 1.19×, containment_pairs 7.17× (vs
+~100× true-pair growth), cdc_chunks 4.5×, split_leakage 4.57×,
+padded_batches 1.66×, embedding_quantize 0.79×. All sub-linear in
+work.
+
 Usage: python tools/stress_llmdata.py [K] [scratch_dir]
 Prints one JSON line with per-query [t_1x, t_Kx, ratio].
 """
