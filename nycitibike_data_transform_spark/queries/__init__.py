@@ -160,6 +160,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_gapfill",
     "quantized_topk",
     "table_profile",
+    "user_streaks",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",

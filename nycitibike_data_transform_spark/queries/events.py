@@ -383,6 +383,81 @@ SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size,
 FROM active a JOIN sizes s USING (cohort_day)
 """
 
+# ------------------------------------------------- gaps and islands
+
+def _q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (the same trick spans.py uses to merge
+    duplicate spans, here as a first-class relational query): distinct
+    active days, island key = day − row_number (consecutive days share
+    it), then two aggregations. All windows partition by user — no
+    global window; shuffles shrink monotonically (events → user-days →
+    islands → users). Top-50 streakers with deterministic tie-break.
+    """
+    t = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    days = (
+        t["events"]
+        .select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) - F.row_number().over(w)).alias(
+            "island"
+        ),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("best_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+    )
+    # top-50 via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, no global sort); the rank window then runs over 50 rows
+    top50 = per_user.orderBy(F.col("best_streak").desc(), F.col("user_id")).limit(50)
+    return top50.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("best_streak").desc(), F.col("user_id")))
+        .cast("int"),
+    )
+
+
+_USER_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         datediff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS streak_len, min(day) AS streak_start
+  FROM islands GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(max(streak_len) AS BIGINT) AS best_streak,
+         count(*) AS n_streaks,
+         CAST(sum(streak_len) AS BIGINT) AS n_active_days
+  FROM streaks GROUP BY 1
+)
+SELECT user_id, best_streak, n_streaks, n_active_days,
+       CAST(row_number() OVER (ORDER BY best_streak DESC, user_id) AS INT) AS rank
+FROM per_user
+QUALIFY rank <= 50
+"""
+
 # -------------------------------------------- calendar densification
 
 def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +519,7 @@ LEFT JOIN counts x ON x.hour = c.hour AND x.event_type = t.event_type
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "user_streaks": QuerySpec(_q_user_streaks, _USER_STREAKS_SQL),
     "events_gapfill": QuerySpec(_q_events_gapfill, _EVENTS_GAPFILL_SQL),
     "retention_cohorts": QuerySpec(_q_retention_cohorts, _RETENTION_SQL),
     "skew_join_events": QuerySpec(_q_skew_join_events, _SKEW_JOIN_SQL),
