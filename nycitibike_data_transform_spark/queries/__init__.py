@@ -161,6 +161,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quantized_topk",
     "table_profile",
     "user_streaks",
+    "collection_functions",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",

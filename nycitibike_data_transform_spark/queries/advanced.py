@@ -484,7 +484,82 @@ FROM orders"""
 _TABLE_PROFILE_SQL = _profile_sql()
 
 
+# ------------------------------------------- higher-order collections
+
+def _q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function surface in one query: per document,
+    build the token array once and exercise transform / filter /
+    exists / slice / sort / distinct / zip_with-index — all JVM-side
+    lambda expressions (SURVEY.md §2.8's 'macros stay Column
+    functions' rule extended to collections; zero UDFs). Every output
+    is integer/string-exact, so the DuckDB list-function oracle
+    hash-matches without rounding."""
+    from nycitibike_data_transform_spark.functions.text import token_array
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = token_array("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        # filter: tokens longer than 4 chars
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        # exists: any token starting with 'z'
+        F.exists(toks, lambda t: t.startswith("z")).cast("int").alias("has_z"),
+        # transform + aggregate: total characters across tokens
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars_tok"),
+        # slice + concat: first 3 tokens re-joined
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"),
+        # sort: lexicographically first and last token
+        F.element_at(F.array_sort(toks), 1).alias("first_tok"),
+        F.element_at(F.array_sort(toks), -1).alias("last_tok"),
+        # zip_with index: position-weighted char sum (order-sensitive
+        # proof that both engines index identically)
+        F.aggregate(
+            F.zip_with(
+                toks,
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda t, i: F.length(t).cast("long") * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pos_weighted_chars"),
+    )
+
+
+_COLLECTION_FUNCTIONS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(coalesce(nt, '')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(w)) AS INTEGER) AS n_unique,
+       CAST(len(list_filter(w, t -> length(t) > 4)) AS INTEGER) AS n_long,
+       CAST(len(list_filter(w, t -> t LIKE 'z%')) > 0 AS INTEGER) AS has_z,
+       CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS BIGINT)
+           AS n_chars_tok,
+       array_to_string(w[1:3], ' ') AS head3,
+       list_sort(w)[1] AS first_tok,
+       list_sort(w)[-1] AS last_tok,
+       CAST(coalesce(list_sum(list_transform(list_zip(w, range(1, len(w) + 1)),
+                                             p -> length(p[1]) * p[2])), 0) AS BIGINT)
+           AS pos_weighted_chars
+FROM base
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "collection_functions": QuerySpec(
+        _q_collection_functions, _COLLECTION_FUNCTIONS_SQL
+    ),
     "table_profile": QuerySpec(_q_table_profile, _TABLE_PROFILE_SQL),
     "asof_purchase_click": QuerySpec(_q_asof_purchase_click, _ASOF_SQL),
     "null_semantics": QuerySpec(_q_null_semantics, _NULL_SEMANTICS_SQL),

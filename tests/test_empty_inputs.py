@@ -59,6 +59,7 @@ DOC_QUERIES = (
     "padded_batches",
     "embedding_quantize",
     "quantized_topk",
+    "collection_functions",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -151,6 +152,7 @@ ADVERSARIAL_QUERIES = (
     "cdc_chunks",
     "lang_confusion",
     "padded_batches",
+    "collection_functions",
 )
 
 
@@ -170,3 +172,49 @@ def test_query_survives_adversarial_text(spark, adversarial_dir, name):
     # NULL text, empty/whitespace strings, sub-shingle docs, NULL
     # stratum keys, unicode, giant tokens: must compute, not crash
     all_queries()[name].spark(spark, adversarial_dir).count()
+
+
+# Fact-table queries on EMPTY warehouse tables (the empty-partition /
+# first-day-of-ingest shape). Global aggregates return their 1-row
+# (or per-column) summary; everything else returns zero rows.
+FACT_QUERY_ROWS = {
+    "order_priority_check": 0,
+    "customer_distribution": 0,
+    "promo_revenue": 1,       # global agg: one summary row
+    "top_supplier": 0,
+    "small_qty_revenue": 1,   # global agg
+    "large_volume_customers": 0,
+    "disjunctive_revenue": 1,  # global agg
+    "idle_rich_customers": 0,
+    "profit_by_nation_year": 0,
+    "important_parts": 0,
+    "supplier_wait": 0,
+    "pricing_summary": 0,
+    "table_profile": 6,       # one row per profiled column, all zeros
+    "events_gapfill": 0,      # no observed hours -> empty calendar
+    "user_streaks": 0,
+}
+
+
+@pytest.fixture(scope="module")
+def empty_fact_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_facts")
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+    ):
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.parquet(
+            f"{out}/{t}.parquet"
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(FACT_QUERY_ROWS))
+def test_fact_query_survives_empty_tables(spark, empty_fact_dir, name):
+    assert all_queries()[name].spark(spark, empty_fact_dir).count() == FACT_QUERY_ROWS[name]
