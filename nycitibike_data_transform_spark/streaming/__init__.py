@@ -4,6 +4,7 @@ from nycitibike_data_transform_spark.streaming.events import (
     click_purchase_join_stream,
     dedup_stream,
     hourly_counts_stream,
+    sliding_counts_stream,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -20,6 +21,7 @@ from nycitibike_data_transform_spark.streaming.stateful import running_user_tota
 __all__ = [
     "read_events_stream",
     "hourly_counts_stream",
+    "sliding_counts_stream",
     "sessionize_stream",
     "dedup_stream",
     "click_purchase_join_stream",

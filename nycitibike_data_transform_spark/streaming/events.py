@@ -94,6 +94,28 @@ def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 1-hour windows advancing every 15 minutes — the
+    trending-metrics shape (each event lands in 4 overlapping
+    windows). Completes the window-type matrix next to tumbling
+    (hourly_counts_stream) and session (sessionize_stream). State is
+    bounded by watermark × overlap factor: 4× the tumbling state,
+    still independent of stream length."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Native session windows (the streaming analogue of the batch
     lag/cumsum sessionization in queries/events.py)."""

@@ -211,3 +211,34 @@ def test_source_counts_stream_matches_batch(spark, sf_dir):
         for r in all_queries()["source_mix_report"].spark(spark, sf_dir).collect()
     }
     assert s == b and s
+
+
+def test_sliding_stream_matches_batch_windows(spark, sf_dir):
+    """Sliding 1h/15min windows: every event lands in exactly 4
+    overlapping windows; stream output must equal the batch
+    F.window aggregation AND total-count conservation must hold."""
+    from nycitibike_data_transform_spark.queries import load
+    from nycitibike_data_transform_spark.streaming import sliding_counts_stream
+
+    stream_out = run_stream_to_memory(
+        sliding_counts_stream(spark, sf_dir), "sliding_test"
+    )
+    events = load(spark, sf_dir, "events")["events"]
+    batch = (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    s = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in stream_out.collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert s == b
+    # conservation: each event counted once per covering window (4x)
+    assert sum(s.values()) == events.count() * 4
