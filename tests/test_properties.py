@@ -145,3 +145,46 @@ def test_connected_components_matches_union_find(spark, edges, extra_vertices):
         for r in connected_components(edf, vertices=vdf).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_padded_batches_matches_python_reference(spark, docs):
+    """Differential: the length-bucket rank decomposition in
+    padded_batches must equal naive Python batching of
+    (n_tokens DESC, doc_id ASC) order for arbitrary length
+    distributions (duplicates, gaps, empty docs)."""
+    import tempfile
+
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    rows = [(i, "tok " * n if n else "", "en", "web", 4 * n) for i, n in docs]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows or [(0, None, None, None, 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).limit(len(rows)).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r["batch_id"]: (r["n_docs"], r["max_tokens"], r["min_tokens"], r["sum_tokens"], r["padding_waste"])
+            for r in all_queries()["padded_batches"].spark(spark, d).collect()
+        }
+    # pure-Python reference
+    order = sorted(docs, key=lambda t: (-t[1], t[0]))
+    want = {}
+    for b in range(0, len(order), 32):
+        chunk = [n for _, n in order[b : b + 32]]
+        want[b // 32] = (
+            len(chunk),
+            max(chunk),
+            min(chunk),
+            sum(chunk),
+            len(chunk) * max(chunk) - sum(chunk),
+        )
+    assert got == want
