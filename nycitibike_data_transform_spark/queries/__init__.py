@@ -162,6 +162,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "table_profile",
     "user_streaks",
     "collection_functions",
+    "bpe_merges",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",

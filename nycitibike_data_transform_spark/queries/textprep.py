@@ -846,6 +846,34 @@ GROUP BY vec_id
 """
 
 
+# --------------------------------------------- BPE merge induction
+
+_BPE_K = 5
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 5 BPE merges from the corpus (tokenizer training — the
+    missing half next to bpe_token_count's application side). The
+    iteration runs distributed with a 1-row argmax collect per round
+    (the learned model parameter); the oracle replays the SAME 5
+    rounds as a chained-CTE pipeline — an exact end-to-end gate on an
+    iterative algorithm, like dedup_clusters' recursive-closure
+    oracle. See operators/bpe.py for the greedy-merge-as-replace
+    portability argument."""
+    from nycitibike_data_transform_spark.operators.bpe import learn_bpe_merges
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return learn_bpe_merges(docs, k=_BPE_K)
+
+
+def _bpe_sql() -> str:
+    from nycitibike_data_transform_spark.operators.bpe import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql(_BPE_K)
+
+
+_BPE_MERGES_SQL = _bpe_sql()
+
 # -------------------------------------- quantized retrieval agreement
 
 _QT_K = 5
@@ -1025,6 +1053,7 @@ FROM qcod q LEFT JOIN overlap o USING (query_id)
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "bpe_merges": QuerySpec(_q_bpe_merges, _BPE_MERGES_SQL),
     "quantized_topk": QuerySpec(_q_quantized_topk, _QUANTIZED_TOPK_SQL),
     "padded_batches": QuerySpec(_q_padded_batches, _PADDED_BATCHES_SQL),
     "embedding_quantize": QuerySpec(_q_embedding_quantize, _EMBEDDING_QUANTIZE_SQL),

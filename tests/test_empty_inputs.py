@@ -60,6 +60,7 @@ DOC_QUERIES = (
     "embedding_quantize",
     "quantized_topk",
     "collection_functions",
+    "bpe_merges",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -153,6 +154,7 @@ ADVERSARIAL_QUERIES = (
     "lang_confusion",
     "padded_batches",
     "collection_functions",
+    "bpe_merges",
 )
 
 
