@@ -40,10 +40,14 @@ _MERGES_SCHEMA = (
 )
 
 
-def learn_bpe_merges(docs: DataFrame, k: int = 5) -> DataFrame:
+def learn_bpe_merges(
+    docs: DataFrame, k: int = 5, return_segmentation: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Learn ``k`` BPE merges from ``docs.text``; returns one row per
     learned merge (step, left_sym, right_sym, merged, pair_count).
-    Stops early if no adjacent pair remains."""
+    Stops early if no adjacent pair remains. With
+    ``return_segmentation=True`` also returns the final segmented
+    vocab (word, freq, rep) — the merges APPLIED."""
     from nycitibike_data_transform_spark.functions.text import token_array
 
     spark = docs.sparkSession
@@ -53,6 +57,7 @@ def learn_bpe_merges(docs: DataFrame, k: int = 5) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            F.col("w").alias("word"),
             "freq",
             F.regexp_replace(F.col("w"), "(.)", "<$1>").alias("rep"),
         )
@@ -96,7 +101,14 @@ def learn_bpe_merges(docs: DataFrame, k: int = 5) -> DataFrame:
                     F.lit(f"<{s1}{s2}>"),
                 ),
             )
-        return spark.createDataFrame(merges, _MERGES_SCHEMA)
+        merges_df = spark.createDataFrame(merges, _MERGES_SCHEMA)
+        if return_segmentation:
+            # NOTE: cur stays lazy — the caller must consume it before
+            # this frame's vocab ancestor is recomputed from scratch
+            # (the persist below is released; re-derivation is correct,
+            # just one extra corpus scan)
+            return merges_df, cur
+        return merges_df
     finally:
         vocab.unpersist()
 
@@ -117,7 +129,7 @@ words AS (
   GROUP BY 1
 ),
 sym1 AS (
-  SELECT freq, regexp_replace(w, '(.)', '<\1>', 'g') AS rep FROM words
+  SELECT w, freq, regexp_replace(w, '(.)', '<\1>', 'g') AS rep FROM words
 )"""
     ]
     for i in range(1, k + 1):
@@ -135,8 +147,8 @@ cnt{i} AS (
 ),
 best{i} AS (SELECT s1, s2, cnt FROM cnt{i} ORDER BY cnt DESC, s1, s2 LIMIT 1),
 sym{i + 1} AS (
-  SELECT freq, replace(rep, '<' || s1 || '><' || s2 || '>',
-                       '<' || s1 || s2 || '>') AS rep
+  SELECT w, freq, replace(rep, '<' || s1 || '><' || s2 || '>',
+                          '<' || s1 || s2 || '>') AS rep
   FROM sym{i}, best{i}
 )"""
         )
@@ -146,3 +158,21 @@ sym{i + 1} AS (
         for i in range(1, k + 1)
     )
     return "".join(parts) + "\n" + selects
+
+
+def bpe_segment_oracle_sql(k: int = 5) -> str:
+    """The same k-round chain, finished with the segmentation of the
+    vocab under the learned merges (one row per distinct word)."""
+    chain = bpe_merges_oracle_sql(k)
+    chain = chain[: chain.index("\nSELECT 1 AS step")]
+    return (
+        chain
+        + f"""
+SELECT w AS word, freq,
+       CAST(len(l) AS INTEGER) AS n_pieces,
+       array_to_string(l, ' ') AS pieces
+FROM (SELECT w, freq,
+             string_split(substring(rep, 2, length(rep) - 2), '><') AS l
+      FROM sym{k + 1})
+"""
+    )

@@ -163,6 +163,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_streaks",
     "collection_functions",
     "bpe_merges",
+    "bpe_segment",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",

@@ -874,6 +874,33 @@ def _bpe_sql() -> str:
 
 _BPE_MERGES_SQL = _bpe_sql()
 
+def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merges APPLIED: every distinct word segmented under
+    the 5-round BPE model, with its piece count — the
+    tokens-per-word compression the tokenizer buys. Shares the
+    training loop with bpe_merges; the oracle extends the same
+    chained-CTE replay with the final segmentation level."""
+    from nycitibike_data_transform_spark.operators.bpe import learn_bpe_merges
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    _, seg = learn_bpe_merges(docs, k=_BPE_K, return_segmentation=True)
+    pieces = F.split(F.expr("substring(rep, 2, length(rep) - 2)"), "><")
+    return seg.select(
+        "word",
+        "freq",
+        F.size(pieces).cast("int").alias("n_pieces"),
+        F.concat_ws(" ", pieces).alias("pieces"),
+    )
+
+
+def _bpe_segment_sql() -> str:
+    from nycitibike_data_transform_spark.operators.bpe import bpe_segment_oracle_sql
+
+    return bpe_segment_oracle_sql(_BPE_K)
+
+
+_BPE_SEGMENT_SQL = _bpe_segment_sql()
+
 # -------------------------------------- quantized retrieval agreement
 
 _QT_K = 5
@@ -1054,6 +1081,7 @@ FROM qcod q LEFT JOIN overlap o USING (query_id)
 
 QUERIES: dict[str, QuerySpec] = {
     "bpe_merges": QuerySpec(_q_bpe_merges, _BPE_MERGES_SQL),
+    "bpe_segment": QuerySpec(_q_bpe_segment, _BPE_SEGMENT_SQL),
     "quantized_topk": QuerySpec(_q_quantized_topk, _QUANTIZED_TOPK_SQL),
     "padded_batches": QuerySpec(_q_padded_batches, _PADDED_BATCHES_SQL),
     "embedding_quantize": QuerySpec(_q_embedding_quantize, _EMBEDDING_QUANTIZE_SQL),

@@ -61,6 +61,7 @@ DOC_QUERIES = (
     "quantized_topk",
     "collection_functions",
     "bpe_merges",
+    "bpe_segment",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -155,6 +156,7 @@ ADVERSARIAL_QUERIES = (
     "padded_batches",
     "collection_functions",
     "bpe_merges",
+    "bpe_segment",
 )
 
 
