@@ -36,6 +36,47 @@ def train_test_split(
     return df.filter(bucket >= cut), df.filter(bucket < cut)
 
 
+def weighted_sample(
+    df: DataFrame, weight_col: str, n: int, id_col: str, seed: str = "ws"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic by key —
+    Efraimidis–Spirakis A-ES: each row draws u ∈ (0,1) from its
+    seeded md5, gets key = −ln(u)/w (exponential with rate w), and
+    the n SMALLEST keys win; P(selected) is proportional to weight,
+    without replacement, in one pass. Training-data use: sample a
+    corpus ∝ quality score or token count without materializing a
+    global shuffle.
+
+    Determinism across engines: u is assembled from two exact 32-bit
+    md5 chunks scaled by powers of two (one correctly-rounded add —
+    bit-identical in any IEEE engine); ln is within-1-ulp per engine,
+    and key ranks only flip if two keys collide to ~1e-16 relative —
+    md5-derived keys sit ~1/n apart. Rows with weight ≤ 0 or NULL
+    never qualify (the A-ES domain). Top-n runs as per-partition
+    heaps (TakeOrdered), no global sort."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    u = a / F.lit(float(2**32)) + b / F.lit(float(2**64))
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull() & (w > 0))
+        .withColumn("__k", -F.log(u) / w)
+        .orderBy(F.col("__k"), F.col(id_col))
+        .limit(n)
+    )
+    from pyspark.sql import Window
+
+    return keyed.withColumn(
+        "sample_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("__k"), F.col(id_col)))
+        .cast("int"),
+    ).drop("__k")
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict[object, float], id_col: str, seed: int = 0
 ) -> DataFrame:

@@ -164,6 +164,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "collection_functions",
     "bpe_merges",
     "bpe_segment",
+    "weighted_sample",
     # r5-touched operators (r4-green; plans changed this round)
     "decontaminate",
     "pack_sequences",

@@ -846,6 +846,43 @@ GROUP BY vec_id
 """
 
 
+# -------------------------------------------- weighted sampling (A-ES)
+
+_WS_N = 200
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample: 200 docs drawn ∝ n_chars via
+    the deterministic A-ES exponential-key trick
+    (operators/sampling.py:weighted_sample) — the quality/length-
+    proportional sampling stage of a data pipeline, reproducible
+    across runs, engines, and partitionings."""
+    from nycitibike_data_transform_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", F.col("n_chars").alias("weight")
+    )
+    return weighted_sample(docs, "weight", n=_WS_N, id_col="doc_id")
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+         -ln(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0
+             + ('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+               / 18446744073709551616.0)
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, weight,
+       CAST(row_number() OVER (ORDER BY k, doc_id) AS INTEGER) AS sample_rank
+FROM keyed
+ORDER BY k, doc_id
+LIMIT {_WS_N}
+"""
+
 # --------------------------------------------- BPE merge induction
 
 _BPE_K = 5
@@ -1082,6 +1119,7 @@ FROM qcod q LEFT JOIN overlap o USING (query_id)
 QUERIES: dict[str, QuerySpec] = {
     "bpe_merges": QuerySpec(_q_bpe_merges, _BPE_MERGES_SQL),
     "bpe_segment": QuerySpec(_q_bpe_segment, _BPE_SEGMENT_SQL),
+    "weighted_sample": QuerySpec(_q_weighted_sample, _WEIGHTED_SAMPLE_SQL),
     "quantized_topk": QuerySpec(_q_quantized_topk, _QUANTIZED_TOPK_SQL),
     "padded_batches": QuerySpec(_q_padded_batches, _PADDED_BATCHES_SQL),
     "embedding_quantize": QuerySpec(_q_embedding_quantize, _EMBEDDING_QUANTIZE_SQL),

@@ -3,6 +3,7 @@
 from nycitibike_data_transform_spark.streaming.events import (
     click_purchase_join_stream,
     dedup_stream,
+    enriched_events_stream,
     hourly_counts_stream,
     sliding_counts_stream,
     read_events_stream,
@@ -20,6 +21,7 @@ from nycitibike_data_transform_spark.streaming.stateful import running_user_tota
 
 __all__ = [
     "read_events_stream",
+    "enriched_events_stream",
     "hourly_counts_stream",
     "sliding_counts_stream",
     "sessionize_stream",

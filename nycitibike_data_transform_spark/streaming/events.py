@@ -137,6 +137,24 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     )
 
 
+def enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the most common production enrichment
+    shape: the unbounded event stream joined to the bounded customer
+    dim (re-read per micro-batch, so dim updates are picked up
+    without restarting the query). Stateless on the stream side (no
+    watermark needed for an inner equi-join against a static frame);
+    the dim side broadcasts under AQE exactly as in batch."""
+    from nycitibike_data_transform_spark.catalog import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return events.join(customers, "user_id").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment", "value"
+    )
+
+
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: drop replayed event ids within the
     watermark horizon (state is bounded by the watermark — the
@@ -214,12 +232,16 @@ def write_stream_exactly_once(
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming frame to completion over the available input
     (availableNow ≙ the reference's scheduled-batch cadence) and return
-    the materialized result as a batch DataFrame."""
+    the materialized result as a batch DataFrame. ``output_mode``:
+    'complete' for aggregations (default), 'append' for stateless
+    transforms/joins where complete mode is invalid."""
     q = (
-        df.writeStream.outputMode("complete")
+        df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

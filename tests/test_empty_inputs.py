@@ -62,6 +62,7 @@ DOC_QUERIES = (
     "collection_functions",
     "bpe_merges",
     "bpe_segment",
+    "weighted_sample",
 )
 
 # Global-aggregate queries: a SQL aggregation with no GROUP BY
@@ -157,6 +158,7 @@ ADVERSARIAL_QUERIES = (
     "collection_functions",
     "bpe_merges",
     "bpe_segment",
+    "weighted_sample",
 )
 
 

@@ -49,3 +49,33 @@ def test_validation():
         hash_sample(None, -0.1, "id")
     with pytest.raises(ValueError):
         stratified_sample(None, "lang", {"en": 2.0}, "id")
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from nycitibike_data_transform_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1) for i in range(200)] + [(1000 + i, 100_000) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    picked = {r["doc_id"] for r in weighted_sample(df, "weight", 10, "doc_id").collect()}
+    # weight ratio 1e5:1 — the ten heavy rows dominate the top-10
+    assert sum(1 for d in picked if d >= 1000) >= 9
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    from nycitibike_data_transform_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    a = [tuple(r) for r in weighted_sample(df, "weight", 50, "doc_id").collect()]
+    b = [tuple(r) for r in weighted_sample(df.repartition(13), "weight", 50, "doc_id").collect()]
+    assert sorted(a) == sorted(b) and len(a) == 50
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from nycitibike_data_transform_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, None), (4, 10)], "doc_id long, weight long"
+    )
+    picked = [r["doc_id"] for r in weighted_sample(df, "weight", 10, "doc_id").collect()]
+    assert picked == [4]

@@ -242,3 +242,26 @@ def test_sliding_stream_matches_batch_windows(spark, sf_dir):
     assert s == b
     # conservation: each event counted once per covering window (4x)
     assert sum(s.values()) == events.count() * 4
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static dim join: every event row enriched with its
+    customer attributes must equal the batch join row-for-row."""
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.streaming import enriched_events_stream
+
+    stream_out = run_stream_to_memory(
+        enriched_events_stream(spark, sf_dir), "enrich_test", output_mode="append"
+    )
+    from nycitibike_data_transform_spark.queries import load as _load
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    batch = ev.join(cust, "user_id").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment", "value"
+    )
+    s = sorted(map(tuple, stream_out.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b and len(s) > 0
