@@ -39,3 +39,38 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     rather than NaN so downstream ranking skips them)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0, F.lit(None).cast("double")).otherwise(dot_product(a, b) / denom)
+
+
+def valid_embedding(col: Column | str) -> Column:
+    """Well-formed vector predicate: non-NULL, non-empty, no NULL
+    elements. Malformed vectors are EXCLUDED (not NULL-propagated) by
+    the quantization queries on both engines — a DuckDB ``unnest``
+    produces zero rows for an empty list, so keeping them on the
+    Spark side silently desyncs the oracle (review finding)."""
+    c = _as_col(col)
+    return (
+        c.isNotNull()
+        & (F.size(c) > 0)
+        & ~F.exists(c, lambda x: x.isNull())
+    )
+
+
+def int8_scale(col: Column | str) -> Column:
+    """Symmetric int8 quantization scale: max|x| / 127 in double."""
+    c = _as_col(col)
+    return F.array_max(F.transform(c, F.abs)).cast("double") / F.lit(127.0)
+
+
+def int8_codes(col: Column | str, scale: Column) -> Column:
+    """int8 codes round(x/scale) ∈ [−127, 127]; all-zero vectors
+    (scale 0) code to zeros. THE single definition shared by the
+    export query (embedding_quantize) and the retrieval audit
+    (quantized_topk) so the certified quantizer cannot drift from the
+    shipped one (review finding)."""
+    c = _as_col(col)
+    return F.transform(
+        c,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.round(x.cast("double") / scale))
+        .cast("int"),
+    )

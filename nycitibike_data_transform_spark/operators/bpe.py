@@ -147,9 +147,14 @@ cnt{i} AS (
 ),
 best{i} AS (SELECT s1, s2, cnt FROM cnt{i} ORDER BY cnt DESC, s1, s2 LIMIT 1),
 sym{i + 1} AS (
-  SELECT w, freq, replace(rep, '<' || s1 || '><' || s2 || '>',
-                          '<' || s1 || s2 || '>') AS rep
-  FROM sym{i}, best{i}
+  -- LEFT JOIN, not a cross join: when round {i} finds no pair,
+  -- best{i} is empty and a cross join would annihilate the vocab,
+  -- diverging from the engine's early-stop segmentation (review
+  -- finding); coalesce keeps the unmerged rep in that case
+  SELECT w, freq,
+         coalesce(replace(rep, '<' || s1 || '><' || s2 || '>',
+                          '<' || s1 || s2 || '>'), rep) AS rep
+  FROM sym{i} LEFT JOIN best{i} ON TRUE
 )"""
         )
     selects = "\nUNION ALL\n".join(

@@ -514,20 +514,29 @@ def _q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_chars_tok"),
         # slice + concat: first 3 tokens re-joined
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"),
-        # sort: lexicographically first and last token
-        F.element_at(F.array_sort(toks), 1).alias("first_tok"),
-        F.element_at(F.array_sort(toks), -1).alias("last_tok"),
+        # sort: lexicographically first and last token — try_element_at
+        # (NULL on empty arrays, matching the oracle's list indexing)
+        # instead of element_at, which RAISES under Spark 4's default
+        # ANSI mode (review finding: NULL/blank docs crashed here)
+        F.try_element_at(F.array_sort(toks), F.lit(1)).alias("first_tok"),
+        F.try_element_at(F.array_sort(toks), F.lit(-1)).alias("last_tok"),
         # zip_with index: position-weighted char sum (order-sensitive
-        # proof that both engines index identically)
-        F.aggregate(
-            F.zip_with(
-                toks,
-                F.sequence(F.lit(1), F.size(toks)),
-                lambda t, i: F.length(t).cast("long") * i.cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("pos_weighted_chars"),
+        # proof that both engines index identically). Guard the empty
+        # array: F.sequence(1, 0) counts DOWN to [1, 0] rather than
+        # producing [], which would zip two phantom positions
+        F.when(F.size(toks) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.aggregate(
+                F.zip_with(
+                    toks,
+                    F.sequence(F.lit(1), F.size(toks)),
+                    lambda t, i: F.length(t).cast("long") * i.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+        .alias("pos_weighted_chars"),
     )
 
 
@@ -546,7 +555,7 @@ SELECT doc_id,
        CAST(len(list_filter(w, t -> t LIKE 'z%')) > 0 AS INTEGER) AS has_z,
        CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS BIGINT)
            AS n_chars_tok,
-       array_to_string(w[1:3], ' ') AS head3,
+       coalesce(array_to_string(w[1:3], ' '), '') AS head3,
        list_sort(w)[1] AS first_tok,
        list_sort(w)[-1] AS last_tok,
        CAST(coalesce(list_sum(list_transform(list_zip(w, range(1, len(w) + 1)),

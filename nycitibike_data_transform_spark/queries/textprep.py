@@ -774,21 +774,28 @@ def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is built-in expression work over the array — transform
     / aggregate / zip_with, zero UDFs, fully codegen'd, embarrassingly
-    parallel (no shuffle at all)."""
+    parallel (no shuffle at all). Malformed vectors (NULL, empty, or
+    containing NULL elements) are excluded on BOTH engines — see
+    functions.vectors.valid_embedding."""
+    from nycitibike_data_transform_spark.functions.vectors import (
+        int8_codes,
+        int8_scale,
+        valid_embedding,
+    )
+
     emb = load(spark, sf_dir, "embeddings")["embeddings"].filter(
-        F.col("embedding").isNotNull()
+        valid_embedding("embedding")
     )
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    max_abs = F.array_max(F.transform(F.col("embedding"), F.abs)).cast("double")
-    scale = (max_abs / F.lit(127.0)).alias("scale")
-    with_scale = emb.select("vec_id", xd.alias("__xd"), scale)
-    q = F.transform(
-        F.col("__xd"),
-        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
-        .otherwise(F.round(x / F.col("scale")))
-        .cast("int"),
+    with_scale = emb.select(
+        "vec_id", xd.alias("__xd"), int8_scale("embedding").alias("scale")
     )
-    quantized = with_scale.select("vec_id", "scale", "__xd", q.alias("__q"))
+    quantized = with_scale.select(
+        "vec_id",
+        "scale",
+        "__xd",
+        int8_codes("__xd", F.col("scale")).alias("__q"),
+    )
     recon = F.aggregate(
         F.zip_with(
             F.col("__xd"),
@@ -820,7 +827,8 @@ WITH base AS (
          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
              AS scale
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 elems AS (
   SELECT vec_id, scale,
@@ -959,22 +967,23 @@ def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset broadcast against the corpus (the same reviewed brute
     shape as cosine_topk; banded tiers are the scale path for the
     search itself — this query is the quality AUDIT, run on a
-    sample)."""
+    sample). Malformed vectors are excluded on both engines
+    (valid_embedding — review finding: the oracle's unnest silently
+    drops empty arrays); codes come from the SAME int8_codes helper
+    the export query uses, so the audited quantizer IS the shipped
+    one."""
+    from nycitibike_data_transform_spark.functions.vectors import (
+        int8_codes,
+        int8_scale,
+        valid_embedding,
+    )
     from nycitibike_data_transform_spark.operators.similarity import cosine_topk
 
     emb = load(spark, sf_dir, "embeddings")["embeddings"].filter(
-        F.col("embedding").isNotNull()
+        valid_embedding("embedding")
     )
-    scale = (
-        F.array_max(F.transform(F.col("embedding"), F.abs)).cast("double")
-        / F.lit(127.0)
-    ).alias("__scale")
-    codes = F.transform(
-        F.col("embedding"),
-        lambda x: F.when(F.col("__scale") == 0.0, F.lit(0))
-        .otherwise(F.round(x.cast("double") / F.col("__scale")))
-        .cast("int"),
-    )
+    scale = int8_scale("embedding").alias("__scale")
+    codes = int8_codes("embedding", F.col("__scale"))
     norm2 = F.aggregate(
         F.col("__codes"),
         F.lit(0).cast("long"),
@@ -1049,7 +1058,8 @@ WITH base AS (
          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
              AS scale
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 elems AS (
   SELECT vec_id, scale,

@@ -219,8 +219,14 @@ class VersionedTable:
         partition_by = tuple(manifest["partition_by"])
         df = self.read_version(spark, cur)
         if cluster_by:
-            df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
-                *cluster_by
+            # partition columns LEAD the range keys: otherwise each of
+            # the n_files cluster ranges spans every partition value
+            # and partitionBy on write fragments the output into up to
+            # n_files × n_partitions files — the opposite of
+            # compaction (review finding)
+            range_keys = (*partition_by, *cluster_by)
+            df = df.repartitionByRange(n_files, *range_keys).sortWithinPartitions(
+                *range_keys
             )
         elif partition_by:
             # co-locate each partition's rows so partitionBy on write

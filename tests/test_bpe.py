@@ -48,3 +48,42 @@ def test_learn_bpe_merges_filters_non_alpha(spark):
     docs = _docs(spark, "AB AB 12 12 🚀🚀 ab")
     rows = [tuple(r) for r in learn_bpe_merges(docs, k=1).collect()]
     assert rows == [(1, "a", "b", "ab", 3)]
+
+
+def test_bpe_oracles_match_engine_on_dry_corpus(spark, tmp_path):
+    """The corpus dries after 1 merge (review finding: the oracle's
+    cross join annihilated the vocab here) — both engines must return
+    the early-stopped segmentation."""
+    import duckdb
+
+    from nycitibike_data_transform_spark.operators.bpe import (
+        bpe_segment_oracle_sql,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(spark, "ab ab ab c c")
+    docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    _, seg = learn_bpe_merges(
+        spark.read.parquet(f"{tmp_path}/documents.parquet"),
+        k=5,
+        return_segmentation=True,
+    )
+    from pyspark.sql import functions as F
+
+    pieces = F.split(F.expr("substring(rep, 2, length(rep) - 2)"), "><")
+    engine = {
+        (r["word"], r["freq"], r["n_pieces"], r["pieces"])
+        for r in seg.select(
+            "word",
+            "freq",
+            F.size(pieces).cast("int").alias("n_pieces"),
+            F.concat_ws(" ", pieces).alias("pieces"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = set(map(tuple, con.execute(bpe_segment_oracle_sql(5)).fetchall()))
+    assert engine == oracle
+    assert engine == {("ab", 3, 1, "ab"), ("c", 2, 1, "c")}

@@ -176,8 +176,12 @@ def adversarial_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", ADVERSARIAL_QUERIES)
 def test_query_survives_adversarial_text(spark, adversarial_dir, name):
     # NULL text, empty/whitespace strings, sub-shingle docs, NULL
-    # stratum keys, unicode, giant tokens: must compute, not crash
-    all_queries()[name].spark(spark, adversarial_dir).count()
+    # stratum keys, unicode, giant tokens: must compute, not crash.
+    # collect(), NOT count() — count() lets Catalyst prune every
+    # projection, so an expression-level crash (e.g. ANSI element_at
+    # on an empty array) would ship green (review finding: exactly
+    # that happened with collection_functions)
+    all_queries()[name].spark(spark, adversarial_dir).collect()
 
 
 # Fact-table queries on EMPTY warehouse tables (the empty-partition /

@@ -25,7 +25,7 @@ import re
 
 from nycitibike_data_transform_spark.queries import all_queries
 
-from tools.plan_audit import FLAG_NOTES, audit_one
+from tools.plan_audit import EAGER_NOTES, FLAG_NOTES, audit_one
 
 _AUDIT_SF_DIR = "/root/testdata/sf0.01"
 _ROW = re.compile(r"^\| (\w+) \| (\d+) \| \d+ \| \d+ \| \d+ \| ([^|]+) \|$")
@@ -47,6 +47,11 @@ def test_no_unreviewed_hazards_and_no_exchange_regressions(spark):
     regressed = {}
     missing = []
     for name, spec in all_queries().items():
+        if name in EAGER_NOTES:
+            # driver-training queries: constructing them executes the
+            # full training and returns a LocalTableScan — nothing to
+            # audit, and rebuilding here would double the cost
+            continue
         row = audit_one(spec.spark(spark, _AUDIT_SF_DIR))
         if row["flags"] != "-" and name not in FLAG_NOTES:
             unreviewed[name] = row["flags"]

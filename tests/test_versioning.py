@@ -281,3 +281,19 @@ def test_compact_empty_table_raises(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "tbl"))
     with pytest.raises(ValueError, match="empty"):
         t.compact(spark)
+
+
+def test_compact_cluster_by_on_partitioned_table_stays_compact(spark, tmp_path):
+    # partition cols lead the range keys: file count must stay near
+    # n_partitions, not explode to n_files x n_partitions
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.range(6_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    t.write_version(df.repartition(24), partition_by=("part",))
+    v2 = t.compact(spark, target_file_mb=128, cluster_by=("id",))
+    files = t.manifest(v2)["files"]
+    assert all(f.startswith("part=") for f in files)
+    # one range partition (n_files=1 at this size) x 3 dirs -> <= ~4
+    assert len(files) <= 4
+    assert t.read_version(spark, v2).count() == 6_000
