@@ -1,0 +1,60 @@
+"""Engine-vs-oracle parity on ADVERSARIAL inputs the driver corpus
+never exercises (review finding: collection_functions crashed under
+ANSI and the quantize oracles dropped malformed vectors — all three
+slipped past the sf-corpus gate because the trigger rows don't occur
+there). These tests run the registry query AND its DuckDB oracle on
+hand-built corner-case tables and require identical row sets.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from nycitibike_data_transform_spark.queries import all_queries
+
+
+def _both(spark, tmp_path, table: str, df, query: str):
+    df.coalesce(1).write.parquet(f"{tmp_path}/{table}.parquet")
+    spec = all_queries()[query]
+    engine = {tuple(r) for r in spec.spark(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM '{tmp_path}/{table}.parquet/*.parquet'"
+    )
+    oracle = set(map(tuple, con.execute(spec.oracle).fetchall()))
+    return engine, oracle
+
+
+def test_collection_functions_parity_on_degenerate_text(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "w", 0),
+            (2, "", "en", "w", 0),
+            (3, "   ", "en", "w", 3),
+            (4, "zebra apple", "en", "w", 11),
+            (5, "one", "en", "w", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    engine, oracle = _both(spark, tmp_path, "documents", docs, "collection_functions")
+    assert engine == oracle and len(engine) == 5
+
+
+def test_embedding_quantize_parity_on_malformed_vectors(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [(1, [], 0), (2, [0.5, None], 0), (3, [0.5, -0.25], 0), (4, None, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    engine, oracle = _both(spark, tmp_path, "embeddings", emb, "embedding_quantize")
+    # only the well-formed vector survives, on BOTH engines
+    assert engine == oracle and len(engine) == 1
+
+
+def test_quantized_topk_parity_on_malformed_vectors(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [(1, [], 0), (2, [0.5, None], 0)]
+        + [(i, [float(i) / 10.0, 1.0 - float(i) / 10.0], 0) for i in range(3, 9)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    engine, oracle = _both(spark, tmp_path, "embeddings", emb, "quantized_topk")
+    assert engine == oracle and len(engine) > 0
