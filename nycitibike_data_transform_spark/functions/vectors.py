@@ -42,16 +42,25 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 
 
 def valid_embedding(col: Column | str) -> Column:
-    """Well-formed vector predicate: non-NULL, non-empty, no NULL
-    elements. Malformed vectors are EXCLUDED (not NULL-propagated) by
-    the quantization queries on both engines — a DuckDB ``unnest``
-    produces zero rows for an empty list, so keeping them on the
-    Spark side silently desyncs the oracle (review finding)."""
+    """Well-formed vector predicate: non-NULL, non-empty, no NULL /
+    NaN / ±Inf elements. Malformed vectors are EXCLUDED (not
+    NULL-propagated) by the quantization queries on both engines — a
+    DuckDB ``unnest`` produces zero rows for an empty list, so keeping
+    them on the Spark side silently desyncs the oracle (review
+    finding). The NaN/Inf leg matters under Spark 4's default ANSI
+    mode: ``round(NaN)`` cast to int RAISES there, so a single
+    NaN-bearing vector would crash embedding_quantize/quantized_topk
+    outright while the oracle kept returning rows (ADVICE r5)."""
     c = _as_col(col)
     return (
         c.isNotNull()
         & (F.size(c) > 0)
-        & ~F.exists(c, lambda x: x.isNull())
+        & ~F.exists(
+            c,
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
     )
 
 

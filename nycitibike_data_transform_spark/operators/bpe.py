@@ -103,11 +103,15 @@ def learn_bpe_merges(
             )
         merges_df = spark.createDataFrame(merges, _MERGES_SCHEMA)
         if return_segmentation:
-            # NOTE: cur stays lazy — the caller must consume it before
-            # this frame's vocab ancestor is recomputed from scratch
-            # (the persist below is released; re-derivation is correct,
-            # just one extra corpus scan)
-            return merges_df, cur
+            # Materialize the segmentation into its own cache WHILE the
+            # vocab cache is still hot, so the caller's consumption does
+            # not re-derive the vocab with a full extra corpus scan
+            # (ADVICE r5). The segmentation cache is vocab-sized
+            # (distinct words), not corpus-sized; the caller may
+            # .unpersist() it when done.
+            seg = cur.persist()
+            seg.count()
+            return merges_df, seg
         return merges_df
     finally:
         vocab.unpersist()

@@ -828,7 +828,8 @@ WITH base AS (
              AS scale
   FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) > 0
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL
+          OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
 ),
 elems AS (
   SELECT vec_id, scale,
@@ -1059,7 +1060,8 @@ WITH base AS (
              AS scale
   FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) > 0
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL
+          OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
 ),
 elems AS (
   SELECT vec_id, scale,

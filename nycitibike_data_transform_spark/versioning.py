@@ -229,10 +229,52 @@ class VersionedTable:
                 *range_keys
             )
         elif partition_by:
-            # co-locate each partition's rows so partitionBy on write
-            # emits few files per partition dir instead of
-            # n_files × n_partitions fragments
-            df = df.repartition(n_files, *partition_by)
+            # Hashing on the partition columns ALONE would land every
+            # row of one partition value in a single task: each
+            # partition directory compacts to exactly one file no
+            # matter its size, so target_file_mb is not honored within
+            # a partition — a 10 GB partition would compact to one
+            # 10 GB file (ADVICE r5). Instead, size each partition's
+            # file count from its actual data share: one
+            # metadata-scale aggregate gives per-partition row counts,
+            # the global bytes/row ratio converts rows to bytes, and a
+            # deterministic row-hash salt spreads an oversized
+            # partition over ceil(bytes / target) buckets. Partitions
+            # that already fit keep buckets = 1, so small partitions
+            # are not fragmented.
+            from functools import reduce
+
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import IntegerType, StructField
+
+            pb = list(partition_by)
+            counts = df.groupBy(*pb).agg(F.count(F.lit(1)).alias("__rows")).collect()
+            total_rows = sum(r["__rows"] for r in counts) or 1
+            bytes_per_row = total_bytes / total_rows
+            target_bytes = target_file_mb * 1024 * 1024
+            bucket_rows = [
+                tuple(r[c] for c in pb)
+                + (max(1, -(-int(r["__rows"] * bytes_per_row) // target_bytes)),)
+                for r in counts
+            ]
+            map_schema = df.select(*pb).schema.add(
+                StructField("__buckets", IntegerType(), False)
+            )
+            map_df = df.sparkSession.createDataFrame(bucket_rows, map_schema)
+            cond = reduce(
+                lambda a, b: a & b, [df[c].eqNullSafe(map_df[c]) for c in pb]
+            )
+            joined = df.join(F.broadcast(map_df), cond).drop(
+                *(map_df[c] for c in pb)
+            )
+            data_cols = [c for c in joined.columns if c != "__buckets"]
+            salted = joined.withColumn(
+                "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("__buckets"))
+            )
+            n_groups = sum(row[-1] for row in bucket_rows)
+            df = salted.repartition(max(n_files, n_groups), *pb, "__salt").drop(
+                "__salt", "__buckets"
+            )
         else:
             df = df.repartition(n_files)
         return self.write_version(df, partition_by=partition_by)

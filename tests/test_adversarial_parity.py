@@ -50,6 +50,34 @@ def test_embedding_quantize_parity_on_malformed_vectors(spark, tmp_path):
     assert engine == oracle and len(engine) == 1
 
 
+def test_embedding_quantize_parity_on_nonfinite_vectors(spark, tmp_path):
+    """NaN/Inf elements (ADVICE r5): under default-ANSI Spark 4,
+    round(NaN)→int raises, so an unfiltered NaN vector CRASHES the
+    engine side while the oracle keeps returning rows. valid_embedding
+    must drop non-finite vectors on both engines."""
+    emb = spark.createDataFrame(
+        [
+            (1, [float("nan"), 0.5], 0),
+            (2, [float("inf"), 0.5], 0),
+            (3, [-float("inf")], 0),
+            (4, [0.5, -0.25], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    engine, oracle = _both(spark, tmp_path, "embeddings", emb, "embedding_quantize")
+    assert engine == oracle and len(engine) == 1
+
+
+def test_quantized_topk_parity_on_nonfinite_vectors(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [(1, [float("nan"), 1.0], 0), (2, [1.0, float("inf")], 0)]
+        + [(i, [float(i) / 10.0, 1.0 - float(i) / 10.0], 0) for i in range(3, 9)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    engine, oracle = _both(spark, tmp_path, "embeddings", emb, "quantized_topk")
+    assert engine == oracle and len(engine) > 0
+
+
 def test_quantized_topk_parity_on_malformed_vectors(spark, tmp_path):
     emb = spark.createDataFrame(
         [(1, [], 0), (2, [0.5, None], 0)]

@@ -57,7 +57,11 @@ def test_no_unreviewed_hazards_and_no_exchange_regressions(spark):
             unreviewed[name] = row["flags"]
         if name not in committed:
             missing.append(name)
-        elif row["exch"] > committed[name]:
+        elif row["exch"] != committed[name]:
+            # != not >: a plan IMPROVEMENT (fewer exchanges) must also
+            # regenerate the audit, else the committed baseline goes
+            # stale and a later regression back to the old count would
+            # pass silently (ADVICE r5)
             regressed[name] = (committed[name], row["exch"])
     assert not unreviewed, (
         f"unreviewed plan hazards: {unreviewed} — either fix the plan or "
@@ -68,7 +72,8 @@ def test_no_unreviewed_hazards_and_no_exchange_regressions(spark):
         "(python tools/plan_audit.py /root/testdata/sf0.01)"
     )
     assert not regressed, (
-        f"shuffle-exchange regressions vs committed PLAN_AUDIT.md "
-        f"{{name: (committed, now)}}: {regressed} — if intentional, "
-        "regenerate the audit so the new plan shape is a reviewed diff"
+        f"shuffle-exchange drift vs committed PLAN_AUDIT.md "
+        f"{{name: (committed, now)}}: {regressed} — if intentional "
+        "(including improvements), regenerate the audit so the new "
+        "plan shape is a reviewed diff"
     )

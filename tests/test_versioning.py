@@ -277,6 +277,36 @@ def test_compact_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi1 < lo2
 
 
+def test_compact_partitioned_honors_target_within_partition(spark, tmp_path):
+    # ADVICE r5: hashing on the partition columns alone compacts every
+    # partition to exactly ONE file regardless of size. A skewed
+    # partition must split into ~ceil(bytes/target) files while the
+    # small partitions stay at one file each.
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.range(60_000).select(
+        F.col("id"),
+        # partition "0" gets ~58k rows (hot), "1"/"2" ~1k each
+        F.when(F.col("id") < 58_000, F.lit("0"))
+        .otherwise((F.col("id") % 2 + 1).cast("string"))
+        .alias("part"),
+        F.md5(F.col("id").cast("string")).alias("pad1"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad2"),
+    )
+    t.write_version(df.repartition(32), partition_by=("part",))
+    v2 = t.compact(spark, target_file_mb=1)
+    files = t.manifest(v2)["files"]
+    by_part: dict[str, int] = {}
+    for f in files:
+        by_part[f.split("/")[0]] = by_part.get(f.split("/")[0], 0) + 1
+    # hot partition (~7 MB of parquet at this row size) splits
+    assert by_part["part=0"] >= 3
+    # cold partitions stay compact
+    assert by_part["part=1"] <= 2 and by_part["part=2"] <= 2
+    before = sorted(map(tuple, t.read_version(spark, v2 - 1).collect()))
+    after = sorted(map(tuple, t.read_version(spark, v2).collect()))
+    assert before == after
+
+
 def test_compact_empty_table_raises(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "tbl"))
     with pytest.raises(ValueError, match="empty"):
