@@ -663,6 +663,12 @@ _N_QUERIES = 50  # query subset keeps the oracle's pair space bounded
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute cosine top-k through the DEFAULT auto gate: at every test
+    scale the corpus sits under BRUTE_MAX_CORPUS_ROWS so the plan is
+    the exact brute tier (bit-identical to method="brute", matching
+    the exact all-pairs oracle); a 100 TB corpus would auto-route to
+    the banded SRP tier instead of silently going quadratic
+    (VERDICT r5 item #3)."""
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     return cosine_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_TOPK)
@@ -731,7 +737,10 @@ def _q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    exact = cosine_topk(emb, q, k=_TOPK)
+    # method="brute": the TRUTH side of a recall verdict must stay
+    # exact at any corpus size — auto-routing would compare the
+    # sketch against itself
+    exact = cosine_topk(emb, q, k=_TOPK, method="brute")
     approx = cosine_topk_lsh(emb, q, dim=64, k=_TOPK, bits=4, bands=8)
     return _ann_recall_verdict(exact, approx, recall_bound=0.5)
 
@@ -785,7 +794,8 @@ def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    exact = cosine_topk(emb, q, k=_TOPK)
+    # truth side stays exact regardless of corpus size (see LSH verdict)
+    exact = cosine_topk(emb, q, k=_TOPK, method="brute")
     approx = cosine_topk_ivf(emb, q, dim=64, k=_TOPK, n_centroids=16, nprobe=4)
     return _ann_recall_verdict(exact, approx, recall_bound=0.4)
 

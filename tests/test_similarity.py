@@ -38,6 +38,39 @@ def test_cosine_topk_excludes_self(spark):
     assert all(r["query_id"] != r["neighbor_id"] for r in out)
 
 
+def test_cosine_topk_auto_matches_brute_below_gate(spark):
+    # below BRUTE_MAX_CORPUS_ROWS the auto gate must produce the SAME
+    # plan/rows as the explicit brute tier (VERDICT r5 item #3)
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") <= 2)
+    auto = sorted(map(tuple, cosine_topk(emb, q, k=3, method="auto").collect()))
+    brute = sorted(map(tuple, cosine_topk(emb, q, k=3, method="brute").collect()))
+    assert auto == brute and len(auto) > 0
+
+
+def test_cosine_topk_auto_routes_to_lsh_above_gate(spark):
+    # force the gate with a tiny threshold: the plan must switch to
+    # the banded equi-join tier — no BroadcastNestedLoopJoin anywhere
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.1, 1.0 - float(i % 5) / 5.0, 0.3]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, q, k=3, method="auto", brute_max_corpus_rows=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {c for c in out.columns} == {"query_id", "neighbor_id", "rank", "cosine"}
+
+
+def test_cosine_topk_rejects_unknown_method(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="auto|brute"):
+        cosine_topk(_emb(spark), _emb(spark), method="banded")
+
+
 def test_srp_bucket_deterministic_and_bounded(spark):
     emb = _emb(spark)
     b1 = {r["vec_id"]: r["bucket"] for r in srp_bucket(emb, "embedding", 3, bits=6).collect()}
