@@ -699,6 +699,62 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_probe(
+    embeddings: DataFrame,
+    probe: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bounded EXACT near-dup audit (VERDICT r6 item #1): all cosine
+    pairs at/above ``threshold`` where at least one member belongs to
+    the (small) ``probe`` subset. Same (id_a < id_b, cosine) schema as
+    :func:`embedding_near_dup_pairs`, but LINEAR in the corpus —
+    O(|probe| · n) dot products via a probe-side broadcast — instead
+    of the full-corpus O(n²) grid. This is the sweep-cadence audit
+    tier (mirrors ``quantized_topk``'s bounded-sample pattern); the
+    exhaustive grid stays available as an explicit opt-in via
+    ``embedding_near_dup_pairs(..., method="grid")``.
+
+    Exactness contract: restricted to pairs touching the probe set,
+    the result is bit-identical to the grid tier (pinned in
+    tests/test_dedup.py) — dot products and norm products are
+    element-order/commutative-stable, so which side carries the probe
+    row doesn't change the cosine bits. Probe∧probe pairs meet twice
+    (once per orientation); ``dropDuplicates`` on the canonical pair
+    key keeps one — a shuffle bounded by the qualifying-pair count,
+    not the corpus."""
+    from nycitibike_data_transform_spark.functions.vectors import dot_product, l2_norm
+
+    p = probe.select(
+        F.col(id_col).alias("__p_id"),
+        F.col(vec_col).alias("__p_vec"),
+        l2_norm(vec_col).alias("__p_n"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("__c_id"),
+        F.col(vec_col).alias("__c_vec"),
+        l2_norm(vec_col).alias("__c_n"),
+    )
+    denom = F.col("__p_n") * F.col("__c_n")
+    cosine = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        dot_product(F.col("__p_vec"), F.col("__c_vec")) / denom
+    )
+    # fan_out: a compact corpus (one parquet file ⇒ one task) would
+    # serialize all |probe|·n dot products onto one core
+    return (
+        fan_out(c)
+        .join(F.broadcast(p), F.col("__c_id") != F.col("__p_id"))
+        .select(
+            F.least("__p_id", "__c_id").alias("id_a"),
+            F.greatest("__p_id", "__c_id").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

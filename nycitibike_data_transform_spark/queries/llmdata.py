@@ -24,6 +24,7 @@ from nycitibike_data_transform_spark.functions.text import (
 from nycitibike_data_transform_spark.functions.vectors import l2_norm
 from nycitibike_data_transform_spark.operators.dedup import (
     embedding_near_dup_pairs,
+    embedding_near_dup_probe,
     exact_dedup,
     hamming_distance64,
     minhash_candidate_pairs,
@@ -757,18 +758,30 @@ _COSINE_TOPK_LSH_SQL = _ANN_VERDICT_SQL_TEMPLATE.format(exact_sql=_COSINE_TOPK_S
 
 
 _NEAR_DUP_THRESHOLD = 0.45
+# Bounded-audit probe subset (VERDICT r6 item #1): the registry's
+# exact near-dup audits check the probe ids against the FULL corpus —
+# O(|probe|·n), linear — instead of full-corpus O(n²). The exhaustive
+# grid tier stays an explicit opt-in (method="grid"). 300 (not a
+# rounder 100) because the audit must be NON-VACUOUS on the driver
+# fixtures: the lowest dropped id is 237/256/52 at sf0.001/0.01/0.1,
+# so a smaller window would certify a subset with zero positives.
+_NEAR_DUP_PROBES = 300
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs tier;
-    the SRP-blocked variant is the scale path)."""
+    """Embedding-cosine near-duplicate pairs, bounded EXACT audit
+    tier: every pair at/above the threshold with at least one member
+    in the probe subset (vec_id < 300), checked against the full
+    corpus via a probe-side broadcast — linear in corpus size, the
+    same bounded-sample pattern as ``quantized_topk``. Restricted to
+    probe-touching pairs the values are bit-identical to the
+    full-grid tier (``embedding_near_dup_pairs(method="grid")``,
+    still available for exhaustive opt-in audits); the SRP-banded
+    variant remains the production scale path."""
     t = load(spark, sf_dir, "embeddings")
-    # method="grid" explicitly: this query IS the exact tier (the
-    # oracle is exact all-pairs), so opt in rather than tripping the
-    # auto-chooser's low-threshold ResourceWarning on every run
-    return embedding_near_dup_pairs(
-        t["embeddings"], _NEAR_DUP_THRESHOLD, method="grid"
-    )
+    emb = t["embeddings"]
+    probe = emb.filter(F.col("vec_id") < _NEAR_DUP_PROBES)
+    return embedding_near_dup_probe(emb, probe, _NEAR_DUP_THRESHOLD)
 
 
 _EMBEDDING_NEAR_DUP_SQL = f"""
@@ -779,7 +792,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.v, b.v)
            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
+WHERE (a.vec_id < {_NEAR_DUP_PROBES} OR b.vec_id < {_NEAR_DUP_PROBES})
+  AND list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= {_NEAR_DUP_THRESHOLD}
 """
@@ -2132,17 +2146,35 @@ FROM t
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023, reduced to its
-    decision rule): drop every vector that is the higher-id member of
-    an embedding-cosine near-dup pair, keep the rest. This query runs
-    the exact pair tier so the oracle can state the same rule in
-    closed form; at corpus scale the pair generation routes through
-    SRP banding (``embedding_near_dup_pairs(method="auto")``) and the
-    anti-join is unchanged."""
+    decision rule): a vector is dropped iff some LOWER-id vector sits
+    at/above the cosine threshold. Bounded audit tier (VERDICT r6
+    item #1): the rule is certified for the probe subset (vec_id <
+    300) against the FULL corpus — each probe id's verdict is exactly
+    what the full-corpus dedup would decide for it, at O(|probe|·n)
+    cost. At corpus scale the production path generates candidates
+    through SRP banding (``embedding_near_dup_pairs(method="auto")``)
+    and the anti-join is unchanged; the exhaustive exact run stays an
+    explicit ``method="grid"`` opt-in."""
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    pairs = embedding_near_dup_pairs(emb, _NEAR_DUP_THRESHOLD, method="grid")
-    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+    probe = emb.filter(F.col("vec_id") < _NEAR_DUP_PROBES)
+    pairs = embedding_near_dup_probe(emb, probe, _NEAR_DUP_THRESHOLD)
+    # drop rule: higher-id member of a qualifying pair. Probe ids are
+    # dense-low (vec_id < _NEAR_DUP_PROBES), so id_b below it restricts
+    # to verdicts ABOUT probe members (id_a < id_b <= probe range ⇒
+    # the lower-id witness may be any corpus vector... witnesses below
+    # the probe id are exactly what the full rule consults, and the
+    # probe join saw every corpus vector, so the verdict is complete).
+    dropped = (
+        pairs.filter(F.col("id_b") < _NEAR_DUP_PROBES)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.filter(F.col("vec_id") < _NEAR_DUP_PROBES)
+        .join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "label")
+    )
 
 
 _EMBEDDING_DEDUP_SQL = f"""
@@ -2152,13 +2184,15 @@ WITH e AS (
 dropped AS (
   SELECT DISTINCT b.vec_id AS vec_id
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE list_dot_product(a.v, b.v)
+  WHERE b.vec_id < {_NEAR_DUP_PROBES}
+    AND list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
         >= {_NEAR_DUP_THRESHOLD}
 )
 SELECT vec_id, label
 FROM embeddings
-WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+WHERE vec_id < {_NEAR_DUP_PROBES}
+  AND vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 

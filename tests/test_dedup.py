@@ -109,6 +109,33 @@ def test_embedding_grid_equals_broadcast(spark, sf_dir):
     assert grid  # non-vacuous: qualifying pairs exist at 0.4
 
 
+def test_embedding_probe_equals_grid_restriction(spark, sf_dir):
+    """The bounded probe audit must be BIT-identical to the full grid
+    tier restricted to pairs touching the probe set — same pairs, same
+    cosine doubles (no rounding: the exactness contract in the
+    operator docstring)."""
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_probe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = emb.filter(F.col("vec_id") < 60)
+    probed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_probe(emb, probe, 0.4).collect()
+    }
+    grid = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, 0.4, method="grid").collect()
+        if r["id_a"] < 60 or r["id_b"] < 60
+    }
+    assert probed == grid
+    assert probed  # non-vacuous: probe-touching pairs exist at 0.4
+
+
 def test_embedding_srp_subset_of_exact(spark, sf_dir):
     from nycitibike_data_transform_spark.operators.dedup import embedding_near_dup_pairs
 

@@ -159,18 +159,25 @@ def test_curriculum_stages_orders_easy_to_hard(spark, sf_dir):
 
 
 def test_embedding_dedup_drops_exactly_pair_members(spark, sf_dir):
+    """The bounded audit must agree with the FULL-corpus SemDeDup
+    rule on every probe id: dropped iff the exhaustive grid tier
+    finds a lower-id witness at/above the threshold."""
     from nycitibike_data_transform_spark.catalog import load_table
     from nycitibike_data_transform_spark.operators.dedup import (
         embedding_near_dup_pairs,
     )
+    from nycitibike_data_transform_spark.queries.llmdata import _NEAR_DUP_PROBES
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, 0.45, method="grid")
-    expected_dropped = {r["id_b"] for r in pairs.collect()}
+    full_dropped = {r["id_b"] for r in pairs.collect()}
     kept = {r["vec_id"] for r in all_queries()["embedding_dedup"].spark(spark, sf_dir).collect()}
-    everyone = {r["vec_id"] for r in emb.select("vec_id").collect()}
-    assert kept == everyone - expected_dropped
-    assert len(expected_dropped) > 0  # non-vacuous at sf0.001
+    probe_ids = {
+        r["vec_id"]
+        for r in emb.filter(emb.vec_id < _NEAR_DUP_PROBES).select("vec_id").collect()
+    }
+    assert kept == probe_ids - full_dropped
+    assert len(probe_ids & full_dropped) > 0  # non-vacuous at sf0.001
 
 
 def test_perplexity_semantics_on_fixture(spark, tmp_path):

@@ -136,13 +136,31 @@ def test_ngram_jaccard_default_has_no_shingle_self_join(spark, sf_dir):
 
 
 def test_embedding_near_dup_grid_is_pure_equi_join(spark, sf_dir):
-    """Exact pair enumeration via the fragment-replicate grid join:
-    a shuffled EQUI-join on (_lo, _hi) block keys — no broadcast
-    nested loop, so no all-corpus-per-executor memory wall at scale."""
-    df = all_queries()["embedding_near_dup"].spark(spark, sf_dir)
+    """The exhaustive grid tier (explicit opt-in): exact pair
+    enumeration via the fragment-replicate grid join — a shuffled
+    EQUI-join on (_lo, _hi) block keys — no broadcast nested loop, so
+    no all-corpus-per-executor memory wall at scale."""
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = embedding_near_dup_pairs(emb, 0.45, method="grid")
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "_lo" in plan and "_hi" in plan, plan
+
+
+def test_embedding_near_dup_registry_is_probe_broadcast(spark, sf_dir):
+    """The registry audit (VERDICT r6 item #1) must be LINEAR in the
+    corpus: the bounded probe side enters as a broadcast (the BNLJ is
+    probe×corpus — O(|probe|·n), the reviewed cosine_topk shape), and
+    the full-corpus grid replication (_lo/_hi explode) must be gone."""
+    df = all_queries()["embedding_near_dup"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "_lo" not in plan and "_hi" not in plan, plan
+    assert "__p_id" in plan, plan
 
 
 def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
