@@ -67,21 +67,97 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r6 rotation (VERDICT r5 item #1: the only gap between
-    # "121/121 judge-verified" and "121/121 driver-verified" is the 19
-    # late-r5 queries that have never held a driver slot plus the 8
-    # queries whose last driver row is r2). In-window, in priority
-    # order: (a) queries added THIS round (no evidence at all), (b)
-    # the 19 never-driver-checked late-r5 queries, (c) the 8 r2-stale
-    # queries, (d) the oldest r4-evidenced queries filling the
-    # remaining slots. Past-window: everything green in
-    # CORRECTNESS_r05 (last round's window) and the newer r4 rows —
-    # with 121+ entries and 50 slots, fresh evidence ages: nothing
-    # past the window is older than r4 except by explicit note. ---
-    # (a) new r6 queries — no driver evidence yet
-    # (b) the 19 never-driver-checked (judge-r5 verified via
-    # tools/check_oracle.py; TPC-H subquery suite + training-pipeline
-    # tail)
+    # --- r7 rotation (VERDICT r6 item #5: refresh the 21 rows whose
+    # latest green driver row is r4 plus the oldest r5 rows, so after
+    # r7 nothing's freshest evidence is older than r5). In-window, in
+    # priority order: (a) queries ADDED or SEMANTICALLY CHANGED this
+    # round — table_profile_approx is new; embedding_near_dup and
+    # embedding_dedup were rewritten from the full-grid to the bounded
+    # probe audit, so their old green rows certify a query that no
+    # longer exists; (b) the 21 r4-evidenced rows; (c) 26 r5 rows in
+    # registry order. Past-window: the 50 r6-green rows plus the
+    # remaining r5 rows — every one locally verified via
+    # tools/check_oracle.py and none with evidence older than r5. ---
+    # (a) new or changed this round
+    "table_profile_approx",
+    "embedding_near_dup",
+    "embedding_dedup",
+    # (b) the 21 whose latest driver evidence is r4
+    "price_histogram",
+    "volume_shipping",
+    "returned_items",
+    "rollup_qty",
+    "cube_orders",
+    "top_orders",
+    "collect_sorted",
+    "unpivot_money",
+    "word_frequencies",
+    "dispersion",
+    "event_type_daily",
+    "events_hourly",
+    "set_intersect",
+    "semi_join",
+    "shipping_priority",
+    "forecast_revenue",
+    "distinct_parts_per_flag",
+    "grouping_sets",
+    "window_topk_orders",
+    "window_variants",
+    "argmax_orders",
+    # (c) oldest r5 rows fill the remaining slots
+    "minhash_pairs",
+    "simhash",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "approx_distinct",
+    "hash_sample",
+    "skew_join_events",
+    "span_dedup",
+    "span_strip",
+    "mixture_plan",
+    "shard_manifest",
+    "curriculum_stages",
+    "dataset_report",
+    "compression_signal",
+    "perplexity_score",
+    "pack_render",
+    "token_budget_select",
+    "global_shuffle",
+    "bigram_lm",
+    "token_histogram",
+    "containment_pairs",
+    "quality_logit",
+    "novelty_score",
+    "split_leakage",
+    "cdc_chunks",
+    "retention_cohorts",
+    # ---- past the 50-entry window: every entry below is hash-green
+    # in CORRECTNESS_r06 (last round's window) or CORRECTNESS_r05;
+    # all stay runnable + locally verified via tools/check_oracle.py ----
+    # r5-green remainder
+    "supplier_wait",
+    "lang_confusion",
+    "ngram_jaccard",
+    "dedup_near",
+    "cosine_topk",
+    "crossmodal_dup_check",
+    "image_pipeline",
+    "inspections_by_nta",
+    "aux_econ_by_nta",
+    "events_sessionize",
+    "asof_purchase_click",
+    "text_stats",
+    "events_json",
+    "scrub_pii",
+    "tfidf_top_terms",
+    "signup_purchase_funnel",
+    "fuzzy_name_pairs",
+    "range_join_tiers",
+    "correlated_subquery",
+    "dedup_exact",
+    "bpe_token_count",
+    "order_priority_check",
+    # r6-green (CORRECTNESS_r06, 50/50)
     "customer_distribution",
     "promo_revenue",
     "top_supplier",
@@ -101,7 +177,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_merges",
     "bpe_segment",
     "weighted_sample",
-    # (c) the 8 whose only driver evidence is r2
     "null_semantics",
     "date_functions",
     "string_functions",
@@ -110,7 +185,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "embedding_norms",
     "multimodal_meta",
-    # (d) oldest r4-evidenced queries refresh in the remaining slots
     "decontaminate",
     "pack_sequences",
     "snapshot_diff",
@@ -134,83 +208,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pivot_qty_by_status",
     "filter_project",
     "payment_decode",
-    # ---- past the 50-entry window: every entry below is hash-green
-    # in CORRECTNESS_r05 (last round's 50-slot window) or
-    # CORRECTNESS_r04; all stay runnable + locally verified via
-    # tools/check_oracle.py ----
-    # r5-green (CORRECTNESS_r05, 50/50)
-    "minhash_pairs",
-    "simhash",
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
-    "approx_distinct",
-    "hash_sample",
-    "skew_join_events",
-    "span_dedup",
-    "span_strip",
-    "mixture_plan",
-    "shard_manifest",
-    "embedding_dedup",
-    "curriculum_stages",
-    "dataset_report",
-    "compression_signal",
-    "perplexity_score",
-    "pack_render",
-    "token_budget_select",
-    "global_shuffle",
-    "bigram_lm",
-    "token_histogram",
-    "containment_pairs",
-    "quality_logit",
-    "novelty_score",
-    "split_leakage",
-    "cdc_chunks",
-    "retention_cohorts",
-    "supplier_wait",
-    "lang_confusion",
-    "ngram_jaccard",
-    "dedup_near",
-    "cosine_topk",
-    "embedding_near_dup",
-    "crossmodal_dup_check",
-    "image_pipeline",
-    "inspections_by_nta",
-    "aux_econ_by_nta",
-    "events_sessionize",
-    "asof_purchase_click",
-    "text_stats",
-    "events_json",
-    "scrub_pii",
-    "tfidf_top_terms",
-    "signup_purchase_funnel",
-    "fuzzy_name_pairs",
-    "range_join_tiers",
-    "correlated_subquery",
-    "dedup_exact",
-    "bpe_token_count",
-    "order_priority_check",
-    # r4-green remainder
-    "price_histogram",
-    "volume_shipping",
-    "returned_items",
-    "rollup_qty",
-    "cube_orders",
-    "top_orders",
-    "collect_sorted",
-    "unpivot_money",
-    "word_frequencies",
-    "dispersion",
-    "event_type_daily",
-    "events_hourly",
-    "set_intersect",
-    "semi_join",
-    "shipping_priority",
-    "forecast_revenue",
-    "distinct_parts_per_flag",
-    "grouping_sets",
-    "window_topk_orders",
-    "window_variants",
-    "argmax_orders",
 )
 
 

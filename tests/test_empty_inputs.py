@@ -201,6 +201,7 @@ FACT_QUERY_ROWS = {
     "supplier_wait": 0,
     "pricing_summary": 0,
     "table_profile": 6,       # one row per profiled column, all zeros
+    "table_profile_approx": 6,
     "events_gapfill": 0,      # no observed hours -> empty calendar
     "user_streaks": 0,
 }

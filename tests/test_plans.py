@@ -209,3 +209,20 @@ def test_skew_join_events_two_path_plan(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_column_profile_approx_has_no_expand(spark, sf_dir):
+    """The approx (HLL) profile tier must be a single-pass aggregate:
+    no Expand operator (exact multi-countDistinct expands the input
+    one row per profiled column — the scan cost the scale tier
+    exists to avoid)."""
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.queries.advanced import column_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    approx = column_profile(orders, ["o_orderkey", "o_custkey", "o_orderstatus"])
+    assert "Expand" not in formatted_plan(approx)
+    exact = column_profile(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus"], ndv="exact"
+    )
+    assert "Expand" in formatted_plan(exact)
