@@ -33,7 +33,7 @@ import argparse
 import os
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from nycitibike_data_transform_spark import quality
 from nycitibike_data_transform_spark.catalog import table_name
@@ -169,13 +169,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         pipe = testdata_pipeline(args.sf_dir, args.warehouse)
         if args.cmd == "test":
-            # materialized warehouse must already exist; read, don't build
-            built = {
-                m: spark.read.parquet(f"{args.warehouse}/{m}/data/v{_latest(args.warehouse, m):08d}")
-                if os.path.isdir(f"{args.warehouse}/{m}/data")
-                else spark.read.parquet(f"{args.warehouse}/{m}")
-                for m in _MODELS
-            }
+            # materialized warehouse must already exist; read, don't
+            # build. Versioned layout goes through VersionedTable (no
+            # version-path literals here — ADVICE r6); a missing or
+            # never-materialized model becomes a clean PreflightError
+            # + exit 1, not an AnalysisException traceback.
+            built = {m: _read_model(spark, args.warehouse, m) for m in _MODELS}
             data_tests(built)
             print("data tests ok")
             return 0
@@ -198,13 +197,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             spark.stop()
 
 
-def _latest(warehouse: str, model: str) -> int:
+def _read_model(spark: SparkSession, warehouse: str, model: str) -> DataFrame:
     from nycitibike_data_transform_spark.versioning import VersionedTable
 
-    cur = VersionedTable(f"{warehouse}/{model}").current_version()
-    if cur is None:
-        raise PreflightError(f"no committed version for {model} under {warehouse}")
-    return cur
+    root = f"{warehouse}/{model}"
+    if os.path.isdir(f"{root}/data"):
+        t = VersionedTable(root)
+        if t.current_version() is None:
+            raise PreflightError(f"no committed version for {model} under {warehouse}")
+        return t.read_current(spark)
+    if not os.path.isdir(root):
+        raise PreflightError(f"model {model} not materialized under {warehouse}")
+    return spark.read.parquet(root)
 
 
 if __name__ == "__main__":

@@ -769,9 +769,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     long — 32 sum buffers + one row count — and the projection
     unpacks lanes and compares ``2·ones > n`` (exactly the old
     ``ones − zeros > 0`` sign rule: ones·2 > ones + zeros, ties → 0).
-    Lane width: counts are per-doc DISTINCT-token counts, so a lane
-    overflows only past 2^31 distinct tokens — a multi-gigabyte single
-    document, unreachable before executor memory is. No runtime guard:
+    Lane width: counts are per-doc DISTINCT-token counts, so the low
+    lane carries into the high lane only past 2^32 distinct tokens
+    (the high lane is unbounded inside the 64-bit sum) — a
+    multi-gigabyte single document, unreachable before executor
+    memory is. No runtime guard:
     an earlier 16-bit-lane version guarded with ``raise_error``, which
     Catalyst treats as non-deterministic — it blocked exchange reuse
     in the simhash verdict query and TRIPLED its cold time (measured

@@ -54,6 +54,20 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _hashable_type(dt) -> bool:
+    """True iff xxhash64 accepts a column of this type (it rejects
+    MapType anywhere in the structure — ADVICE r6)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def _durable_write(path: str, content: str) -> None:
     """write-temp + fsync + atomic rename + fsync(dir): the rename is
     the commit point and both the bytes and the directory entry are
@@ -235,45 +249,78 @@ class VersionedTable:
             # matter its size, so target_file_mb is not honored within
             # a partition — a 10 GB partition would compact to one
             # 10 GB file (ADVICE r5). Instead, size each partition's
-            # file count from its actual data share: one
-            # metadata-scale aggregate gives per-partition row counts,
-            # the global bytes/row ratio converts rows to bytes, and a
+            # file count from its TRUE on-disk bytes — summed from the
+            # manifest's file listing grouped by hive partition dir
+            # (ADVICE r6: the previous extra groupBy(*pb) scan used a
+            # global bytes/row average that under-split partitions
+            # with atypically wide rows; the manifest already holds
+            # exact per-partition bytes for free) — and a
             # deterministic row-hash salt spreads an oversized
             # partition over ceil(bytes / target) buckets. Partitions
             # that already fit keep buckets = 1, so small partitions
             # are not fragmented.
-            from functools import reduce
+            from urllib.parse import unquote
 
             from pyspark.sql import functions as F
-            from pyspark.sql.types import IntegerType, StructField
 
             pb = list(partition_by)
-            counts = df.groupBy(*pb).agg(F.count(F.lit(1)).alias("__rows")).collect()
-            total_rows = sum(r["__rows"] for r in counts) or 1
-            bytes_per_row = total_bytes / total_rows
+            sentinel = "__HIVE_DEFAULT_PARTITION__"
+            part_bytes: dict[tuple[str, ...], int] = {}
+            for f in manifest["files"]:
+                dirs = [d for d in f.split("/")[:-1] if "=" in d]
+                key = tuple(unquote(d.split("=", 1)[1]) for d in dirs)
+                if len(key) != len(pb):
+                    raise ValueError(
+                        f"non-hive layout under {data_dir}: {f!r} does not "
+                        f"encode all of {pb}"
+                    )
+                part_bytes[key] = part_bytes.get(key, 0) + os.path.getsize(
+                    os.path.join(data_dir, f)
+                )
             target_bytes = target_file_mb * 1024 * 1024
             bucket_rows = [
-                tuple(r[c] for c in pb)
-                + (max(1, -(-int(r["__rows"] * bytes_per_row) // target_bytes)),)
-                for r in counts
+                ("/".join(key), max(1, -(-b // target_bytes)))
+                for key, b in sorted(part_bytes.items())
             ]
-            map_schema = df.select(*pb).schema.add(
-                StructField("__buckets", IntegerType(), False)
+            map_df = df.sparkSession.createDataFrame(
+                bucket_rows, "__pkey string, __buckets int"
             )
-            map_df = df.sparkSession.createDataFrame(bucket_rows, map_schema)
-            cond = reduce(
-                lambda a, b: a & b, [df[c].eqNullSafe(map_df[c]) for c in pb]
+            # join on the string RENDERING of the partition tuple —
+            # cast-to-string matches the (unquoted) hive dir value for
+            # the supported partition column types; NULL renders as
+            # hive's default-partition sentinel on both sides
+            pkey = F.concat_ws(
+                "/",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(sentinel))
+                    for c in pb
+                ],
             )
-            joined = df.join(F.broadcast(map_df), cond).drop(
-                *(map_df[c] for c in pb)
+            joined = df.withColumn("__pkey", pkey).join(
+                F.broadcast(map_df), "__pkey"
             )
-            data_cols = [c for c in joined.columns if c != "__buckets"]
+            # salt from the HASHABLE NON-PARTITION columns only:
+            # xxhash64 rejects MapType (ADVICE r6), and partition
+            # columns are constant within a partition (a salt built
+            # on them alone would collapse every bucket to one) —
+            # fall back to a monotonic row id when nothing hashable
+            # remains
+            hashable = [
+                fld.name
+                for fld in df.schema.fields
+                if fld.name not in pb and _hashable_type(fld.dataType)
+            ]
+            salt_src = (
+                F.xxhash64(*[F.col(c) for c in hashable])
+                if hashable
+                else F.monotonically_increasing_id()
+            )
             salted = joined.withColumn(
-                "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("__buckets"))
+                "__salt", F.pmod(salt_src, F.col("__buckets"))
             )
-            n_groups = sum(row[-1] for row in bucket_rows)
+            n_groups = sum(b for _, b in bucket_rows)
             df = salted.repartition(max(n_files, n_groups), *pb, "__salt").drop(
-                "__salt", "__buckets"
+                "__salt", "__buckets", "__pkey"
             )
         else:
             df = df.repartition(n_files)

@@ -63,3 +63,41 @@ def test_preflight_catches_missing_source_table(spark, tmp_path, capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "nation.parquet" in err and "region.parquet" in err
+
+
+def test_run_full_lifecycle_core_env(spark, tmp_path):
+    """VERDICT r6 item #6: the CORE env must run the same lifecycle as
+    DEV — run, re-test standalone, both via the versioned layout."""
+    wh = str(tmp_path / "wh")
+    rc = main(
+        ["run", "--env", "core", "--sf-dir", SF_DIR, "--warehouse", wh],
+        spark=spark,
+    )
+    assert rc == 0
+    t = VersionedTable(os.path.join(wh, "stage_rides"))
+    assert t.current_version() == 1
+    assert main(["test", "--env", "core", "--sf-dir", SF_DIR, "--warehouse", wh], spark=spark) == 0
+
+
+def test_test_subcommand_fails_cleanly_on_missing_warehouse(spark, tmp_path, capsys):
+    """ADVICE r6: a never-materialized warehouse must exit 1 with the
+    compact FAILED report, not an AnalysisException traceback."""
+    rc = main(
+        ["test", "--sf-dir", SF_DIR, "--warehouse", str(tmp_path / "nowhere")],
+        spark=spark,
+    )
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "FAILED:" in err and "not materialized" in err
+
+
+def test_test_subcommand_fails_cleanly_on_uncommitted_version(spark, tmp_path, capsys):
+    """A data/ dir without a committed pointer (crashed first write) is
+    a PreflightError, not a ValueError from VersionedTable."""
+    wh = tmp_path / "wh"
+    for m in ("location_dim", "stage_rides", "mart_borough_daily"):
+        (wh / m / "data").mkdir(parents=True)
+    rc = main(["test", "--sf-dir", SF_DIR, "--warehouse", str(wh)], spark=spark)
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "FAILED:" in err and "no committed version" in err

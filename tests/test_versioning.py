@@ -327,3 +327,52 @@ def test_compact_cluster_by_on_partitioned_table_stays_compact(spark, tmp_path):
     # one range partition (n_files=1 at this size) x 3 dirs -> <= ~4
     assert len(files) <= 4
     assert t.read_version(spark, v2).count() == 6_000
+
+
+def test_compact_partitioned_with_map_column(spark, tmp_path):
+    # ADVICE r6: the salt previously hashed ALL data columns;
+    # xxhash64 rejects MapType, so compacting a partitioned table
+    # with a map column failed analysis. The salt must skip
+    # unhashable columns and the rewrite must stay data-identical.
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.range(2_000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("attrs"),
+    )
+    t.write_version(df.repartition(16), partition_by=("part",))
+    v2 = t.compact(spark, target_file_mb=128)
+    got = t.read_version(spark, v2)
+    assert got.count() == 2_000
+    assert sorted(r["id"] for r in got.collect()) == list(range(2_000))
+    assert got.filter(F.col("attrs")["k"] == "7").count() == 1
+
+
+def test_compact_partitioned_only_map_payload_falls_back(spark, tmp_path):
+    # nothing hashable outside the partition column -> monotonic salt
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.range(1_000).select(
+        (F.col("id") % 2).cast("string").alias("part"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("attrs"),
+    )
+    t.write_version(df.repartition(8), partition_by=("part",))
+    v2 = t.compact(spark, target_file_mb=128)
+    assert t.read_version(spark, v2).count() == 1_000
+
+
+def test_compact_partitioned_null_partition_value(spark, tmp_path):
+    # NULL partition values land in the hive default-partition dir;
+    # the string-rendered pkey join must route them to a bucket map
+    # entry instead of dropping rows.
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.range(1_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("id") % 4).cast("string"))
+        .alias("part"),
+    )
+    t.write_version(df.repartition(8), partition_by=("part",))
+    v2 = t.compact(spark, target_file_mb=128)
+    got = t.read_version(spark, v2)
+    assert got.count() == 1_000
+    assert got.filter(F.col("part").isNull()).count() == 250
