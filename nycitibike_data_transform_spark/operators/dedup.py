@@ -102,8 +102,17 @@ def ngram_jaccard_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     max_shingle_df: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard-similar pairs over n-gram shingle sets.
+
+    ``shingles_df`` (optional): a precomputed DISTINCT ``(id_col,
+    shingle)`` relation (empty shingles removed) to use instead of
+    tokenizing ``df`` — the standard production shape where the
+    shingle table is materialized once and shared across dedup /
+    containment / minhash consumers. Passing the SAME DataFrame here
+    and to ``minhash_candidate_pairs`` lets AQE reuse one shuffle
+    exchange across every consumer in a combined plan.
 
     ``mode="blocked"`` (default, the 100 TB path): MinHash-LSH candidate
     pairs (equi-join on (band, bucket) — linear in corpus size, no
@@ -140,7 +149,8 @@ def ngram_jaccard_pairs(
                 "drop the argument or use mode='exact'"
             )
         candidates = minhash_candidate_pairs(
-            df, text_col, id_col, n, num_hashes=num_hashes, bands=bands
+            df, text_col, id_col, n, num_hashes=num_hashes, bands=bands,
+            shingles_df=shingles_df,
         )
         return jaccard_on_candidate_pairs(
             candidates, df, text_col, id_col, n, threshold
@@ -156,7 +166,9 @@ def ngram_jaccard_pairs(
     # the join key, shuffle-hash hints — all re-plan to broadcast +
     # serial recomputation and run 3-9× slower at sf0.1.
     sh = (
-        tokenize(df, text_col)
+        shingles_df
+        if shingles_df is not None
+        else tokenize(df, text_col)
         .select(F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
@@ -205,6 +217,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h0..h{k-1}) MinHash signature per document.
 
@@ -213,9 +226,17 @@ def minhash_signatures(
     (The tempting alternative — ``array_min(transform(shingles, hash))``
     per hash — re-inlines the shingle-construction expression into all
     k transforms after Catalyst's projection collapse: k× the work.)
-    Map-side partial mins reduce the shuffle to k longs per doc."""
-    sh = tokenize(fan_out(df), text_col).select(
-        F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle")
+    Map-side partial mins reduce the shuffle to k longs per doc.
+
+    ``shingles_df``: precomputed ``(id_col, shingle)`` rows to hash
+    instead of tokenizing ``df`` (min is idempotent, so a distinct or
+    non-distinct shingle relation gives identical signatures)."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else tokenize(fan_out(df), text_col).select(
+            F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle")
+        )
     )
     return sh.groupBy(id_col).agg(
         *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
@@ -229,6 +250,7 @@ def minhash_banded(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH banding of the MinHash signature — the
     shared candidate-generation primitive for within-corpus pairing
@@ -237,7 +259,7 @@ def minhash_banded(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingles_df=shingles_df)
     return sig.select(
         F.col(id_col),
         F.explode(
@@ -267,6 +289,7 @@ def minhash_candidate_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-slices of the MinHash signature
     land in the same bucket; only bucket-mates pair up.
@@ -276,7 +299,7 @@ def minhash_candidate_pairs(
     candidates with ``ngram_jaccard_pairs`` semantics on the candidate
     subset only.
     """
-    banded = minhash_banded(df, text_col, id_col, n, num_hashes, bands)
+    banded = minhash_banded(df, text_col, id_col, n, num_hashes, bands, shingles_df=shingles_df)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
