@@ -86,13 +86,24 @@ def main() -> None:
     # codegen compile, which dominates for wide-aggregate queries
     # (simhash's 64 agg buffers: ~13 s compile, ~1.5 s warm). Compare
     # sweep numbers cold-to-cold across rounds, not to headline mins.
+    # SPARK_GRAFT_SWEEP_RUNS=N (default 1) re-runs each sweep entry
+    # min-of-N (VERDICT r6 item #7: the r6 single-run sweep was hard to
+    # read under ambient load). The default stays 1 so the driver's
+    # per-round wall time is unchanged; with N>1 the detail file keeps
+    # the cold first-run number per query alongside the min.
+    sweep_runs = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", "1")))
     families = query_families(registry)
     registry_timings: dict[str, float] = {}
+    registry_first: dict[str, float] = {}
     family_totals: dict[str, float] = {}
     for name, spec in registry.items():
-        t0 = time.time()
-        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = time.time() - t0
+        runs = []
+        for _ in range(sweep_runs):
+            t0 = time.time()
+            spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+        registry_first[name] = round(runs[0], 3)
+        dt = min(runs)
         registry_timings[name] = round(dt, 3)
         fam = families[name]
         family_totals[fam] = family_totals.get(fam, 0.0) + dt
@@ -120,6 +131,9 @@ def main() -> None:
     detail = dict(compact)
     detail["queries_median"] = medians
     detail["registry_queries"] = registry_timings
+    detail["sweep_runs"] = sweep_runs
+    if sweep_runs > 1:
+        detail["registry_queries_first"] = registry_first
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)

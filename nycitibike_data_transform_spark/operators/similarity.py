@@ -52,6 +52,8 @@ def cosine_topk(
     brute_max_corpus_rows: int = BRUTE_MAX_CORPUS_ROWS,
     lsh_bits: int = 4,
     lsh_bands: int = 8,
+    corpus_rows: int | None = None,
+    lsh_dim: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for every query vector.
 
@@ -71,17 +73,32 @@ def cosine_topk(
     (``cosine_topk_lsh``, recall ≈ 1-(1-p^bits)^bands) with the
     vector dimension probed from the first corpus row. Callers that
     need exact results above the gate must say so explicitly with
-    ``method="brute"``.
+    ``method="brute"`` — this default CHANGED from always-exact in r6
+    (see README "Behavior changes").
+
+    The auto probe launches up to two small jobs (bounded count + dim
+    probe) that re-execute the corpus plan — noticeable when the
+    corpus is an uncached derived frame or the caller loops (ADVICE
+    r6). Callers that already know the sizes pass ``corpus_rows``
+    (skips the count probe) and ``lsh_dim`` (skips the dim probe);
+    both are trusted as-is.
     """
     if method not in ("auto", "brute"):
         raise ValueError(f"method must be auto|brute, got {method!r}")
     if method == "auto":
-        probe = corpus.select(id_col).limit(brute_max_corpus_rows + 1).count()
+        probe = (
+            corpus_rows
+            if corpus_rows is not None
+            else corpus.select(id_col).limit(brute_max_corpus_rows + 1).count()
+        )
         if probe > brute_max_corpus_rows:
-            first = corpus.select(F.size(vec_col).alias("d")).filter(
-                F.col("d") > 0
-            ).first()
-            dim = first["d"] if first else 0
+            if lsh_dim is not None:
+                dim = lsh_dim
+            else:
+                first = corpus.select(F.size(vec_col).alias("d")).filter(
+                    F.col("d") > 0
+                ).first()
+                dim = first["d"] if first else 0
             return cosine_topk_lsh(
                 corpus,
                 queries,

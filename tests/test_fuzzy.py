@@ -113,3 +113,34 @@ def test_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_randomized_against_brute_high_distance(spark):
+    """VERDICT r6 item #7: the probe count grows (2d+1)²(d+1) and the
+    segment-layout edge cases multiply past d=3 — pin d=4 and d=5
+    against brute force on an adversarial mix of short strings (length
+    ≤ d, where every segment can be empty), heavy-edit siblings, and
+    length gaps right at the |len_a − len_b| = d boundary."""
+    rng = random.Random(11)
+    alpha = "abc"  # tiny alphabet: collisions and near-misses abound
+    rows = []
+    i = 0
+    for _ in range(25):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
+        rows.append((i, w)); i += 1
+        s = list(w)
+        for _ in range(rng.randint(0, 5)):  # up to 5 edits: straddles d
+            op = rng.choice("ids")
+            pos = rng.randint(0, max(len(s) - 1, 0))
+            if op == "i":
+                s.insert(pos, rng.choice(alpha))
+            elif s:
+                if op == "d":
+                    del s[pos]
+                else:
+                    s[pos] = rng.choice(alpha)
+        rows.append((i, "".join(s))); i += 1
+    # exact-boundary length gap: "" vs length-4 and length-5 strings
+    rows += [(i, ""), (i + 1, "aaaa"), (i + 2, "aaaaa")]
+    for d in (4, 5):
+        assert _fast(spark, rows, d) == _brute(spark, rows, d), f"d={d}"

@@ -160,3 +160,26 @@ def test_zero_norm_query_returns_no_neighbors(spark):
     out = cosine_topk(emb, emb.filter("vec_id = 1"), k=2)
     # cosine undefined against a zero vector → no ranked neighbors
     assert out.count() == 0
+
+
+def test_auto_gate_trusts_caller_supplied_sizes(spark, sf_dir):
+    """ADVICE r6: looping callers pass corpus_rows/lsh_dim to skip the
+    per-call probe jobs. A declared size above the gate must route to
+    the SRP tier (identical to calling cosine_topk_lsh directly) even
+    though the actual corpus is tiny; a declared size below keeps the
+    exact brute plan."""
+    from nycitibike_data_transform_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    routed = cosine_topk(emb, q, k=3, corpus_rows=200_000, lsh_dim=64)
+    direct = cosine_topk_lsh(emb, q, dim=64, k=3)
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    exact = cosine_topk(emb, q, k=3, corpus_rows=10, method="auto")
+    brute = cosine_topk(emb, q, k=3, method="brute")
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, brute.collect()))
