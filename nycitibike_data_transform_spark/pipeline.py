@@ -271,6 +271,15 @@ class Pipeline:
             inputs = {d: resolve(d) for d in model.deps}
             df = model.build(spark, **inputs)
             if materialize and self.warehouse_dir:
+                if model.partition_by:
+                    # co-locate each partition value before the
+                    # partitionBy write: without this every upstream
+                    # task writes a sliver into every partition dir —
+                    # a daily mart came out as ~2300 dirs × 32 files
+                    # each (r7 finding). One shuffle on the partition
+                    # keys makes each dir receive exactly one file;
+                    # oversized partitions are a compact() concern.
+                    df = df.repartition(*model.partition_by)
                 path = f"{self.warehouse_dir}/{name}"
                 if versioned:
                     table = VersionedTable(path)

@@ -260,3 +260,25 @@ def test_merge_upsert_partitioned_preserves_null_partition(spark, tmp_path):
     assert rows[1] == ("keep-null", None)
     assert rows[3] == ("new", None)
     assert rows[2] == ("keep-a", "a")  # untouched partition intact
+
+
+def test_partitioned_model_writes_one_file_per_partition(spark, tmp_path, sf_dir):
+    """r7 small-files fix: a partitioned materialization co-locates
+    each partition value first, so every partition dir receives
+    exactly one data file — not one sliver per upstream task (the
+    daily mart previously wrote ~2300 dirs × 32 files each)."""
+    import os
+
+    from nycitibike_data_transform_spark.models.pipeline_def import (
+        testdata_pipeline,
+    )
+
+    wh = str(tmp_path / "wh")
+    built = testdata_pipeline(sf_dir, wh).run(spark, versioned=False)
+    assert built["mart_borough_daily"].count() > 0
+    mart = f"{wh}/mart_borough_daily"
+    dirs = [d for d in os.listdir(mart) if d.startswith("ride_date=")]
+    assert len(dirs) > 100  # daily partitioning is real
+    for d in dirs[:50]:
+        files = [f for f in os.listdir(f"{mart}/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
