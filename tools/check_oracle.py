@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import datetime as dt
 import decimal
+import os
 import sys
 import time
 from collections import Counter
@@ -115,7 +116,12 @@ def main() -> int:
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; scratch replicas
+        # (tools/stress_full.py) are Spark-written DIRECTORIES of parts
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
