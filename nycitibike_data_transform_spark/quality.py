@@ -88,6 +88,123 @@ def freshness_violation(
     )
 
 
+# ---- dbt_utils 1.1.1 generic tests not already covered above (the
+# reference installs dbt_utils via packages.yml:2; these complete its
+# test surface). Every check is a single-pass aggregate or one bounded
+# join — violation-frame style, composable with check_all().
+
+def equal_rowcount_violation(a: DataFrame, b: DataFrame) -> DataFrame:
+    """``dbt_utils.equal_rowcount``: one violation row when counts
+    differ (two count jobs — metadata-scale)."""
+    ca, cb = a.count(), b.count()
+    spark = a.sparkSession
+    if ca == cb:
+        return spark.createDataFrame([], "count_a long, count_b long")
+    return spark.createDataFrame([(ca, cb)], "count_a long, count_b long")
+
+
+def fewer_rows_than_violation(df: DataFrame, than: DataFrame) -> DataFrame:
+    """``dbt_utils.fewer_rows_than``: violation when df has >= rows."""
+    ca, cb = df.count(), than.count()
+    spark = df.sparkSession
+    if ca < cb:
+        return spark.createDataFrame([], "count_df long, count_than long")
+    return spark.createDataFrame([(ca, cb)], "count_df long, count_than long")
+
+
+def not_null_proportion_violation(
+    df: DataFrame, col: str, at_least: float
+) -> DataFrame:
+    """``dbt_utils.not_null_proportion``: one violation row when the
+    non-null share of ``col`` falls below ``at_least``. Empty input
+    passes (proportion of nothing is vacuously fine — matches
+    dbt_utils, whose SQL yields no failing rows on empty relations)."""
+    # try_divide: ANSI mode raises on the empty-relation 0/0 otherwise
+    out = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.try_divide(F.count(col), F.count(F.lit(1))).alias("not_null_proportion"),
+    )
+    return out.filter(
+        (F.col("n_rows") > 0) & (F.col("not_null_proportion") < at_least)
+    )
+
+
+def accepted_range_violations(
+    df: DataFrame,
+    col: str,
+    min_value: object = None,
+    max_value: object = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """``dbt_utils.accepted_range``: rows outside [min, max]. NULLs
+    pass (pair with not_null for strictness — dbt semantics)."""
+    c = F.col(col)
+    ok = F.lit(True)
+    if min_value is not None:
+        ok = ok & (c >= min_value if inclusive else c > min_value)
+    if max_value is not None:
+        ok = ok & (c <= max_value if inclusive else c < max_value)
+    return df.filter(c.isNotNull() & ~ok)
+
+
+def not_constant_violation(df: DataFrame, col: str) -> DataFrame:
+    """``dbt_utils.not_constant``: one violation row when every
+    (non-empty) relation row holds the same value."""
+    out = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(col).alias("n_distinct"),
+    )
+    return out.filter((F.col("n_rows") > 0) & (F.col("n_distinct") <= 1))
+
+
+def sequential_values_violations(
+    df: DataFrame, col: str, interval: int = 1, partition_by: str | None = None
+) -> DataFrame:
+    """``dbt_utils.sequential_values``: rows whose value is not exactly
+    ``interval`` past the previous row's (ordered by the column itself,
+    optionally per partition). One shuffle; lag is windowed, no
+    self-join."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    ).orderBy(col)
+    prev = F.lag(F.col(col)).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNotNull() & (F.col(col) != F.col("__prev") + interval))
+        .drop("__prev")
+    )
+
+
+def mutually_exclusive_ranges_violations(
+    df: DataFrame,
+    lower_col: str,
+    upper_col: str,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """``dbt_utils.mutually_exclusive_ranges`` (zero_length_forbidden +
+    no overlaps): rows whose [lower, upper) is empty/inverted or
+    overlaps the previous range in ``lower`` order. Windowed lag —
+    O(n log n) per partition, never the naive O(n²) self-join."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    ).orderBy(lower_col, upper_col)
+    # materialize the lag BEFORE filtering — window expressions are
+    # not allowed directly inside a WHERE clause
+    prev = F.col("__prev_upper")
+    bad = (F.col(lower_col) >= F.col(upper_col)) | (
+        prev.isNotNull() & (F.col(lower_col) < prev)
+    )
+    return (
+        df.withColumn("__prev_upper", F.lag(F.col(upper_col)).over(w))
+        .filter(bad)
+        .drop("__prev_upper")
+    )
+
+
 class QualityError(AssertionError):
     pass
 

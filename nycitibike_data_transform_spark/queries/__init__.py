@@ -82,6 +82,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "table_profile_approx",
     "embedding_near_dup",
     "embedding_dedup",
+    "surrogate_keys",
+    "date_spine",
+    "dedup_latest",
     # (b) the 21 whose latest driver evidence is r4
     "price_histogram",
     "volume_shipping",
@@ -128,13 +131,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "containment_pairs",
     "quality_logit",
     "novelty_score",
-    "split_leakage",
-    "cdc_chunks",
-    "retention_cohorts",
     # ---- past the 50-entry window: every entry below is hash-green
     # in CORRECTNESS_r06 (last round's window) or CORRECTNESS_r05;
     # all stay runnable + locally verified via tools/check_oracle.py ----
     # r5-green remainder
+    "split_leakage",
+    "cdc_chunks",
+    "retention_cohorts",
     "supplier_wait",
     "lang_confusion",
     "ngram_jaccard",
@@ -216,6 +219,7 @@ def all_queries() -> dict[str, QuerySpec]:
         advanced,
         aux_nyc,
         core,
+        dbt_compat,
         events,
         llmdata,
         marts,
@@ -224,7 +228,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, marts, relational, advanced, events, llmdata, aux_nyc, textprep):
+    for mod in (core, marts, relational, advanced, events, llmdata, aux_nyc, textprep, dbt_compat):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

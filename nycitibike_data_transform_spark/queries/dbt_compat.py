@@ -1,0 +1,122 @@
+"""Registry queries certifying the dbt_utils macro surface
+(``functions/dbt_compat.py``) against DuckDB oracles — closing the
+reference's ``packages.yml:2`` (dbt-labs/dbt_utils 1.1.1) parity row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.functions.dbt_compat import (
+    SURROGATE_KEY_NULL,
+    date_spine,
+    deduplicate,
+    generate_surrogate_key,
+    safe_divide,
+)
+from nycitibike_data_transform_spark.queries import QuerySpec, load
+
+
+def _q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``generate_surrogate_key`` + ``safe_divide`` parity on the
+    documents table: the key is md5 over (doc_id, source, lang) with
+    dbt_utils' NULL sentinel (lang IS null for some rows — the case
+    the sentinel exists for), and chars_per_token divides with NULL on
+    zero. md5 hex strings hash-match across engines byte-for-byte."""
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    return docs.select(
+        "doc_id",
+        generate_surrogate_key("doc_id", "source", "lang").alias("sk"),
+        F.round(
+            safe_divide(
+                F.length("text").cast("double"),
+                F.size(F.split(F.col("text"), " ")).cast("double"),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+_SURROGATE_KEYS_SQL = f"""
+SELECT doc_id,
+       md5(concat_ws('-',
+           coalesce(CAST(doc_id AS VARCHAR), '{SURROGATE_KEY_NULL}'),
+           coalesce(CAST(source AS VARCHAR), '{SURROGATE_KEY_NULL}'),
+           coalesce(CAST(lang AS VARCHAR), '{SURROGATE_KEY_NULL}'))) AS sk,
+       round(CASE WHEN len(string_split(text, ' ')) = 0 THEN NULL
+                  ELSE CAST(length(text) AS DOUBLE)
+                       / len(string_split(text, ' ')) END, 6)
+           AS chars_per_token
+FROM documents
+"""
+
+
+def _q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``date_spine`` parity: a fixed one-year day spine (end
+    exclusive — the documented dbt_utils boundary) left-joined with
+    per-day order counts. The spine is a 1-row sequence explode that
+    broadcasts into the densification join; missing days zero-fill."""
+    t = load(spark, sf_dir, "orders")
+    spine = date_spine(spark, "day", "1995-01-01", "1996-01-01")
+    daily = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("date_day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return spine.join(daily, "date_day", "left").select(
+        "date_day", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+_DATE_SPINE_SQL = """
+WITH spine AS (
+  SELECT CAST(d AS DATE) AS date_day
+  FROM generate_series(DATE '1995-01-01', DATE '1996-01-01' - INTERVAL 1 DAY,
+                       INTERVAL 1 DAY) AS t(d)
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS date_day, count(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+  GROUP BY 1
+)
+SELECT spine.date_day, coalesce(daily.n_orders, 0) AS n_orders
+FROM spine LEFT JOIN daily USING (date_day)
+"""
+
+
+def _q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``deduplicate`` parity: latest event per user (ts desc,
+    event_id desc tie-break — explicit so both engines pick the same
+    row). One shuffle on user_id."""
+    t = load(spark, sf_dir, "events")
+    ev = t["events"]
+    return deduplicate(
+        ev,
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "event_id", "ts", "event_type")
+
+
+_DEDUP_LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "surrogate_keys": QuerySpec(_q_surrogate_keys, _SURROGATE_KEYS_SQL),
+    "date_spine": QuerySpec(_q_date_spine, _DATE_SPINE_SQL),
+    "dedup_latest": QuerySpec(_q_dedup_latest, _DEDUP_LATEST_SQL),
+}

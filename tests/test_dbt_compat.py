@@ -1,0 +1,140 @@
+"""dbt_utils macro-surface parity (functions/dbt_compat.py +
+quality.py extensions) — semantics per the public dbt_utils 1.1.1
+docs, pinned on hand-checked fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.functions.dbt_compat import (
+    SURROGATE_KEY_NULL,
+    date_spine,
+    deduplicate,
+    generate_surrogate_key,
+    safe_divide,
+    star,
+)
+from nycitibike_data_transform_spark.quality import (
+    accepted_range_violations,
+    equal_rowcount_violation,
+    fewer_rows_than_violation,
+    mutually_exclusive_ranges_violations,
+    not_constant_violation,
+    not_null_proportion_violation,
+    sequential_values_violations,
+)
+
+
+def test_surrogate_key_matches_dbt_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "")], "id bigint, v string"
+    )
+    got = {
+        r["id"]: r["sk"]
+        for r in df.select("id", generate_surrogate_key("id", "v").alias("sk")).collect()
+    }
+    def dbt_md5(*vals):
+        parts = [v if v is not None else SURROGATE_KEY_NULL for v in vals]
+        return hashlib.md5("-".join(parts).encode()).hexdigest()
+    assert got[1] == dbt_md5("1", "a")
+    assert got[2] == dbt_md5("2", None)
+    assert got[None] == dbt_md5(None, "")
+    # NULL and '' must produce DIFFERENT keys (the 1.x sentinel fix)
+    assert dbt_md5("2", None) != dbt_md5("2", "")
+
+
+def test_safe_divide_null_on_zero_and_null(spark):
+    df = spark.createDataFrame(
+        [(10.0, 2.0), (1.0, 0.0), (1.0, None), (None, 5.0)], "n double, d double"
+    )
+    got = [r["q"] for r in df.select(safe_divide(F.col("n"), F.col("d")).alias("q")).collect()]
+    assert got == [5.0, None, None, None]
+
+
+def test_star_excludes_and_validates(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, c double")
+    assert [c._jc.toString() for c in star(df, ["b"])] == ["a", "c"]
+    with pytest.raises(ValueError, match="nope"):
+        star(df, ["nope"])
+
+
+def test_date_spine_day_end_exclusive(spark):
+    spine = date_spine(spark, "day", "2024-02-27", "2024-03-02")
+    days = sorted(str(r["date_day"]) for r in spine.collect())
+    # leap day included, end date EXCLUDED
+    assert days == ["2024-02-27", "2024-02-28", "2024-02-29", "2024-03-01"]
+
+
+def test_date_spine_rejects_unknown_datepart(spark):
+    with pytest.raises(ValueError, match="datepart"):
+        date_spine(spark, "fortnight", "2024-01-01", "2024-02-01")
+
+
+def test_deduplicate_keeps_ordered_winner(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")], "k int, v int, tag string"
+    )
+    got = {
+        r["k"]: r["tag"]
+        for r in deduplicate(df, ["k"], [F.col("v").desc()]).collect()
+    }
+    assert got == {1: "new", 2: "only"}
+
+
+def test_equal_rowcount_and_fewer_rows(spark):
+    a, b = spark.range(5), spark.range(5)
+    assert equal_rowcount_violation(a, b).count() == 0
+    assert equal_rowcount_violation(a, spark.range(6)).count() == 1
+    assert fewer_rows_than_violation(a, spark.range(6)).count() == 0
+    assert fewer_rows_than_violation(a, spark.range(5)).count() == 1
+
+
+def test_not_null_proportion(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,), (4,)], "v int")
+    assert not_null_proportion_violation(df, "v", 0.5).count() == 0
+    assert not_null_proportion_violation(df, "v", 0.9).count() == 1
+    empty = spark.createDataFrame([], "v int")
+    assert not_null_proportion_violation(empty, "v", 0.9).count() == 0
+
+
+def test_accepted_range(spark):
+    df = spark.createDataFrame([(0,), (5,), (11,), (None,)], "v int")
+    assert accepted_range_violations(df, "v", 0, 10).count() == 1  # just 11
+    # exclusive bounds: 0 now violates too
+    assert accepted_range_violations(df, "v", 0, 10, inclusive=False).count() == 2
+
+
+def test_not_constant(spark):
+    same = spark.createDataFrame([(7,), (7,)], "v int")
+    mixed = spark.createDataFrame([(7,), (8,)], "v int")
+    assert not_constant_violation(same, "v").count() == 1
+    assert not_constant_violation(mixed, "v").count() == 0
+    assert not_constant_violation(spark.createDataFrame([], "v int"), "v").count() == 0
+
+
+def test_sequential_values(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (5,)], "v int")
+    bad = [r["v"] for r in sequential_values_violations(df, "v").collect()]
+    assert bad == [5]
+    per_part = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 3)], "p string, v int"
+    )
+    bad2 = [
+        (r["p"], r["v"])
+        for r in sequential_values_violations(per_part, "v", partition_by="p").collect()
+    ]
+    assert bad2 == [("b", 3)]
+
+
+def test_mutually_exclusive_ranges(spark):
+    df = spark.createDataFrame(
+        [(0, 10), (10, 20), (15, 30), (40, 40)], "lo int, hi int"
+    )
+    bad = sorted(
+        (r["lo"], r["hi"])
+        for r in mutually_exclusive_ranges_violations(df, "lo", "hi").collect()
+    )
+    assert bad == [(15, 30), (40, 40)]  # overlap + zero-length
