@@ -7,6 +7,13 @@ cost, fully optimizable by Catalyst, and validated at plan-build time
 (the analogue of dbt's ``raise_compiler_error``).
 """
 
+from nycitibike_data_transform_spark.functions.dbt_compat import (
+    date_spine,
+    deduplicate,
+    generate_surrogate_key,
+    safe_divide,
+    star,
+)
 from nycitibike_data_transform_spark.functions.decode import decode, payment_type_description
 from nycitibike_data_transform_spark.functions.geo import haversine
 from nycitibike_data_transform_spark.functions.text import (
@@ -24,6 +31,11 @@ from nycitibike_data_transform_spark.functions.vectors import (
 )
 
 __all__ = [
+    "date_spine",
+    "deduplicate",
+    "generate_surrogate_key",
+    "safe_divide",
+    "star",
     "decode",
     "payment_type_description",
     "haversine",

@@ -4,6 +4,7 @@ from nycitibike_data_transform_spark.operators.conform import ConformSpec, confo
 from nycitibike_data_transform_spark.operators.dedup import (
     drop_exact_duplicates,
     embedding_near_dup_pairs,
+    embedding_near_dup_probe,
     exact_dedup,
     minhash_candidate_pairs,
     minhash_signatures,
@@ -48,6 +49,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash64",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_probe",
     "connected_components",
     "cluster_assignments",
     "as_of_join",
