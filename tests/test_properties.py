@@ -188,3 +188,69 @@ def test_padded_batches_matches_python_reference(spark, docs):
             len(chunk) * max(chunk) - sum(chunk),
         )
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False).map(lambda v: round(v, 3)),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=14, unique_by=tuple,
+    ),
+    st.floats(0.1, 0.95).map(lambda v: round(v, 2)),
+    st.integers(min_value=1, max_value=6),
+)
+def test_probe_audit_is_exact_restriction_of_grid(spark, vecs, threshold, n_probe):
+    """For ANY corpus, threshold, and probe prefix: the probe audit
+    equals the exhaustive grid tier restricted to probe-touching
+    pairs — the operator's exactness contract, property-tested."""
+    from nycitibike_data_transform_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_probe,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    probe = emb.filter(f"vec_id < {n_probe}")
+    probed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_probe(emb, probe, threshold).collect()
+    }
+    grid = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold, method="grid").collect()
+        if r["id_a"] < n_probe or r["id_b"] < n_probe
+    }
+    assert probed == grid
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                # dedup key
+            st.integers(0, 100),              # ordering value
+            st.text(min_size=0, max_size=6),  # payload
+        ),
+        min_size=1, max_size=25,
+    )
+)
+def test_deduplicate_one_winner_per_key_and_is_a_source_row(spark, rows):
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.functions.dbt_compat import deduplicate
+
+    df = spark.createDataFrame(rows, "k int, v int, payload string")
+    out = deduplicate(df, ["k"], [F.col("v").desc(), F.col("payload").asc()]).collect()
+    keys = [r["k"] for r in out]
+    assert sorted(set(keys)) == sorted({r[0] for r in rows})  # every key, once
+    assert len(keys) == len(set(keys))
+    src = {tuple(r) for r in rows}
+    assert all((r["k"], r["v"], r["payload"]) in src for r in out)
+    # the winner really is max-v (min-payload tie-break) per key
+    for r in out:
+        vmax = max(v for k, v, _ in rows if k == r["k"])
+        assert r["v"] == vmax

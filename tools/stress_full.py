@@ -106,7 +106,7 @@ def time_fresh(spark, sf_dir: str, name: str, runs: int = 1) -> float:
 def family_of(name: str) -> str:
     for mod_name in (
         "core", "marts", "relational", "advanced",
-        "events", "llmdata", "aux_nyc", "textprep",
+        "events", "llmdata", "aux_nyc", "textprep", "dbt_compat",
     ):
         mod = __import__(
             f"nycitibike_data_transform_spark.queries.{mod_name}",
