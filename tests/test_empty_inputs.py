@@ -14,6 +14,7 @@ from nycitibike_data_transform_spark.catalog import load_table
 from nycitibike_data_transform_spark.queries import all_queries
 
 DOC_QUERIES = (
+    "surrogate_keys",
     "dedup_exact",
     "text_stats",
     "quality_filter",
@@ -120,6 +121,7 @@ ADVERSARIAL_ROWS = [
 ]
 
 ADVERSARIAL_QUERIES = (
+    "surrogate_keys",
     "dedup_exact",
     "text_stats",
     "language_id",
@@ -202,6 +204,8 @@ FACT_QUERY_ROWS = {
     "pricing_summary": 0,
     "table_profile": 6,       # one row per profiled column, all zeros
     "table_profile_approx": 6,
+    "dedup_latest": 0,
+    "date_spine": 365,        # the spine is calendar-bounded, never fact-bounded
     "events_gapfill": 0,      # no observed hours -> empty calendar
     "user_streaks": 0,
 }
