@@ -18,8 +18,14 @@ from nycitibike_data_transform_spark.streaming.documents import (
     source_counts_stream,
 )
 from nycitibike_data_transform_spark.streaming.stateful import running_user_totals
+from nycitibike_data_transform_spark.streaming.upsert import (
+    apply_upsert_batch,
+    upsert_stream_to_table,
+)
 
 __all__ = [
+    "apply_upsert_batch",
+    "upsert_stream_to_table",
     "read_events_stream",
     "enriched_events_stream",
     "hourly_counts_stream",

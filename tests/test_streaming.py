@@ -265,3 +265,80 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     s = sorted(map(tuple, stream_out.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b and len(s) > 0
+
+
+def test_upsert_stream_matches_batch_dedup_latest(spark, sf_dir, tmp_path):
+    """The streaming upsert view, fed the events fixture in chunks,
+    must converge to exactly the batch dedup_latest result — and the
+    winner must be order-column-decided, not arrival-order-decided:
+    the chunks are streamed in REVERSE event order, so blind
+    last-writer-wins would keep the OLDEST rows."""
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.streaming.upsert import apply_upsert_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    target = str(tmp_path / "latest_per_user")
+    # three arrival chunks, NEWEST events arriving FIRST
+    chunks = [
+        ev.filter(F.col("event_id") % 3 == i).orderBy(F.col("ts").desc())
+        for i in (0, 1, 2)
+    ]
+    for i, chunk in enumerate(chunks):
+        apply_upsert_batch(chunk, i, target, ["user_id"], ["ts", "event_id"])
+    got = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in all_queries()["dedup_latest"].spark(spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
+def test_upsert_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch replays after failure: applying the same batch
+    twice must leave the table unchanged (exactly-once effect)."""
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.streaming.upsert import apply_upsert_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    target = str(tmp_path / "replayed")
+    apply_upsert_batch(ev, 0, target, ["user_id"], ["ts", "event_id"])
+    once = sorted(map(tuple, spark.read.parquet(target).collect()))
+    apply_upsert_batch(ev, 0, target, ["user_id"], ["ts", "event_id"])
+    twice = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert once == twice
+
+
+def test_upsert_stream_end_to_end_available_now(spark, sf_dir, tmp_path):
+    """Drive the real writeStream wiring (file source -> foreachBatch
+    -> parquet view) with an availableNow trigger."""
+    from nycitibike_data_transform_spark.streaming.events import read_events_stream
+    from nycitibike_data_transform_spark.streaming.upsert import (
+        upsert_stream_to_table,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    target = str(tmp_path / "view")
+    q = (
+        upsert_stream_to_table(
+            stream, target, ["user_id"], ["ts", "event_id"],
+            str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"] for r in spark.read.parquet(target).collect()}
+    batch = {
+        r["user_id"]
+        for r in all_queries()["dedup_latest"].spark(spark, sf_dir).collect()
+    }
+    assert got == batch
