@@ -138,3 +138,13 @@ def test_mutually_exclusive_ranges(spark):
         for r in mutually_exclusive_ranges_violations(df, "lo", "hi").collect()
     )
     assert bad == [(15, 30), (40, 40)]  # overlap + zero-length
+
+
+def test_date_spine_other_dateparts(spark):
+    from nycitibike_data_transform_spark.functions.dbt_compat import date_spine
+
+    assert date_spine(spark, "month", "2024-01-01", "2025-01-01").count() == 12
+    assert date_spine(spark, "hour", "2024-01-01", "2024-01-02").count() == 24
+    assert date_spine(spark, "year", "2020-01-01", "2024-01-01").count() == 4
+    weeks = [str(r["date_week"]) for r in date_spine(spark, "week", "2024-01-01", "2024-01-22").collect()]
+    assert weeks == ["2024-01-01", "2024-01-08", "2024-01-15"]
