@@ -208,7 +208,10 @@ def _read_model(spark: SparkSession, warehouse: str, model: str) -> DataFrame:
         return t.read_current(spark)
     if not os.path.isdir(root):
         raise PreflightError(f"model {model} not materialized under {warehouse}")
-    return spark.read.parquet(root)
+    try:
+        return spark.read.parquet(root)
+    except Exception as exc:  # corrupt/empty dir: clean FAILED, not a traceback
+        raise PreflightError(f"model {model} unreadable under {warehouse}: {exc}")
 
 
 if __name__ == "__main__":

@@ -84,11 +84,16 @@ def date_spine(
         )
     step = _SPINE_STEPS[datepart]
     col = "date_" + datepart
+    # empty range guard: sequence(start, stop, +step) RAISES on
+    # start > stop (illegal boundaries) — an empty [start, end) must
+    # yield an empty spine, not an error
     spine = spark.range(1).select(
         F.explode(
             F.expr(
-                f"sequence(to_timestamp('{start_date}'), "
-                f"to_timestamp('{end_date}') - {step}, {step})"
+                f"CASE WHEN to_timestamp('{start_date}') >= to_timestamp('{end_date}') "
+                f"THEN CAST(array() AS array<timestamp>) "
+                f"ELSE sequence(to_timestamp('{start_date}'), "
+                f"to_timestamp('{end_date}') - {step}, {step}) END"
             )
         ).alias(col)
     )

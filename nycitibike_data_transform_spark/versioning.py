@@ -265,7 +265,14 @@ class VersionedTable:
 
             pb = list(partition_by)
             sentinel = "__HIVE_DEFAULT_PARTITION__"
-            part_bytes: dict[tuple[str, ...], int] = {}
+            # keyed on the RENDERED '/'-joined string, not the value
+            # tuple: two tuples can render identically when a value
+            # itself contains '/' (("a/b","c") vs ("a","b/c")), and a
+            # duplicate key in the bucket map would DUPLICATE every
+            # matching data row through the join — summing their bytes
+            # under one key keeps the join 1:1 (sizing merges, rows
+            # stay exact)
+            part_bytes: dict[str, int] = {}
             for f in manifest["files"]:
                 dirs = [d for d in f.split("/")[:-1] if "=" in d]
                 key = tuple(unquote(d.split("=", 1)[1]) for d in dirs)
@@ -274,13 +281,14 @@ class VersionedTable:
                         f"non-hive layout under {data_dir}: {f!r} does not "
                         f"encode all of {pb}"
                     )
-                part_bytes[key] = part_bytes.get(key, 0) + os.path.getsize(
+                pkey = "/".join(key)
+                part_bytes[pkey] = part_bytes.get(pkey, 0) + os.path.getsize(
                     os.path.join(data_dir, f)
                 )
             target_bytes = target_file_mb * 1024 * 1024
             bucket_rows = [
-                ("/".join(key), max(1, -(-b // target_bytes)))
-                for key, b in sorted(part_bytes.items())
+                (pkey, max(1, -(-b // target_bytes)))
+                for pkey, b in sorted(part_bytes.items())
             ]
             map_df = df.sparkSession.createDataFrame(
                 bucket_rows, "__pkey string, __buckets int"

@@ -148,3 +148,10 @@ def test_date_spine_other_dateparts(spark):
     assert date_spine(spark, "year", "2020-01-01", "2024-01-01").count() == 4
     weeks = [str(r["date_week"]) for r in date_spine(spark, "week", "2024-01-01", "2024-01-22").collect()]
     assert weeks == ["2024-01-01", "2024-01-08", "2024-01-15"]
+
+
+def test_date_spine_empty_and_inverted_range(spark):
+    from nycitibike_data_transform_spark.functions.dbt_compat import date_spine
+
+    assert date_spine(spark, "day", "2024-01-02", "2024-01-02").count() == 0
+    assert date_spine(spark, "day", "2024-01-05", "2024-01-02").count() == 0

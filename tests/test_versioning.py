@@ -376,3 +376,20 @@ def test_compact_partitioned_null_partition_value(spark, tmp_path):
     got = t.read_version(spark, v2)
     assert got.count() == 1_000
     assert got.filter(F.col("part").isNull()).count() == 250
+
+
+def test_compact_partition_value_containing_slash(spark, tmp_path):
+    # a '/' INSIDE a partition value makes two different partitions
+    # render to the same joined pkey string; the bucket map must stay
+    # 1:1 (merged sizing) or the join would duplicate every row
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(i, "a/b" if i % 2 == 0 else "a") for i in range(200)],
+        "id bigint, part string",
+    )
+    t.write_version(df.repartition(8), partition_by=("part",))
+    v2 = t.compact(spark, target_file_mb=128)
+    got = t.read_version(spark, v2)
+    assert got.count() == 200
+    assert sorted(r["id"] for r in got.collect()) == list(range(200))
+    assert got.filter(F.col("part") == "a/b").count() == 100
