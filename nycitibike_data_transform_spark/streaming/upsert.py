@@ -28,10 +28,18 @@ from nycitibike_data_transform_spark.functions.dbt_compat import deduplicate
 
 
 def _winners(df: DataFrame, keys: list[str], order_desc: list[str]) -> DataFrame:
+    from pyspark.sql.types import MapType
+
     order: list[Column] = [F.col(c).desc() for c in order_desc]
     # deterministic final tie-break so re-runs of the same batch pick
-    # the same row (exactly-once replay safety)
-    order += [F.col(c).asc() for c in df.columns if c not in order_desc]
+    # the same row (exactly-once replay safety); maps are not
+    # orderable in Spark and would fail analysis, so they ride along
+    # without contributing to the ordering
+    order += [
+        F.col(fld.name).asc()
+        for fld in df.schema.fields
+        if fld.name not in order_desc and not isinstance(fld.dataType, MapType)
+    ]
     return deduplicate(df, keys, order)
 
 
