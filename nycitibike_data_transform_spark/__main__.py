@@ -123,6 +123,18 @@ def data_tests(built: dict) -> None:
             "mart counts positive": quality.expression_violations(
                 mart, mart.n_rides > 0
             ),
+            # dbt_utils generic tests (r7): the mart can never have
+            # MORE rows than its fact grain, revenue sits in a sane
+            # band, and the borough column is not degenerate
+            "mart fewer rows than stage": quality.fewer_rows_than_violation(
+                mart, rides
+            ),
+            "mart revenue accepted range": quality.accepted_range_violations(
+                mart, "revenue", min_value=0
+            ),
+            "mart borough not constant": quality.not_constant_violation(
+                mart, "pickup_borough"
+            ),
         }
     )
 
