@@ -1,5 +1,9 @@
 """Relational/dataflow operators beyond single-column functions."""
 
+from nycitibike_data_transform_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+)
 from nycitibike_data_transform_spark.operators.conform import ConformSpec, conform, conform_union
 from nycitibike_data_transform_spark.operators.dedup import (
     drop_exact_duplicates,
@@ -48,6 +52,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash64",
+    "bloom_build",
+    "bloom_might_contain",
     "embedding_near_dup_pairs",
     "embedding_near_dup_probe",
     "connected_components",

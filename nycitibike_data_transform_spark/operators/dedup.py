@@ -478,10 +478,21 @@ def flag_contaminated(
     n: int = 3,
     method: str = "auto",
     broadcast_max_shingles: int = DECON_BROADCAST_MAX_SHINGLES,
+    bloom_prefilter: bool = False,
+    bloom_bits_per_shingle: int = 16,
 ) -> DataFrame:
     """Benchmark decontamination: one row per CORPUS doc with the count
     of distinct n-gram shingles it shares with any BENCHMARK doc and a
     0/1 ``contaminated`` flag — the standard pre-training overlap scrub.
+
+    ``bloom_prefilter=True`` (r7, shuffle tier's scale cut): build a
+    Bloom filter over the benchmark shingles (``operators/bloom.py`` —
+    ~2 bytes/shingle at the default sizing, kilobytes-to-megabytes
+    where the exact string set is GBs) and drop corpus shingle rows
+    that provably have no match BEFORE they enter the join shuffle.
+    No false negatives ⇒ the result is IDENTICAL (pinned in
+    tests/test_bloom.py); only the corpus-side shuffle volume drops —
+    to true matches + the ~0.8% FPR leak.
 
     Tiers (VERDICT r4 "what's wrong" #1 — the broadcast was previously
     unconditional and an oversized benchmark would OOM):
@@ -524,8 +535,21 @@ def flag_contaminated(
     bench_side = (
         F.broadcast(bench_shingles) if method == "broadcast" else bench_shingles
     )
+    corpus_shingles = _sh(corpus)
+    if bloom_prefilter:
+        from nycitibike_data_transform_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        n_bench = bench_shingles.count()
+        m_bits = max(64, -(-(n_bench * bloom_bits_per_shingle) // 64) * 64)
+        bits = bloom_build(bench_shingles, "shingle", m_bits=m_bits)
+        corpus_shingles = corpus_shingles.filter(
+            bloom_might_contain(bits, F.col("shingle"))
+        )
     hits = (
-        _sh(corpus)
+        corpus_shingles
         .join(bench_side, "shingle")
         # shingles() emits distinct shingles per doc, so plain count is
         # the per-doc count of distinct contaminated shingles
