@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "surrogate_keys",
     "date_spine",
     "dedup_latest",
+    "decontaminate_bloom",
     # (b) the 21 whose latest driver evidence is r4
     "price_histogram",
     "volume_shipping",
@@ -130,11 +131,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_histogram",
     "containment_pairs",
     "quality_logit",
-    "novelty_score",
     # ---- past the 50-entry window: every entry below is hash-green
     # in CORRECTNESS_r06 (last round's window) or CORRECTNESS_r05;
     # all stay runnable + locally verified via tools/check_oracle.py ----
     # r5-green remainder
+    "novelty_score",
     "split_leakage",
     "cdc_chunks",
     "retention_cohorts",

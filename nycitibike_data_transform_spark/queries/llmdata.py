@@ -1491,6 +1491,28 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-prefiltered shuffle tier (r7,
+    ``operators/bloom.py``): corpus shingles that provably share
+    nothing with the benchmark are dropped BEFORE the join shuffle —
+    the 100 TB shuffle cut. The filter has no false negatives, so
+    this entry reuses ``decontaminate``'s EXACT SQL oracle verbatim:
+    the driver hash-matching both entries against the same oracle IS
+    the losslessness proof, engine-independent."""
+    from nycitibike_data_transform_spark.operators.dedup import flag_contaminated
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    is_bench = F.col("doc_id") % _DECON_BENCH_MOD == 0
+    return flag_contaminated(
+        docs.filter(~is_bench),
+        docs.filter(is_bench),
+        n=_JACCARD_N,
+        method="shuffle",
+        bloom_prefilter=True,
+    )
+
+
 _DECONTAMINATE_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
@@ -2346,6 +2368,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_sequences": QuerySpec(_q_pack_sequences, _PACK_SEQUENCES_SQL),
     "snapshot_diff": QuerySpec(_q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "decontaminate": QuerySpec(_q_decontaminate, _DECONTAMINATE_SQL),
+    "decontaminate_bloom": QuerySpec(_q_decontaminate_bloom, _DECONTAMINATE_SQL),
     "dedup_incremental": QuerySpec(_q_dedup_incremental, _DEDUP_INCREMENTAL_SQL),
     "dedup_keep_best": QuerySpec(_q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),
     "resample_balanced": QuerySpec(_q_resample_balanced, _RESAMPLE_BALANCED_SQL),

@@ -24,6 +24,7 @@ DOC_QUERIES = (
     "dedup_keep_best",
     "dedup_incremental",
     "decontaminate",
+    "decontaminate_bloom",
     "stratified_sample",
     "resample_balanced",
     "source_mix_report",
