@@ -2,7 +2,7 @@
 
 from nycitibike_data_transform_spark.operators.bloom import (
     bloom_build,
-    bloom_might_contain,
+    bloom_prefilter,
 )
 from nycitibike_data_transform_spark.operators.conform import ConformSpec, conform, conform_union
 from nycitibike_data_transform_spark.operators.dedup import (
@@ -53,7 +53,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash64",
     "bloom_build",
-    "bloom_might_contain",
+    "bloom_prefilter",
     "embedding_near_dup_pairs",
     "embedding_near_dup_probe",
     "connected_components",

@@ -17,14 +17,16 @@ over xxhash64 — JVM-side), positions group into 64-bit words, and
 ``bit_or`` folds each word's set bits. Only the bounded final bitset
 reaches the driver (m bits / 8 bytes — e.g. 2 MiB for m=2^24).
 
-Plan representation (the part that matters for compile time): the
-bitset re-enters plans as ONE HEX-STRING LITERAL probed with
-substring + conv per hash. A first cut used an array-of-longs
-literal; a 5000-element ``CreateArray`` is an expression tree with
-5000 children that whole-stage codegen must emit per reference —
-measured 9 s of compile on the sf0.1 decontamination sweep entry.
-A string literal is a single shared UTF8String constant regardless
-of size; the per-row work is k nibble lookups.
+Plan representation (the part that matters, measured on the sf0.1
+decontamination sweep entry): the bitset re-enters the plan as a
+1-ROW BROADCAST RELATION carrying one array<long> column, probed
+with O(1) ``element_at`` per hash — the same 1-row scalar-broadcast
+shape this repo uses for global aggregates. Two rejected encodings:
+an array-of-longs LITERAL (a 5000-child CreateArray expression tree
+that codegen re-emits per probe — ~9 s of compile) and a hex-string
+literal probed with substring (UTF8String position lookup is
+O(position) PER ROW — ~30 s at 10⁶ probe rows). Data beats
+expressions for large constants.
 
 Sizing: FPR ≈ (1 - e^(-k·n/m))^k; with m = 16·n bits and k = 7 the
 rate is ~0.8%. Pick ``m_bits`` ≥ 16× the distinct key count.
@@ -55,12 +57,11 @@ def bloom_build(
     col: str,
     m_bits: int = 1 << 20,
     k: int = 7,
-) -> str:
+) -> list[int]:
     """Build the filter over the DISTINCT values of ``df[col]`` and
-    return it as a hex string of ``m_bits/4`` nibbles (nibble ``n``
-    holds bits ``4n..4n+3``, LSB-first) — the single-constant form
-    ``bloom_might_contain`` consumes. The only driver transfer is the
-    bounded final bitset."""
+    return the dense ``m_bits/64``-long bitset (signed 64-bit words —
+    the form ``bloom_prefilter`` consumes). The only driver transfer
+    is the bounded final bitset."""
     if m_bits % 64 != 0:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     n_words = m_bits // 64
@@ -85,35 +86,32 @@ def bloom_build(
     )
     dense = [0] * n_words
     for r in words:
-        dense[r["__word"]] = r["__bits"] & ((1 << 64) - 1)  # to unsigned
-    nibbles = []
-    for w in dense:
-        for j in range(16):  # 16 nibbles per 64-bit word, LSB-first
-            nibbles.append(format((w >> (4 * j)) & 0xF, "x"))
-    return "".join(nibbles)
+        dense[r["__word"]] = r["__bits"]
+    return dense
 
 
-def bloom_might_contain(bloom: str, col: Column, k: int = 7) -> Column:
-    """Membership test Column against a ``bloom_build`` hex bitset.
-    TRUE may be a false positive (bounded by the sizing FPR); FALSE is
-    definitive — which is what makes ``df.filter(...)`` in front of an
-    exact join lossless. NULL keys test NULL (excluded by filter(),
-    matching SQL semantics). Per hash: one substring into the shared
-    string constant + one hex-digit conv + one bit test."""
-    m_bits = len(bloom) * 4
-    lit = F.lit(bloom)
+def bloom_prefilter(
+    df: DataFrame, col: str, bloom: list[int], k: int = 7
+) -> DataFrame:
+    """Keep only rows whose ``col`` MIGHT be in the filtered set —
+    the lossless prefilter (no false negatives; survivors are true
+    matches plus the sizing FPR). NULL keys are dropped (NULL
+    membership is NULL — matching semi-join semantics). Physical
+    shape: the bitset enters as a 1-row broadcast cross join (a
+    scalar broadcast, not a pair join) and each probe is an O(1)
+    ``element_at`` into the array attribute."""
+    m_bits = len(bloom) * 64
+    spark = df.sparkSession
+    bdf = spark.createDataFrame([(bloom,)], "__bloom array<bigint>")
+    arr = F.col("__bloom")
     tests = []
-    for pos in _positions(col, m_bits, k):
-        nibble = F.conv(
-            F.call_function("substring", lit, (pos / 4).cast("int") + 1, F.lit(1)),
-            16,
-            10,
-        ).cast("int")
+    for pos in _positions(F.col(col), m_bits, k):
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
         bit = F.call_function(
-            "shiftleft", F.lit(1), F.pmod(pos, F.lit(4)).cast("int")
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
         )
-        tests.append(nibble.bitwiseAND(bit) != 0)
-    out = tests[0]
+        tests.append(word.bitwiseAND(bit) != 0)
+    cond = tests[0]
     for t in tests[1:]:
-        out = out & t
-    return out
+        cond = cond & t
+    return df.crossJoin(F.broadcast(bdf)).filter(cond).drop("__bloom")

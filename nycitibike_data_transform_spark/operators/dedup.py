@@ -539,15 +539,15 @@ def flag_contaminated(
     if bloom_prefilter:
         from nycitibike_data_transform_spark.operators.bloom import (
             bloom_build,
-            bloom_might_contain,
+        )
+        from nycitibike_data_transform_spark.operators.bloom import (
+            bloom_prefilter as _bloom_prefilter,
         )
 
         n_bench = bench_shingles.count()
         m_bits = max(64, -(-(n_bench * bloom_bits_per_shingle) // 64) * 64)
         bits = bloom_build(bench_shingles, "shingle", m_bits=m_bits)
-        corpus_shingles = corpus_shingles.filter(
-            bloom_might_contain(bits, F.col("shingle"))
-        )
+        corpus_shingles = _bloom_prefilter(corpus_shingles, "shingle", bits)
     hits = (
         corpus_shingles
         .join(bench_side, "shingle")

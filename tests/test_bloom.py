@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.operators.bloom import (
     bloom_build,
-    bloom_might_contain,
+    bloom_prefilter,
 )
 
 
@@ -16,8 +16,7 @@ def test_no_false_negatives(spark):
         F.concat(F.lit("key_"), F.col("id")).alias("k")
     )
     bloom = bloom_build(keys, "k", m_bits=1 << 16)
-    hits = keys.filter(bloom_might_contain(bloom, F.col("k"))).count()
-    assert hits == 2_000  # every inserted key must test positive
+    assert bloom_prefilter(keys, "k", bloom).count() == 2_000
 
 
 def test_false_positive_rate_within_bound(spark):
@@ -29,12 +28,12 @@ def test_false_positive_rate_within_bound(spark):
     outsiders = spark.range(0, 20_000).select(
         F.concat(F.lit("out_"), F.col("id")).alias("k")
     )
-    fp = outsiders.filter(bloom_might_contain(bloom, F.col("k"))).count()
+    fp = bloom_prefilter(outsiders, "k", bloom).count()
     assert fp / 20_000 < 0.01  # order-of-magnitude headroom over theory
 
 
 def test_lossless_prefilter_before_exact_join(spark, sf_dir):
-    """filter(bloom) -> exact semi-join must equal the plain exact
+    """prefilter -> exact semi-join must equal the plain exact
     semi-join — the no-false-negative property applied to the
     decontaminate/span shuffle-cut pattern."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -47,7 +46,7 @@ def test_lossless_prefilter_before_exact_join(spark, sf_dir):
     )
     prefiltered = set(
         r["doc_id"]
-        for r in corpus.filter(bloom_might_contain(bloom, F.col("k")))
+        for r in bloom_prefilter(corpus, "k", bloom)
         .join(probe, "k", "left_semi")
         .collect()
     )
@@ -59,7 +58,7 @@ def test_null_keys_never_match(spark):
     members = spark.createDataFrame([("a",), ("b",)], "k string")
     bloom = bloom_build(members, "k", m_bits=1 << 8)
     probe = spark.createDataFrame([("a",), (None,)], "k string")
-    got = probe.filter(bloom_might_contain(bloom, F.col("k"))).collect()
+    got = bloom_prefilter(probe, "k", bloom).collect()
     assert [r["k"] for r in got] == ["a"]
 
 
@@ -71,15 +70,16 @@ def test_rejects_unaligned_m_bits(spark):
         bloom_build(df, "k", m_bits=100)
 
 
-def test_plan_is_literal_only_no_shuffle(spark):
-    """The membership test must plan as a pure projection/filter over
-    the scan — the bitset is a literal, never a join side."""
+def test_plan_is_scalar_broadcast_no_shuffle(spark):
+    """The membership test must add zero SHUFFLE exchanges — the
+    bitset rides a 1-row broadcast (scalar-broadcast shape) and each
+    probe is an element_at into the array attribute."""
     from nycitibike_data_transform_spark.plans import count_exchanges
 
     members = spark.range(100).select(F.col("id").cast("string").alias("k"))
     bloom = bloom_build(members, "k", m_bits=1 << 10)
     probe = spark.range(1000).select(F.col("id").cast("string").alias("k"))
-    filtered = probe.filter(bloom_might_contain(bloom, F.col("k")))
+    filtered = bloom_prefilter(probe, "k", bloom)
     assert count_exchanges(filtered) == 0
 
 
