@@ -73,30 +73,58 @@ _SPINE_STEPS = {"day": "interval 1 day", "week": "interval 7 day",
 def date_spine(
     spark: SparkSession, datepart: str, start_date: str, end_date: str
 ) -> DataFrame:
-    """``dbt_utils.date_spine``: one row per ``datepart`` period from
-    ``start_date`` (inclusive) to ``end_date`` (EXCLUSIVE — dbt_utils'
-    documented boundary). Built as one sequence() explode from a 1-row
-    relation: the spine is bounded by the date range, never by any
-    fact table, so it broadcasts into densification joins."""
+    """``dbt_utils.date_spine``: row i is ``start_date + i·datepart``
+    for ``0 <= i < datediff(datepart, start_date, end_date)`` — dbt's
+    exact construction (dateadd over a generated index), so the end
+    bound is EXCLUSIVE and every emitted row is < ``end_date``.
+
+    Calendar steps (month/year) count BOUNDARY CROSSINGS for n and add
+    whole calendar units from the ORIGINAL start (day-of-month clamps
+    per-addition, e.g. Jan-31 + 1 month = Feb-28/29, + 2 = Mar-31):
+    the naive ``sequence(start, end - step, step)`` form silently drops
+    the final period whenever start's day-of-month exceeds end's
+    (2024-01-31 → 2024-04-15 must yield Jan-31, Feb-29, Mar-31).
+    Uniform steps (hour/day/week) keep the sequence form — week means
+    7-day steps from start (every row lands in [start, end)), not
+    dbt-datediff's week-boundary count, which can omit start itself.
+
+    Bounds enter the plan as bound ``lit`` values, never interpolated
+    into SQL text. Built from a 1-row relation: the spine is bounded
+    by the date range, never by any fact table, so it broadcasts into
+    densification joins."""
     if datepart not in _SPINE_STEPS:
         raise ValueError(
             f"unsupported datepart {datepart!r}; one of {sorted(_SPINE_STEPS)}"
         )
-    step = _SPINE_STEPS[datepart]
     col = "date_" + datepart
-    # empty range guard: sequence(start, stop, +step) RAISES on
-    # start > stop (illegal boundaries) — an empty [start, end) must
-    # yield an empty spine, not an error
-    spine = spark.range(1).select(
-        F.explode(
-            F.expr(
-                f"CASE WHEN to_timestamp('{start_date}') >= to_timestamp('{end_date}') "
-                f"THEN CAST(array() AS array<timestamp>) "
-                f"ELSE sequence(to_timestamp('{start_date}'), "
-                f"to_timestamp('{end_date}') - {step}, {step}) END"
-            )
-        ).alias(col)
+    base = spark.range(1).select(
+        F.to_timestamp(F.lit(start_date)).alias("__start"),
+        F.to_timestamp(F.lit(end_date)).alias("__end"),
     )
+    if datepart in ("month", "year"):
+        if datepart == "month":
+            n = (
+                (F.year("__end") - F.year("__start")) * 12
+                + (F.month("__end") - F.month("__start"))
+            ).cast("int")
+        else:
+            n = (F.year("__end") - F.year("__start")).cast("int")
+        # sequence(0, n-1) raises on n <= 0 (illegal boundaries) — an
+        # empty [start, end) must yield an empty spine, not an error;
+        # CASE evaluates only the taken branch
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        spine = base.select(F.explode(idx).alias("__i"), "__start").select(
+            F.expr(f"timestampadd({datepart.upper()}, __i, __start)").alias(col)
+        )
+    else:
+        step = F.expr(_SPINE_STEPS[datepart])
+        seq = F.when(
+            F.col("__start") >= F.col("__end"),
+            F.array().cast("array<timestamp>"),
+        ).otherwise(F.sequence(F.col("__start"), F.col("__end") - step, step))
+        spine = base.select(F.explode(seq).alias(col))
     if datepart in ("day", "week", "month", "year"):
         spine = spine.select(F.col(col).cast("date").alias(col))
     return spine

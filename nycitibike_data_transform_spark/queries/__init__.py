@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_dedup",
     "surrogate_keys",
     "date_spine",
+    "date_spine_month",
     "dedup_latest",
     "decontaminate_bloom",
     # (b) the 21 whose latest driver evidence is r4

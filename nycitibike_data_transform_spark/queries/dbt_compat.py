@@ -91,6 +91,50 @@ FROM spine LEFT JOIN daily USING (date_day)
 """
 
 
+def _q_date_spine_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``date_spine`` calendar-step parity (ADVICE r7 medium): an
+    end-of-month start (Jan-31) against a mid-month end pins BOTH dbt
+    behaviors the naive sequence form gets wrong — per-addition
+    day-of-month clamping (Jan-31 → Feb-28 → Mar-31) and the
+    boundary-crossing period count (May-31 is inside [start, end) and
+    must appear). Joined with per-month order counts so the spine
+    densifies a real aggregate, not just enumerates dates."""
+    t = load(spark, sf_dir, "orders")
+    spine = date_spine(spark, "month", "1995-01-31", "1995-06-15")
+    monthly = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-07-01")
+        )
+        .groupBy(F.trunc(F.col("o_orderdate"), "month").alias("__m"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        spine.join(
+            monthly, F.trunc(F.col("date_month"), "month") == F.col("__m"), "left"
+        )
+        .select("date_month", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+    )
+
+
+_DATE_SPINE_MONTH_SQL = """
+WITH spine AS (
+  SELECT CAST(TIMESTAMP '1995-01-31' + (i * INTERVAL 1 MONTH) AS DATE) AS date_month
+  FROM range(0, greatest(datediff('month', DATE '1995-01-31',
+                                  DATE '1995-06-15'), 0)) t(i)
+),
+monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m, count(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+  GROUP BY 1
+)
+SELECT spine.date_month, coalesce(monthly.n_orders, 0) AS n_orders
+FROM spine LEFT JOIN monthly ON date_trunc('month', spine.date_month) = monthly.m
+"""
+
+
 def _q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``deduplicate`` parity: latest event per user (ts desc,
     event_id desc tie-break — explicit so both engines pick the same
@@ -118,5 +162,6 @@ FROM (
 QUERIES: dict[str, QuerySpec] = {
     "surrogate_keys": QuerySpec(_q_surrogate_keys, _SURROGATE_KEYS_SQL),
     "date_spine": QuerySpec(_q_date_spine, _DATE_SPINE_SQL),
+    "date_spine_month": QuerySpec(_q_date_spine_month, _DATE_SPINE_MONTH_SQL),
     "dedup_latest": QuerySpec(_q_dedup_latest, _DEDUP_LATEST_SQL),
 }

@@ -155,3 +155,44 @@ def test_date_spine_empty_and_inverted_range(spark):
 
     assert date_spine(spark, "day", "2024-01-02", "2024-01-02").count() == 0
     assert date_spine(spark, "day", "2024-01-05", "2024-01-02").count() == 0
+    assert date_spine(spark, "month", "2024-05-01", "2024-05-01").count() == 0
+    assert date_spine(spark, "month", "2024-05-02", "2024-05-01").count() == 0
+
+
+def test_date_spine_month_end_of_month_boundary(spark):
+    """ADVICE r7 (medium): sequence(start, end - 1 month, 1 month)
+    silently dropped the final period whenever start's day-of-month
+    exceeds end's. dbt semantics: n = boundary-crossing datediff,
+    rows = dateadd(month, i, start) — start+2 months = 2024-03-31 is
+    inside [start, end) and MUST appear."""
+    spine = date_spine(spark, "month", "2024-01-31", "2024-04-15")
+    got = [str(r["date_month"]) for r in spine.collect()]
+    assert got == ["2024-01-31", "2024-02-29", "2024-03-31"]
+
+
+def test_date_spine_month_year_property_vs_duckdb(spark):
+    """Boundary-crossing n + per-addition day-clamping must match
+    DuckDB's ``start + i * INTERVAL 1 <part>`` over
+    ``range(0, greatest(datediff(part, start, end), 0))`` for
+    end-of-month starts, leap days, and inverted ranges alike."""
+    import itertools
+
+    import duckdb
+
+    from nycitibike_data_transform_spark.functions.dbt_compat import date_spine
+
+    starts = ["2023-01-31", "2024-02-29", "2023-12-31", "2023-06-30", "2023-01-15"]
+    ends = ["2023-02-01", "2023-03-30", "2023-03-31", "2025-02-28", "2022-06-01"]
+    for dp, (s, e) in itertools.product(
+        ("month", "year"), itertools.product(starts, ends)
+    ):
+        got = [str(r[0]) for r in date_spine(spark, dp, s, e).collect()]
+        want = [
+            str(r[0])
+            for r in duckdb.sql(
+                f"SELECT CAST(TIMESTAMP '{s}' + (i * INTERVAL 1 {dp}) AS DATE) "
+                f"FROM range(0, greatest(datediff('{dp}', DATE '{s}', "
+                f"DATE '{e}'), 0)) t(i)"
+            ).fetchall()
+        ]
+        assert got == want, (dp, s, e)
