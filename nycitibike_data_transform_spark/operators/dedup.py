@@ -525,12 +525,17 @@ def flag_contaminated(
         )
 
     bench_shingles = _sh(benchmark).select("shingle").distinct()
-    if method == "auto":
+    n_bench: int | None = None
+    if method == "auto" or bloom_prefilter:
         # materialize the distinct set before counting it — the sizing
-        # count and the join below would otherwise each run the full
-        # benchmark tokenize+explode+distinct from scratch
+        # count, the Bloom build's collect, and the join below would
+        # otherwise EACH run the full benchmark tokenize+explode+
+        # distinct from scratch (ADVICE r7: with an explicit method +
+        # bloom_prefilter that tripled the benchmark-side work the
+        # prefilter exists to avoid)
         bench_shingles = bench_shingles.localCheckpoint(eager=True)
         n_bench = bench_shingles.count()
+    if method == "auto":
         method = "broadcast" if n_bench <= broadcast_max_shingles else "shuffle"
     bench_side = (
         F.broadcast(bench_shingles) if method == "broadcast" else bench_shingles
@@ -544,7 +549,6 @@ def flag_contaminated(
             bloom_prefilter as _bloom_prefilter,
         )
 
-        n_bench = bench_shingles.count()
         m_bits = max(64, -(-(n_bench * bloom_bits_per_shingle) // 64) * 64)
         bits = bloom_build(bench_shingles, "shingle", m_bits=m_bits)
         corpus_shingles = _bloom_prefilter(corpus_shingles, "shingle", bits)

@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "surrogate_keys",
     "date_spine",
     "date_spine_month",
+    "span_strip_bloom",
     "dedup_latest",
     "decontaminate_bloom",
     # (b) the 21 whose latest driver evidence is r4

@@ -353,3 +353,46 @@ def test_export_queries_treat_null_text_as_zero_tokens(spark, tmp_path):
     shards = all_queries()["shard_manifest"].spark(spark, str(tmp_path)).collect()
     assert all(r["n_tokens"] is not None for r in shards)
     assert sum(r["n_tokens"] for r in shards) == 8
+
+
+def test_span_bloom_prefilter_identical_results(spark, sf_dir):
+    """The integrated Bloom prefilter (VERDICT r7 item #4) is
+    LOSSLESS: both span operators must return exactly the same rows
+    with and without it — duplicated spans can never fail the filter
+    (no false negatives), and false positives only re-enter the exact
+    join, which rejects them."""
+    from nycitibike_data_transform_spark.operators.spans import (
+        duplicate_span_stats,
+        strip_duplicate_spans,
+    )
+
+    from nycitibike_data_transform_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for fn in (duplicate_span_stats, strip_duplicate_spans):
+        plain = sorted(map(tuple, fn(docs, width=6).collect()))
+        bloomed = sorted(
+            map(tuple, fn(docs, width=6, bloom_prefilter=True).collect())
+        )
+        assert plain == bloomed
+
+
+def test_span_bloom_prefilter_no_duplicates_edge(spark):
+    """All-unique corpus: the duplicated-hash set is EMPTY, the Bloom
+    bitset is all zeros, and every span row is (correctly) cut before
+    the join — outputs must still match the unfiltered path."""
+    from nycitibike_data_transform_spark.operators.spans import (
+        duplicate_span_stats,
+        strip_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "one two three four"), ("b", "five six seven eight")],
+        "doc_id string, text string",
+    )
+    for fn in (duplicate_span_stats, strip_duplicate_spans):
+        plain = sorted(map(tuple, fn(docs, width=3).collect()))
+        bloomed = sorted(
+            map(tuple, fn(docs, width=3, bloom_prefilter=True).collect())
+        )
+        assert plain == bloomed
