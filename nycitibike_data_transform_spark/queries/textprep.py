@@ -152,14 +152,13 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pf = pc.groupBy("w1").agg(F.sum("pair_count").cast("long").alias("prefix_count"))
     from pyspark.sql import Window
 
+    # top prefixes via orderBy().limit() — TakeOrderedAndProject
+    # (per-partition heaps), not a rank window over the full prefix
+    # vocabulary, whose single WindowExec task would grow with corpus
+    # vocabulary (GWIN audit, r8)
     top_prefix = (
-        pf.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.orderBy(F.col("prefix_count").desc(), F.col("w1").asc())
-            ),
-        )
-        .filter(F.col("__rn") <= _BL_TOP_PREFIXES)
+        pf.orderBy(F.col("prefix_count").desc(), F.col("w1").asc())
+        .limit(_BL_TOP_PREFIXES)
         .select("w1", "prefix_count")
     )
     ranked = pc.withColumn(
