@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "date_spine",
     "date_spine_month",
     "span_strip_bloom",
+    "generic_tests_audit",
     "dedup_latest",
     "decontaminate_bloom",
     # (b) the 21 whose latest driver evidence is r4

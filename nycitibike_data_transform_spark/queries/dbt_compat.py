@@ -159,9 +159,92 @@ FROM (
 """
 
 
+def _q_generic_tests_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt_utils-only generic data tests as oracle-certified
+    verdict rows (VERDICT r7 item #8: the tests were pytest-pinned
+    but had no driver-oracle evidence): ``sequential_values`` over
+    the distinct 1995-H1 URGENT-order day ordinals (each violation is
+    a calendar day with no urgent order following one that had one)
+    and ``mutually_exclusive_ranges`` over per-customer 30-day order
+    windows (each violation is an order placed inside the previous
+    order's window). Counts, not row dumps — the violation SETS are
+    engine-deterministic but large; counts keep the verdict compact
+    while still failing on any detection drift.
+
+    Scale shape: the range check windows per customer (one shuffle on
+    o_custkey); the sequential check's unpartitioned window runs over
+    the ≤181-row day-ordinal relation (bounded by the date span)."""
+    from nycitibike_data_transform_spark.quality import (
+        mutually_exclusive_ranges_violations,
+        sequential_values_violations,
+    )
+
+    t = load(spark, sf_dir, "orders")
+    orders = t["orders"]
+    day_ords = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-07-01")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("day_ord")
+        )
+        .distinct()
+    )
+    gaps = sequential_values_violations(day_ords, "day_ord", interval=1)
+    ranges = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("hi"),
+    )
+    overlaps = mutually_exclusive_ranges_violations(
+        ranges, "lo", "hi", partition_by="o_custkey"
+    )
+    return gaps.agg(
+        F.lit("urgent_day_gaps").alias("check_name"),
+        F.count(F.lit(1)).cast("long").alias("n_violations"),
+    ).unionByName(
+        overlaps.agg(
+            F.lit("order_window_overlaps").alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+    )
+
+
+_GENERIC_TESTS_SQL = """
+WITH ords AS (
+  SELECT DISTINCT datediff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS day_ord
+  FROM orders
+  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+    AND o_orderpriority = '1-URGENT'
+),
+lagged AS (SELECT day_ord, lag(day_ord) OVER (ORDER BY day_ord) AS prev FROM ords),
+r AS (
+  SELECT o_custkey, o_orderdate AS lo, o_orderdate + INTERVAL 30 DAY AS hi,
+         lag(o_orderdate + INTERVAL 30 DAY)
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderdate + INTERVAL 30 DAY) AS prev
+  FROM orders
+)
+SELECT 'urgent_day_gaps' AS check_name,
+       CAST((SELECT count(*) FROM lagged
+             WHERE prev IS NOT NULL AND day_ord <> prev + 1) AS BIGINT)
+           AS n_violations
+UNION ALL
+SELECT 'order_window_overlaps',
+       CAST((SELECT count(*) FROM r
+             WHERE lo >= hi OR (prev IS NOT NULL AND lo < prev)) AS BIGINT)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "surrogate_keys": QuerySpec(_q_surrogate_keys, _SURROGATE_KEYS_SQL),
     "date_spine": QuerySpec(_q_date_spine, _DATE_SPINE_SQL),
     "date_spine_month": QuerySpec(_q_date_spine_month, _DATE_SPINE_MONTH_SQL),
     "dedup_latest": QuerySpec(_q_dedup_latest, _DEDUP_LATEST_SQL),
+    "generic_tests_audit": QuerySpec(_q_generic_tests_audit, _GENERIC_TESTS_SQL),
 }

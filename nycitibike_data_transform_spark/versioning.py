@@ -296,7 +296,12 @@ class VersionedTable:
             # join on the string RENDERING of the partition tuple —
             # cast-to-string matches the (unquoted) hive dir value for
             # the supported partition column types; NULL renders as
-            # hive's default-partition sentinel on both sides
+            # hive's default-partition sentinel on both sides.
+            # LEFT join + coalesce(1): if a partition type's rendering
+            # ever diverges from its hive dir value, the unmatched rows
+            # fall back to one bucket (suboptimal file sizing) instead
+            # of being silently DROPPED from the committed version by
+            # an inner join (ADVICE r7 — fail safe, not fail silent)
             pkey = F.concat_ws(
                 "/",
                 *[
@@ -304,8 +309,10 @@ class VersionedTable:
                     for c in pb
                 ],
             )
-            joined = df.withColumn("__pkey", pkey).join(
-                F.broadcast(map_df), "__pkey"
+            joined = (
+                df.withColumn("__pkey", pkey)
+                .join(F.broadcast(map_df), "__pkey", "left")
+                .withColumn("__buckets", F.coalesce(F.col("__buckets"), F.lit(1)))
             )
             # salt from the HASHABLE NON-PARTITION columns only:
             # xxhash64 rejects MapType (ADVICE r6), and partition
