@@ -67,29 +67,110 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r7 rotation (VERDICT r6 item #5: refresh the 21 rows whose
-    # latest green driver row is r4 plus the oldest r5 rows, so after
-    # r7 nothing's freshest evidence is older than r5). In-window, in
-    # priority order: (a) queries ADDED or SEMANTICALLY CHANGED this
-    # round — table_profile_approx is new; embedding_near_dup and
-    # embedding_dedup were rewritten from the full-grid to the bounded
-    # probe audit, so their old green rows certify a query that no
-    # longer exists; (b) the 21 r4-evidenced rows; (c) 26 r5 rows in
-    # registry order. Past-window: the 50 r6-green rows plus the
-    # remaining r5 rows — every one locally verified via
-    # tools/check_oracle.py and none with evidence older than r5. ---
+    # --- r8 rotation (VERDICT r7 item #3: refresh the 26 rows whose
+    # latest green driver row is r5, plus the oldest r6 rows). The
+    # 50-entry driver window, in priority order: (a) queries ADDED or
+    # CHANGED this round — date_spine_month / span_strip_bloom /
+    # generic_tests_audit are new; date_spine's month/year semantics
+    # changed (ADVICE r7 medium fix); supplier_wait and bigram_lm got
+    # new physical plans (TakeOrdered instead of global rank windows);
+    # (b) the 25 remaining r5-evidenced rows; (c) the oldest r6 rows
+    # fill the rest. Past-window: the r6 remainder then the 50
+    # r7-green rows — after r8 nothing's freshest evidence is older
+    # than r6, and every entry stays locally verified via
+    # tools/check_oracle.py. ---
     # (a) new or changed this round
+    "date_spine_month",
+    "span_strip_bloom",
+    "generic_tests_audit",
+    "date_spine",
+    "supplier_wait",
+    "bigram_lm",
+    # (b) r5-evidenced rows
+    "asof_purchase_click",
+    "fuzzy_name_pairs",
+    "range_join_tiers",
+    "correlated_subquery",
+    "signup_purchase_funnel",
+    "events_sessionize",
+    "dedup_exact",
+    "bpe_token_count",
+    "scrub_pii",
+    "tfidf_top_terms",
+    "text_stats",
+    "ngram_jaccard",
+    "dedup_near",
+    "cosine_topk",
+    "crossmodal_dup_check",
+    "events_json",
+    "aux_econ_by_nta",
+    "inspections_by_nta",
+    "image_pipeline",
+    "novelty_score",
+    "split_leakage",
+    "cdc_chunks",
+    "retention_cohorts",
+    "lang_confusion",
+    "order_priority_check",
+    # (c) oldest r6 rows fill the remaining window slots
+    "location_dim",
+    "stage_rides",
+    "filter_project",
+    "payment_decode",
+    "haversine",
+    "set_except",
+    "anti_join",
+    "pricing_summary",
+    "revenue_by_nation",
+    "window_running_qty",
+    "pivot_qty_by_status",
+    "null_semantics",
+    "quantiles",
+    "date_functions",
+    "string_functions",
+    "chunk_documents",
+    "language_id",
+    "doc_fingerprint",
+    "embedding_norms",
+    # ---- past the 50-entry window: r6-green remainder, then the 50
+    # r7-green rows (freshest evidence) ----
+    "multimodal_meta",
+    "repetition_ratio",
+    "dedup_clusters",
+    "quality_filter",
+    "pack_sequences",
+    "snapshot_diff",
+    "decontaminate",
+    "stratified_sample",
+    "source_mix_report",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "resample_balanced",
+    "customer_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "idle_rich_customers",
+    "profit_by_nation_year",
+    "important_parts",
+    "padded_batches",
+    "embedding_quantize",
+    "events_gapfill",
+    "quantized_topk",
+    "table_profile",
+    "user_streaks",
+    "collection_functions",
+    "bpe_merges",
+    "bpe_segment",
+    "weighted_sample",
     "table_profile_approx",
     "embedding_near_dup",
     "embedding_dedup",
     "surrogate_keys",
-    "date_spine",
-    "date_spine_month",
-    "span_strip_bloom",
-    "generic_tests_audit",
     "dedup_latest",
     "decontaminate_bloom",
-    # (b) the 21 whose latest driver evidence is r4
     "price_histogram",
     "volume_shipping",
     "returned_items",
@@ -111,7 +192,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_topk_orders",
     "window_variants",
     "argmax_orders",
-    # (c) oldest r5 rows fill the remaining slots
     "minhash_pairs",
     "simhash",
     "cosine_topk_lsh",
@@ -130,91 +210,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_render",
     "token_budget_select",
     "global_shuffle",
-    "bigram_lm",
     "token_histogram",
     "containment_pairs",
     "quality_logit",
-    # ---- past the 50-entry window: every entry below is hash-green
-    # in CORRECTNESS_r06 (last round's window) or CORRECTNESS_r05;
-    # all stay runnable + locally verified via tools/check_oracle.py ----
-    # r5-green remainder
-    "novelty_score",
-    "split_leakage",
-    "cdc_chunks",
-    "retention_cohorts",
-    "supplier_wait",
-    "lang_confusion",
-    "ngram_jaccard",
-    "dedup_near",
-    "cosine_topk",
-    "crossmodal_dup_check",
-    "image_pipeline",
-    "inspections_by_nta",
-    "aux_econ_by_nta",
-    "events_sessionize",
-    "asof_purchase_click",
-    "text_stats",
-    "events_json",
-    "scrub_pii",
-    "tfidf_top_terms",
-    "signup_purchase_funnel",
-    "fuzzy_name_pairs",
-    "range_join_tiers",
-    "correlated_subquery",
-    "dedup_exact",
-    "bpe_token_count",
-    "order_priority_check",
-    # r6-green (CORRECTNESS_r06, 50/50)
-    "customer_distribution",
-    "promo_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_volume_customers",
-    "disjunctive_revenue",
-    "idle_rich_customers",
-    "profit_by_nation_year",
-    "important_parts",
-    "padded_batches",
-    "embedding_quantize",
-    "events_gapfill",
-    "quantized_topk",
-    "table_profile",
-    "user_streaks",
-    "collection_functions",
-    "bpe_merges",
-    "bpe_segment",
-    "weighted_sample",
-    "null_semantics",
-    "date_functions",
-    "string_functions",
-    "chunk_documents",
-    "language_id",
-    "doc_fingerprint",
-    "embedding_norms",
-    "multimodal_meta",
-    "decontaminate",
-    "pack_sequences",
-    "snapshot_diff",
-    "stage_rides",
-    "location_dim",
-    "pricing_summary",
-    "revenue_by_nation",
-    "haversine",
-    "quality_filter",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "stratified_sample",
-    "window_running_qty",
-    "quantiles",
-    "repetition_ratio",
-    "source_mix_report",
-    "resample_balanced",
-    "set_except",
-    "anti_join",
-    "pivot_qty_by_status",
-    "filter_project",
-    "payment_decode",
 )
 
 
