@@ -12,12 +12,18 @@ Implemented here (the macros with real query-side behavior):
   columns with dbt_utils' literal NULL sentinel.
 - ``safe_divide`` — NULL on NULL/zero denominator.
 - ``star`` — all columns except an exclusion list.
-- ``date_spine`` — one row per period in [start, end).
+- ``date_spine`` — dbt's dateadd-over-index construction, end
+  exclusive (boundary-crossing n for month/year).
 - ``deduplicate`` — keep one row per key by an explicit ordering.
+- ``get_column_values`` — ordered distinct values as a driver list
+  (dbt compiles it to a Jinja literal; introspection, not data path).
+- ``get_relations_by_pattern`` — catalog names by LIKE pattern.
+- ``pivot_columns`` — dbt_utils.pivot's static agg(CASE...) columns,
+  paired with get_column_values.
 
-Already covered elsewhere (no second implementation): ``pivot`` /
-``unpivot`` (native ``DataFrame.pivot`` / ``unpivot`` — registry
-queries ``pivot_qty_by_status``, ``unpivot_money``),
+Already covered elsewhere (no second implementation): ``unpivot``
+(native ``DataFrame.unpivot`` — registry query ``unpivot_money``;
+``pivot_qty_by_status`` covers the inference-based native pivot),
 ``union_relations`` (``operators/conform.py:conform_union``),
 ``haversine_distance`` (``functions/geo.py``), and the generic data
 tests (``quality.py`` — extended with the dbt_utils-only ones).
@@ -144,3 +150,99 @@ def deduplicate(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def get_column_values(
+    df: DataFrame,
+    col: str,
+    order_by: str = "count",
+    max_records: int | None = None,
+    default: list | None = None,
+) -> list:
+    """``dbt_utils.get_column_values``: the distinct values of ``col``
+    as a driver-side list — dbt compiles this into a Jinja literal, so
+    a plain Python list is the faithful analogue (feed it to
+    ``pivot_columns`` / ``isin`` / test configs). ``order_by`` is
+    ``"count"`` (dbt's default: most frequent first) or ``"value"``;
+    ties break on the value for determinism. ``max_records`` caps the
+    collect via the same ``limit`` dbt emits. Empty relation returns
+    ``default`` (dbt 1.x behavior).
+
+    Scale note: this COLLECTS — it is an introspection macro for
+    enum-domain columns (statuses, sources, flags), not a data path;
+    the aggregate is one map-side-combined groupBy, and only the
+    distinct values reach the driver. Pass ``max_records`` when the
+    domain is not known to be bounded."""
+    if order_by not in ("count", "value"):
+        raise ValueError(f"order_by must be 'count' or 'value', got {order_by!r}")
+    agg = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    ordered = (
+        agg.orderBy(F.col("__n").desc(), F.col(col).asc())
+        if order_by == "count"
+        else agg.orderBy(F.col(col).asc())
+    )
+    if max_records is not None:
+        ordered = ordered.limit(max_records)
+    vals = [r[0] for r in ordered.select(col).collect()]
+    if not vals:
+        return list(default) if default is not None else []
+    return vals
+
+
+def get_relations_by_pattern(
+    spark: SparkSession,
+    table_pattern: str,
+    database: str | None = None,
+) -> list[str]:
+    """``dbt_utils.get_relations_by_pattern``: catalog table names
+    matching a SQL ``LIKE`` pattern (``%``/``_`` wildcards), for
+    feeding ``union_relations``-style fans. Pure catalog metadata —
+    no data is read. With the flat ``{env}_{layer}__{table}`` naming
+    (``catalog.table_name``), ``'core_4_mart__%'`` selects one env ×
+    layer slice, mirroring the dbt usage over dataset prefixes."""
+    import re as _re
+
+    rx = _re.compile(
+        "^"
+        + "".join(
+            ".*" if ch == "%" else "." if ch == "_" else _re.escape(ch)
+            for ch in table_pattern.lower()
+        )
+        + "$"
+    )
+    tables = spark.catalog.listTables(database) if database else spark.catalog.listTables()
+    return sorted(t.name for t in tables if rx.match(t.name.lower()))
+
+
+def pivot_columns(
+    col: str,
+    values: Sequence[object],
+    agg: str = "sum",
+    then_value: object = 1,
+    else_value: object = 0,
+    prefix: str = "",
+    suffix: str = "",
+    quote_identifiers: bool = False,
+) -> list[Column]:
+    """``dbt_utils.pivot``: one aggregate Column per pivot value —
+    ``agg(CASE WHEN col = value THEN then_value ELSE else_value END)``
+    — for use inside ``groupBy(...).agg(*pivot_columns(...))``. The
+    values list usually comes from :func:`get_column_values` (the dbt
+    pairing). Unlike native ``DataFrame.pivot`` this is the exact
+    dbt_utils expression shape: a static column set known at
+    plan-build, no pivot-value inference job, map-side combinable."""
+    if agg not in ("sum", "max", "min", "count", "avg"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    fn = getattr(F, agg)
+    out = []
+    for v in values:
+        case = F.when(F.col(col) == F.lit(v), F.lit(then_value)).otherwise(
+            F.lit(else_value)
+        )
+        name = f"{prefix}{v}{suffix}"
+        out.append(fn(case).alias(name))
+    return out

@@ -196,3 +196,79 @@ def test_date_spine_month_year_property_vs_duckdb(spark):
             ).fetchall()
         ]
         assert got == want, (dp, s, e)
+
+
+def test_get_column_values_orders_and_caps(spark):
+    from nycitibike_data_transform_spark.functions.dbt_compat import (
+        get_column_values,
+    )
+
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("b",), ("c",), ("b",), ("a",), (None,)], "v string"
+    )
+    # dbt default: most frequent first, value tie-break; NULLs excluded
+    assert get_column_values(df, "v") == ["b", "a", "c"]
+    assert get_column_values(df, "v", order_by="value") == ["a", "b", "c"]
+    assert get_column_values(df, "v", max_records=2) == ["b", "a"]
+    empty = df.filter(F.col("v").isNull())
+    assert get_column_values(empty, "v", default=["x"]) == ["x"]
+    assert get_column_values(empty, "v") == []
+    with pytest.raises(ValueError, match="order_by"):
+        get_column_values(df, "v", order_by="rand")
+
+
+def test_get_relations_by_pattern(spark):
+    from nycitibike_data_transform_spark.functions.dbt_compat import (
+        get_relations_by_pattern,
+    )
+
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "core_4_mart__alpha"
+    )
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "core_4_mart__beta"
+    )
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "dev_4_mart__alpha"
+    )
+    got = get_relations_by_pattern(spark, "core_4_mart__%")
+    assert got == ["core_4_mart__alpha", "core_4_mart__beta"]
+    # SQL '_' wildcard matches exactly one character
+    assert get_relations_by_pattern(spark, "core_4_mart__alph_") == [
+        "core_4_mart__alpha"
+    ]
+    for v in ("core_4_mart__alpha", "core_4_mart__beta", "dev_4_mart__alpha"):
+        spark.catalog.dropTempView(v)
+
+
+def test_pivot_columns_matches_dbt_expression_shape(spark):
+    from nycitibike_data_transform_spark.functions.dbt_compat import (
+        get_column_values,
+        pivot_columns,
+    )
+
+    df = spark.createDataFrame(
+        [("us", "a", 2), ("us", "b", 3), ("eu", "a", 5), ("eu", "a", 7)],
+        "region string, k string, n int",
+    )
+    vals = get_column_values(df, "k", order_by="value")
+    got = {
+        r["region"]: (r["a"], r["b"])
+        for r in df.groupBy("region").agg(*pivot_columns("k", vals)).collect()
+    }
+    # default: sum(CASE WHEN k = v THEN 1 ELSE 0 END) — occurrence counts
+    assert got == {"us": (1, 1), "eu": (2, 0)}
+    got2 = {
+        r["region"]: (r["sum_a"], r["sum_b"])
+        for r in df.groupBy("region")
+        .agg(
+            *pivot_columns(
+                "k", vals, agg="sum", then_value=F.col("n"), else_value=0,
+                prefix="sum_",
+            )
+        )
+        .collect()
+    }
+    assert got2 == {"us": (2, 3), "eu": (12, 0)}
+    with pytest.raises(ValueError, match="agg"):
+        pivot_columns("k", vals, agg="median")
