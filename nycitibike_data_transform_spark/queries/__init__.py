@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "date_spine_month",
     "span_strip_bloom",
     "generic_tests_audit",
+    "pivot_macro",
     "date_spine",
     "supplier_wait",
     "bigram_lm",

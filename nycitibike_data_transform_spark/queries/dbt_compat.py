@@ -13,6 +13,8 @@ from nycitibike_data_transform_spark.functions.dbt_compat import (
     date_spine,
     deduplicate,
     generate_surrogate_key,
+    get_column_values,
+    pivot_columns,
     safe_divide,
 )
 from nycitibike_data_transform_spark.queries import QuerySpec, load
@@ -159,6 +161,53 @@ FROM (
 """
 
 
+def _q_pivot_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dbt_utils.get_column_values`` + ``dbt_utils.pivot`` chained
+    the way dbt chains them: the pivot-value list is INTROSPECTED from
+    the data at plan build (one bounded groupBy collect over the
+    3-value status enum), then compiled into static
+    ``sum(CASE WHEN status = v THEN … END)`` aggregate columns — no
+    pivot-value inference job at execution, map-side combinable.
+    Counts plus cent-unit sums (exact integers both engines)."""
+    t = load(spark, sf_dir, "orders")
+    orders = t["orders"]
+    statuses = get_column_values(orders, "o_orderstatus", order_by="value")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.withColumn("__cents", cents)
+        .groupBy("o_orderpriority")
+        .agg(
+            *pivot_columns("o_orderstatus", statuses, prefix="n_"),
+            *pivot_columns(
+                "o_orderstatus",
+                statuses,
+                then_value=F.col("__cents"),
+                else_value=0,
+                prefix="cents_",
+            ),
+        )
+    )
+
+
+_PIVOT_MACRO_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+       CAST(sum(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS cents_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS cents_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS cents_P
+FROM orders
+GROUP BY 1
+"""
+
+
 def _q_generic_tests_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dbt_utils-only generic data tests as oracle-certified
     verdict rows (VERDICT r7 item #8: the tests were pytest-pinned
@@ -247,4 +296,5 @@ QUERIES: dict[str, QuerySpec] = {
     "date_spine_month": QuerySpec(_q_date_spine_month, _DATE_SPINE_MONTH_SQL),
     "dedup_latest": QuerySpec(_q_dedup_latest, _DEDUP_LATEST_SQL),
     "generic_tests_audit": QuerySpec(_q_generic_tests_audit, _GENERIC_TESTS_SQL),
+    "pivot_macro": QuerySpec(_q_pivot_macro, _PIVOT_MACRO_SQL),
 }
