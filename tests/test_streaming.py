@@ -475,3 +475,23 @@ def test_upsert_stream_partitioned_end_to_end(spark, sf_dir, tmp_path):
         for r in all_queries()["dedup_latest"].spark(spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_upsert_partitioned_date_string_partition_roundtrip(spark, tmp_path):
+    """A date-shaped STRING partition column comes back from the hive
+    dir as an inferred DATE; the merge must cast it back to the batch
+    schema (string) so unionByName and the winner ordering stay exact
+    — and the touched-partition pruning must still match."""
+    from nycitibike_data_transform_spark.streaming.upsert import apply_upsert_batch
+
+    target = str(tmp_path / "v")
+    schema = "k int, v string, seq int, day string"
+    base = spark.createDataFrame(
+        [(1, "a", 1, "2024-01-01"), (2, "b", 1, "2024-01-02")], schema
+    )
+    apply_upsert_batch(base, 0, target, ["k"], ["seq"], partition_col="day")
+    upd = spark.createDataFrame([(1, "a2", 2, "2024-01-01")], schema)
+    apply_upsert_batch(upd, 1, target, ["k"], ["seq"], partition_col="day")
+    got = spark.read.parquet(target)
+    rows = {(r["k"], r["v"], r["seq"], str(r["day"])) for r in got.collect()}
+    assert rows == {(1, "a2", 2, "2024-01-01"), (2, "b", 1, "2024-01-02")}
