@@ -81,12 +81,19 @@ def merge_upsert_partitioned(
     """
     if partition_col not in updates.columns:
         raise ValueError(f"updates missing partition column {partition_col!r}")
-    existing = spark.read.parquet(path)
-    if sorted(existing.columns) != sorted(updates.columns):
+    on_disk = spark.read.parquet(path).columns
+    if sorted(on_disk) != sorted(updates.columns):
         raise ValueError(
-            f"schema mismatch: existing={sorted(existing.columns)} "
+            f"schema mismatch: existing={sorted(on_disk)} "
             f"updates={sorted(updates.columns)}"
         )
+    # re-read under the UPDATES schema (column-set validated above —
+    # a user schema would null-fill missing columns): hive
+    # partition-type inference is lossy for string values ('01'
+    # infers as int 1; '1' would then overwrite a NEW partition dir
+    # and leave day=01 stale) — an explicit schema parses the dir
+    # value directly as the updates' type, exact round-trip
+    existing = spark.read.schema(updates.schema).parquet(path)
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     # isin() never matches NULL, but NULL is a legal partition value
     # (__HIVE_DEFAULT_PARTITION__) and dynamic overwrite WILL rewrite

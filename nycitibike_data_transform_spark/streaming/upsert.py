@@ -99,17 +99,21 @@ def apply_upsert_batch(
         existing = spark.read.parquet(path).select(*winners.columns)
         merged = _winners(existing.unionByName(winners), keys, order_desc)
     else:
-        existing = spark.read.parquet(path)
-        # partition values round-trip through the hive dir name and
-        # may be re-inferred with a different type (e.g. date/int
-        # from a string batch column) — conform back to the batch
-        # schema so the union and the winner ordering stay exact
-        existing = existing.select(
-            *[
-                F.col(fld.name).cast(fld.dataType).alias(fld.name)
-                for fld in winners.schema.fields
-            ]
-        )
+        # validate the on-disk column set first (a user-supplied read
+        # schema would silently null-fill missing columns) ...
+        on_disk = spark.read.parquet(path).columns
+        if sorted(on_disk) != sorted(winners.columns):
+            raise ValueError(
+                f"schema mismatch: table={sorted(on_disk)} "
+                f"batch={sorted(winners.columns)}"
+            )
+        # ... then re-read under the BATCH schema: hive partition-type
+        # inference is lossy for string values ('01' infers as int 1,
+        # and casting back yields '1' — the merge would then write a
+        # NEW day=1 directory and leave stale rows in day=01); an
+        # explicit schema makes Spark parse the dir value directly as
+        # the batch's type, so values round-trip exactly
+        existing = spark.read.schema(winners.schema).parquet(path)
         affected = existing.filter(
             _touched_partitions_cond(winners, partition_col)
         )

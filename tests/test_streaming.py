@@ -495,3 +495,30 @@ def test_upsert_partitioned_date_string_partition_roundtrip(spark, tmp_path):
     got = spark.read.parquet(target)
     rows = {(r["k"], r["v"], r["seq"], str(r["day"])) for r in got.collect()}
     assert rows == {(1, "a2", 2, "2024-01-01"), (2, "b", 1, "2024-01-02")}
+
+
+def test_upsert_partitioned_zero_padded_string_partition(spark, tmp_path):
+    """'01' as a string partition value infers as int 1 on read;
+    without an explicit read schema the merge would cast it back to
+    '1' and dynamic overwrite would write a NEW day=1 directory while
+    day=01 kept its stale rows (silent duplication). The batch-schema
+    read must round-trip the value exactly."""
+    import os
+
+    from nycitibike_data_transform_spark.streaming.upsert import apply_upsert_batch
+
+    target = str(tmp_path / "v")
+    schema = "k int, v string, seq int, day string"
+    base = spark.createDataFrame(
+        [(1, "a", 1, "01"), (2, "b", 1, "02")], schema
+    )
+    apply_upsert_batch(base, 0, target, ["k"], ["seq"], partition_col="day")
+    upd = spark.createDataFrame([(1, "a2", 2, "01")], schema)
+    apply_upsert_batch(upd, 1, target, ["k"], ["seq"], partition_col="day")
+    dirs = {d for d in os.listdir(target) if d.startswith("day=")}
+    assert dirs == {"day=01", "day=02"}
+    rows = {
+        (r["k"], r["v"], r["seq"], r["day"])
+        for r in spark.read.schema(base.schema).parquet(target).collect()
+    }
+    assert rows == {(1, "a2", 2, "01"), (2, "b", 1, "02")}
