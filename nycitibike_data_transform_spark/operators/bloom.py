@@ -104,8 +104,19 @@ def bloom_prefilter(
     spark = df.sparkSession
     bdf = spark.createDataFrame([(bloom,)], "__bloom array<bigint>")
     arr = F.col("__bloom")
+    # materialize h1/h2 as columns once — the k probe conditions
+    # otherwise each re-derive both xxhash64 calls (2k hash evals per
+    # row instead of 2; filter conditions don't reliably CSE)
+    h1 = F.pmod(F.xxhash64(F.col(col)), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(F.col(col), F.lit(0x9E3779B9)), F.lit(m_bits)).bitwiseOR(
+        F.lit(1)
+    )
+    probed = df.crossJoin(F.broadcast(bdf)).withColumns(
+        {"__h1": h1, "__h2": h2}
+    )
     tests = []
-    for pos in _positions(F.col(col), m_bits, k):
+    for i in range(k):
+        pos = F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(m_bits))
         word = F.element_at(arr, (pos / 64).cast("int") + 1)
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
@@ -114,4 +125,4 @@ def bloom_prefilter(
     cond = tests[0]
     for t in tests[1:]:
         cond = cond & t
-    return df.crossJoin(F.broadcast(bdf)).filter(cond).drop("__bloom")
+    return probed.filter(cond).drop("__bloom", "__h1", "__h2")
