@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "span_strip_bloom",
     "generic_tests_audit",
     "pivot_macro",
+    "streaming_upsert_view",
     "date_spine",
     "supplier_wait",
     "bigram_lm",

@@ -518,7 +518,77 @@ LEFT JOIN counts x ON x.hour = c.hour AND x.event_type = t.event_type
 """
 
 
+def _q_streaming_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path under the batch oracle (r8): run the real
+    Structured Streaming wiring — parquet file source → availableNow
+    trigger → foreachBatch partition-scoped upsert merge — to a temp
+    table, read the converged view back, and certify it against the
+    SAME DuckDB oracle as ``dedup_latest``. Arrival order and
+    micro-batch boundaries must not matter (the winner per key is
+    decided by (ts, event_id), not arrival), so the materialized view
+    is exactly the batch latest-row-per-key answer — an end-to-end
+    driver-gated proof, stronger than the pytest parity pins alone.
+
+    Eager by construction (the stream runs at plan-build; the
+    returned frame is the checkpointed result) — registered in the
+    plan audit's EAGER class like the BPE trainers."""
+    import shutil
+    import tempfile
+
+    from nycitibike_data_transform_spark.streaming.events import read_events_stream
+    from nycitibike_data_transform_spark.streaming.upsert import (
+        upsert_stream_to_table,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tmp = tempfile.mkdtemp(prefix="upsert_view_")
+    try:
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .select("user_id", "event_id", "ts", "event_type")
+            .withColumn("shard", F.pmod("user_id", F.lit(8)))
+        )
+        q = (
+            upsert_stream_to_table(
+                stream,
+                f"{tmp}/view",
+                ["user_id"],
+                ["ts", "event_id"],
+                f"{tmp}/ckpt",
+                partition_col="shard",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.read.schema("user_id long, event_id long, ts timestamp, "
+                              "event_type string, shard long")
+            .parquet(f"{tmp}/view")
+            .select("user_id", "event_id", "ts", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# the batch oracle the streaming view must converge to — latest event
+# per user by (ts DESC, event_id DESC); same SQL as dedup_latest
+_STREAMING_UPSERT_SQL = """
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_upsert_view": QuerySpec(
+        _q_streaming_upsert_view, _STREAMING_UPSERT_SQL
+    ),
     "user_streaks": QuerySpec(_q_user_streaks, _USER_STREAKS_SQL),
     "events_gapfill": QuerySpec(_q_events_gapfill, _EVENTS_GAPFILL_SQL),
     "retention_cohorts": QuerySpec(_q_retention_cohorts, _RETENTION_SQL),

@@ -9,9 +9,13 @@ Structured Streaming with watermarks, so a deployment can replace the
 4-hour re-run with incremental micro-batches (or ``availableNow`` for
 the same scheduled-batch cadence with incremental state).
 
-Streaming output is not DuckDB-oracle-comparable (the driver contract
-is batch); parity with the batch queries is pinned by
-tests/test_streaming.py instead.
+Windowed streaming OUTPUT STREAMS are not DuckDB-oracle-comparable
+(the driver contract is batch); their parity with the batch queries
+is pinned by tests/test_streaming.py. The one exception is the
+MATERIALIZED upsert view: its converged table is a plain batch
+relation, so the registry query ``streaming_upsert_view`` runs the
+real availableNow stream and certifies the result against the
+``dedup_latest`` DuckDB oracle (r8).
 """
 
 from __future__ import annotations
