@@ -126,10 +126,16 @@ def date_spine(
         )
     else:
         step = F.expr(_SPINE_STEPS[datepart])
+        # stop clamps to at least __start: when 0 < end - start < step
+        # the naive __end - step falls BELOW __start and sequence()
+        # raises on the inverted boundaries — the correct spine is
+        # [start] alone (start is in [start, end)); larger ranges are
+        # unaffected (stop = end - step keeps end exclusive)
+        stop = F.greatest(F.col("__end") - step, F.col("__start"))
         seq = F.when(
             F.col("__start") >= F.col("__end"),
             F.array().cast("array<timestamp>"),
-        ).otherwise(F.sequence(F.col("__start"), F.col("__end") - step, step))
+        ).otherwise(F.sequence(F.col("__start"), stop, step))
         spine = base.select(F.explode(seq).alias(col))
     if datepart in ("day", "week", "month", "year"):
         spine = spine.select(F.col(col).cast("date").alias(col))
@@ -226,7 +232,6 @@ def pivot_columns(
     else_value: object = 0,
     prefix: str = "",
     suffix: str = "",
-    quote_identifiers: bool = False,
 ) -> list[Column]:
     """``dbt_utils.pivot``: one aggregate Column per pivot value —
     ``agg(CASE WHEN col = value THEN then_value ELSE else_value END)``

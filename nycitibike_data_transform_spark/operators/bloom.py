@@ -38,17 +38,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
-    """k bit-position Columns for a key (Kirsch–Mitzenmacher double
-    hashing: pos_i = (h1 + i·h2) mod m, h2 forced odd so the probe
-    sequence cycles the table)."""
-    # reduce mod m BEFORE combining: raw xxhash64 values near
-    # Long.MAX overflow the ANSI multiply; reduced values keep every
-    # intermediate below k·m « 2^63
+def _hashes(col: Column, m_bits: int) -> tuple[Column, Column]:
+    """(h1, h2) for Kirsch–Mitzenmacher double hashing — THE single
+    definition both the builder and the prober use; a formula change
+    here changes both sides together, so build and probe can never
+    silently disagree on the bit layout (the lossless guarantee
+    depends on them matching exactly).
+
+    Reduce mod m BEFORE combining: raw xxhash64 values near Long.MAX
+    overflow the ANSI multiply; reduced values keep every intermediate
+    below k·m « 2^63. h2 is forced odd so the probe sequence cycles
+    the table."""
     h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
     h2 = F.pmod(F.xxhash64(col, F.lit(0x9E3779B9)), F.lit(m_bits)).bitwiseOR(
         F.lit(1)
     )
+    return h1, h2
+
+
+def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit-position Columns for a key: pos_i = (h1 + i·h2) mod m."""
+    h1, h2 = _hashes(col, m_bits)
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 
@@ -106,11 +116,9 @@ def bloom_prefilter(
     arr = F.col("__bloom")
     # materialize h1/h2 as columns once — the k probe conditions
     # otherwise each re-derive both xxhash64 calls (2k hash evals per
-    # row instead of 2; filter conditions don't reliably CSE)
-    h1 = F.pmod(F.xxhash64(F.col(col)), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(F.col(col), F.lit(0x9E3779B9)), F.lit(m_bits)).bitwiseOR(
-        F.lit(1)
-    )
+    # row instead of 2; filter conditions don't reliably CSE). The
+    # formulas come from the SAME _hashes the builder uses.
+    h1, h2 = _hashes(F.col(col), m_bits)
     probed = df.crossJoin(F.broadcast(bdf)).withColumns(
         {"__h1": h1, "__h2": h2}
     )

@@ -44,6 +44,67 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> Da
     return kept.unionByName(updates)
 
 
+def read_table_for_merge(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a partitioned parquet table back for a merge, under the
+    CALLER's schema — the shared scaffolding both partition-scoped
+    merge sites use (batch :func:`merge_upsert_partitioned` and the
+    streaming upsert view).
+
+    The on-disk column SET is validated first against an inference
+    read (a user-supplied schema would silently null-fill missing
+    columns), then the table is re-read under ``schema``: hive
+    partition-type inference is lossy for string values ('01' infers
+    as int 1; the conforming cast would yield '1', and dynamic
+    overwrite would then write a NEW day=1 directory while day=01
+    kept its stale rows). An explicit schema makes Spark parse the
+    dir value directly as the caller's type — exact round-trip.
+    """
+    on_disk = spark.read.parquet(path).columns
+    expected = [f.name for f in schema.fields]
+    if sorted(on_disk) != sorted(expected):
+        raise ValueError(
+            f"schema mismatch: existing={sorted(on_disk)} "
+            f"updates={sorted(expected)}"
+        )
+    return spark.read.schema(schema).parquet(path)
+
+
+def touched_partition_filter(
+    updates: DataFrame, partition_col: str
+) -> tuple[list[object], "F.Column"]:
+    """(touched values, partition-pruning predicate) for the
+    partitions present in ``updates`` — driver-side partition
+    METADATA (thousands of values, never data rows). ``isin`` never
+    matches NULL, but NULL is a legal partition value
+    (__HIVE_DEFAULT_PARTITION__) and dynamic overwrite WILL rewrite
+    it — without the isNull branch the existing null-partition rows
+    would be silently dropped from the merge (review finding r5)."""
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(touched):
+        cond = cond | F.col(partition_col).isNull()
+    return touched, cond
+
+
+def write_dynamic_partition_overwrite(
+    merged: DataFrame, path: str, partition_col: str
+) -> None:
+    """Overwrite ONLY the partitions present in ``merged`` (dynamic
+    partition-overwrite, mode saved and restored)."""
+    spark = merged.sparkSession
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     path: str,
@@ -81,39 +142,13 @@ def merge_upsert_partitioned(
     """
     if partition_col not in updates.columns:
         raise ValueError(f"updates missing partition column {partition_col!r}")
-    on_disk = spark.read.parquet(path).columns
-    if sorted(on_disk) != sorted(updates.columns):
-        raise ValueError(
-            f"schema mismatch: existing={sorted(on_disk)} "
-            f"updates={sorted(updates.columns)}"
-        )
-    # re-read under the UPDATES schema (column-set validated above —
-    # a user schema would null-fill missing columns): hive
-    # partition-type inference is lossy for string values ('01'
-    # infers as int 1; '1' would then overwrite a NEW partition dir
-    # and leave day=01 stale) — an explicit schema parses the dir
-    # value directly as the updates' type, exact round-trip
-    existing = spark.read.schema(updates.schema).parquet(path)
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    # isin() never matches NULL, but NULL is a legal partition value
-    # (__HIVE_DEFAULT_PARTITION__) and dynamic overwrite WILL rewrite
-    # it — without the isNull branch the existing null-partition rows
-    # would be silently dropped from the merge (review finding r5)
-    non_null = [v for v in touched if v is not None]
-    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-    if len(non_null) != len(touched):
-        cond = cond | F.col(partition_col).isNull()
+    existing = read_table_for_merge(spark, path, updates.schema)
+    touched, cond = touched_partition_filter(updates, partition_col)
     affected = existing.filter(cond)
     merged = merge_upsert(
         affected.select(*updates.columns), updates, keys
     ).localCheckpoint()
-
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    write_dynamic_partition_overwrite(merged, path, partition_col)
     return touched
 
 

@@ -560,7 +560,15 @@ def _q_streaming_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) does NOT stop the query on expiry
+        # — without the check we would certify a partially-converged
+        # view (spurious gate red) and rmtree the target out from
+        # under the still-running writer; fail loudly instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_upsert_view: stream did not converge in 300s"
+            )
         return (
             spark.read.schema("user_id long, event_id long, ts timestamp, "
                               "event_type string, shard long")

@@ -47,23 +47,6 @@ def _winners(df: DataFrame, keys: list[str], order_desc: list[str]) -> DataFrame
     return deduplicate(df, keys, order)
 
 
-def _touched_partitions_cond(winners: DataFrame, partition_col: str) -> Column:
-    """Partition-pruning predicate for the partitions present in the
-    batch. ``isin`` never matches NULL, but NULL is a legal partition
-    value (hive's default partition) and dynamic overwrite WILL
-    rewrite it — the isNull branch keeps those existing rows in the
-    merge instead of silently dropping them (same hazard
-    ``pipeline.merge_upsert_partitioned`` guards)."""
-    touched = [
-        r[0] for r in winners.select(partition_col).distinct().collect()
-    ]
-    non_null = [v for v in touched if v is not None]
-    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-    if len(non_null) != len(touched):
-        cond = cond | F.col(partition_col).isNull()
-    return cond
-
-
 def apply_upsert_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -86,6 +69,12 @@ def apply_upsert_batch(
     key, which satisfies it trivially) — a moved key would leave its
     old row alive in an untouched partition.
     """
+    from nycitibike_data_transform_spark.pipeline import (
+        read_table_for_merge,
+        touched_partition_filter,
+        write_dynamic_partition_overwrite,
+    )
+
     if not batch_df.columns:
         return
     spark = batch_df.sparkSession
@@ -94,44 +83,29 @@ def apply_upsert_batch(
         raise ValueError(f"batch missing partition column {partition_col!r}")
 
     if not os.path.exists(path):
-        merged = winners
+        merged = winners.localCheckpoint(eager=True)
     elif partition_col is None:
         existing = spark.read.parquet(path).select(*winners.columns)
-        merged = _winners(existing.unionByName(winners), keys, order_desc)
+        merged = _winners(
+            existing.unionByName(winners), keys, order_desc
+        ).localCheckpoint(eager=True)
     else:
-        # validate the on-disk column set first (a user-supplied read
-        # schema would silently null-fill missing columns) ...
-        on_disk = spark.read.parquet(path).columns
-        if sorted(on_disk) != sorted(winners.columns):
-            raise ValueError(
-                f"schema mismatch: table={sorted(on_disk)} "
-                f"batch={sorted(winners.columns)}"
-            )
-        # ... then re-read under the BATCH schema: hive partition-type
-        # inference is lossy for string values ('01' infers as int 1,
-        # and casting back yields '1' — the merge would then write a
-        # NEW day=1 directory and leave stale rows in day=01); an
-        # explicit schema makes Spark parse the dir value directly as
-        # the batch's type, so values round-trip exactly
-        existing = spark.read.schema(winners.schema).parquet(path)
-        affected = existing.filter(
-            _touched_partitions_cond(winners, partition_col)
-        )
-        merged = _winners(affected.unionByName(winners), keys, order_desc)
+        # checkpoint the batch winners FIRST: the touched-partition
+        # collect and the merge below would otherwise each re-run the
+        # batch's dedup window shuffle (the flag_contaminated lesson)
+        winners = winners.localCheckpoint(eager=True)
+        existing = read_table_for_merge(spark, path, winners.schema)
+        _, cond = touched_partition_filter(winners, partition_col)
+        merged = _winners(
+            existing.filter(cond).unionByName(winners), keys, order_desc
+        ).localCheckpoint(eager=True)
 
-    # break lineage before overwriting the path the plan reads
-    merged = merged.localCheckpoint(eager=True)
+    # (lineage broken above so the write can overwrite the path the
+    # merge plan reads)
     if partition_col is None:
         merged.write.mode("overwrite").parquet(path)
-        return
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    else:
+        write_dynamic_partition_overwrite(merged, path, partition_col)
 
 
 def upsert_stream_to_table(

@@ -272,3 +272,20 @@ def test_pivot_columns_matches_dbt_expression_shape(spark):
     assert got2 == {"us": (2, 3), "eu": (12, 0)}
     with pytest.raises(ValueError, match="agg"):
         pivot_columns("k", vals, agg="median")
+
+
+def test_date_spine_substep_range_returns_start(spark):
+    """Code-review r8: 0 < end - start < step crashed sequence() with
+    inverted boundaries; the correct spine is [start] alone (start is
+    inside [start, end))."""
+    from nycitibike_data_transform_spark.functions.dbt_compat import date_spine
+
+    got = [str(r["date_week"]) for r in
+           date_spine(spark, "week", "2024-01-01", "2024-01-03").collect()]
+    assert got == ["2024-01-01"]
+    assert date_spine(spark, "hour", "2024-01-01 00:00:00",
+                      "2024-01-01 00:30:00").count() == 1
+    # boundary: end - start == step still yields exactly one row
+    got2 = [str(r["date_week"]) for r in
+            date_spine(spark, "week", "2024-01-01", "2024-01-08").collect()]
+    assert got2 == ["2024-01-01"]
