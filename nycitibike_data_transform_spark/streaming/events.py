@@ -20,6 +20,8 @@ real availableNow stream and certifies the result against the
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -35,13 +37,18 @@ def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     batch path branches on the inferred schema instead."""
     ts_is_nanos = False
     try:
+        import glob as _glob
+
         import pyarrow.parquet as pq
 
-        ts_is_nanos = "ns" in str(
-            pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-        )
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            # directory-shaped feed (e.g. the stress replica): probe
+            # the first part file's footer instead
+            src = sorted(_glob.glob(f"{src}/*.parquet"))[0]
+        ts_is_nanos = "ns" in str(pq.read_schema(src).field("ts").type)
     except Exception:
-        pass  # no footer to probe (e.g. dir glob) — assume µs/NTZ
+        pass  # no footer to probe — assume µs/NTZ
     ts_type = T.LongType() if ts_is_nanos else T.TimestampNTZType()
     return (
         T.StructType(
@@ -67,11 +74,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, ts_is_nanos = _events_schema(sf_dir)
     if ts_is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        # directory-shaped feed: the source can point straight at it
+        raw = reader.parquet(f"{sf_dir}/events.parquet")
+    else:
+        # single-file feed: the streaming file source needs a
+        # DIRECTORY, so scope sf_dir down to the one file via the
+        # leaf-name glob (pathGlobFilter matches leaf file names —
+        # which is also why it cannot serve the directory layout:
+        # the leaves there are part-*.parquet)
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if ts_is_nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
