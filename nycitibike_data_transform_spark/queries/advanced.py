@@ -72,7 +72,7 @@ FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
 
 _GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty,
        count(*) AS n,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
 FROM lineitem
@@ -163,9 +163,9 @@ _DISPERSION_SQL = """
 WITH agg AS (
   SELECT l_returnflag,
          count(*) AS n,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS s2
   FROM lineitem GROUP BY 1
 )
 SELECT l_returnflag, n,

@@ -109,7 +109,7 @@ SELECT
   NTA AS nta,
   GRADE AS grade,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(SCORE AS DECIMAL(10,2))) AS DOUBLE) AS sum_score,
+  CAST(CAST(sum(CAST(SCORE AS DECIMAL(10,2))) AS STRING) AS DOUBLE) AS sum_score,
   min(CAST(strptime("INSPECTION DATE", '%m/%d/%Y') AS DATE)) AS first_inspection
 FROM read_csv('{INSPECTIONS_CSV}', header=true,
               types={{'SCORE': 'VARCHAR', 'CAMIS': 'BIGINT',

@@ -39,7 +39,7 @@ _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -99,7 +99,7 @@ SELECT user_id, session_id,
        count(*) AS n_events,
        min(ts) AS session_start,
        max(ts) AS session_end,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS session_value
 FROM sessions
 GROUP BY 1, 2
 """

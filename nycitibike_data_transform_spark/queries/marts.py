@@ -11,6 +11,19 @@ final doubles are identical to the DECIMAL formulation) or DECIMAL —
 never raw double sums (partition-order-dependent). The DuckDB oracles
 keep the DECIMAL formulation, which doubles as the cross-engine
 equivalence proof for the fast path.
+
+Oracle cast convention (r8): every decimal-sum → double conversion in
+the oracle SQL goes ``CAST(CAST(sum(...) AS STRING) AS DOUBLE)``, not
+a direct decimal→double cast. DuckDB's direct cast double-rounds
+(int128 units → double, then ÷10^scale — two roundings) and lands one
+ulp off once the scaled sum passes 2^53 (reproduced at sf1:
+52191640444.994510 exact → DuckDB direct 52191640444.994514, correct
+52191640444.99451). Spark's Decimal.toDouble is correctly rounded
+(OpenJDK BigDecimal.doubleValue falls back to Double.parseDouble for
+the hard cases), and string→double parses are correctly rounded in
+BOTH engines — so the STRING route makes the oracle agree with Spark
+bit-for-bit at any scale. Identical below 2^53, so driver-SF hashes
+are unchanged.
 """
 
 from __future__ import annotations
@@ -63,17 +76,17 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
            AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
            AS sum_charge,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / count(*) AS avg_price,
        max(l_quantity) AS max_qty,
        count(*) AS count_order
 FROM lineitem
@@ -103,8 +116,8 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REVENUE_BY_NATION_SQL = """
 SELECT r.r_name AS region_name, n.n_name AS nation_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
            AS revenue,
        count(*) AS n_lineitems
 FROM lineitem l
@@ -157,7 +170,7 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty,
        count(*) AS n,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
 FROM lineitem
@@ -180,7 +193,7 @@ def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_price,
        count(*) AS n,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
 FROM orders
@@ -289,10 +302,10 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_SQL = """
 SELECT l_returnflag,
-       CAST(sum(CASE WHEN l_linestatus = 'O'
-                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
-       CAST(sum(CASE WHEN l_linestatus = 'F'
-                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+       CAST(CAST(sum(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS qty_open,
+       CAST(CAST(sum(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS qty_filled
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -318,8 +331,8 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHIPPING_PRIORITY_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
            AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -352,8 +365,8 @@ def _q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FORECAST_REVENUE_SQL = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS STRING) AS DOUBLE) AS revenue,
        count(*) AS n
 FROM lineitem
 WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -393,8 +406,8 @@ _VOLUME_SHIPPING_SQL = """
 SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
            AS revenue,
        count(*) AS n
 FROM lineitem l
@@ -425,8 +438,8 @@ def _q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETURNED_ITEMS_SQL = """
 SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
            AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey

@@ -184,12 +184,12 @@ def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROMO_REVENUE_SQL = """
 WITH agg AS (
   SELECT
-    CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+    CAST(CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
-                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
-    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-             * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS promo_revenue,
+    CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
         AS total_revenue,
     count(*) AS n_items
   FROM lineitem l
@@ -287,7 +287,7 @@ def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SMALL_QTY_REVENUE_SQL = """
-SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+SELECT round(CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / 7.0, 6)
          AS avg_yearly,
        count(*) AS n_rows
 FROM lineitem l
@@ -386,8 +386,8 @@ def _q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DISJUNCTIVE_SQL = """
-SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
          AS revenue,
        count(*) AS n_items
 FROM lineitem l
@@ -439,7 +439,7 @@ def _q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IDLE_RICH_SQL = """
 SELECT n.n_name AS nation_name, count(*) AS numcust,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS totacctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
@@ -493,10 +493,10 @@ def _q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFIT_SQL = """
 SELECT n.n_name AS nation_name,
        CAST(year(l.l_shipdate) AS INTEGER) AS profit_year,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                   * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
                 - CAST(p.p_retailprice AS DECIMAL(18,2))
-                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS profit,
        count(*) AS n_items
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey
