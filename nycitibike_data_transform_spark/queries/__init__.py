@@ -85,6 +85,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "generic_tests_audit",
     "pivot_macro",
     "streaming_upsert_view",
+    "audio_pipeline",
+    "video_frames",
     "date_spine",
     "supplier_wait",
     "bigram_lm",

@@ -1021,6 +1021,145 @@ FROM documents
 """
 
 
+# ------------------------------------------------- real audio decode
+
+
+def _q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end on real bytes (the audio leg of
+    the multimodal brief, same pattern as ``image_pipeline``): per
+    document, encode a deterministic PCM16 square wave as a canonical
+    RIFF/WAV (pure-struct codec, ``operators/audio.py``) in the
+    executors, then run ``decode_audio_batch`` — actual RIFF chunk
+    walk + int16 PCM parse — and emit per-clip stats. The waveform is
+    a closed-form function of ``doc_id`` (amplitude, half-period,
+    cycle count, channel count), so the DuckDB oracle states the
+    expected rate/frames/duration/RMS/peak/zero-crossings in plain
+    SQL: a hash match certifies the decoder recovered every sample.
+    Shuffle-free: two chained mapInPandas stages."""
+    import numpy as np
+    import pandas as pd
+
+    from nycitibike_data_transform_spark.operators.audio import (
+        decode_audio_batch,
+        encode_wav,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                half = i % 5 + 2
+                cycles = i % 4 + 3
+                amp = (i % 20 + 1) * 1000
+                period = np.concatenate(
+                    [np.full(half, amp, np.int16), np.full(half, -amp, np.int16)]
+                )
+                ch0 = np.tile(period, cycles)
+                samples = (
+                    ch0[:, None] if i % 2 == 0 else np.stack([ch0, -ch0], axis=1)
+                )
+                payloads.append(bytearray(encode_wav(samples, 8000)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    wavs = docs.mapInPandas(make, "doc_id long, payload binary")
+    return decode_audio_batch(wavs).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples", "duration_s",
+        "rms", "peak", "n_zero_crossings",
+    )
+
+
+# A square wave of amplitude A has RMS exactly A (every |sample| = A);
+# sign flips happen at each half-period boundary: n/half − 1 of them.
+_AUDIO_PIPELINE_SQL = """
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+       CAST((doc_id % 5 + 2) * 2 * (doc_id % 4 + 3) AS INTEGER) AS n_samples,
+       CAST((doc_id % 5 + 2) * 2 * (doc_id % 4 + 3) AS DOUBLE) / 8000 AS duration_s,
+       CAST((doc_id % 20 + 1) * 1000 AS DOUBLE) AS rms,
+       CAST((doc_id % 20 + 1) * 1000 AS INTEGER) AS peak,
+       CAST(2 * (doc_id % 4 + 3) - 1 AS INTEGER) AS n_zero_crossings
+FROM documents
+"""
+
+
+# ------------------------------------------------- video frame sampling
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over a video-shaped container: per
+    document, pack ``n_frames`` deterministic solid-color PNGs into
+    the length-prefixed container (``operators/video.py``), then
+    ``sample_frames_batch(stride=2)`` — seek via the length table,
+    decode ONLY frames 0, 2, 4, … — and emit per-sampled-frame stats.
+    Frame content is a closed-form function of (doc_id, frame_idx), so
+    the DuckDB oracle is a generate_series lateral join with the same
+    stride filter: a hash match certifies both the sampling arithmetic
+    (which frames) and the per-frame decode (every pixel). One row per
+    sampled frame — the explode stays bounded by n_frames/stride."""
+    import numpy as np
+    import pandas as pd
+
+    from nycitibike_data_transform_spark.operators.imaging import encode_png
+    from nycitibike_data_transform_spark.operators.video import (
+        encode_frames,
+        sample_frames_batch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nf = i % 6 + 2
+                w = i % 9 + 2
+                h = i % 4 + 2
+                frames = [
+                    encode_png(
+                        np.full(
+                            (h, w, 3),
+                            ((i + 13 * f) % 256, (i * 3 + 7 * f) % 256,
+                             (i * 5 + 11 * f) % 256),
+                            dtype=np.uint8,
+                        ),
+                        filter_type=(i + f) % 5,
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(bytearray(encode_frames(frames)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    vids = docs.mapInPandas(make, "doc_id long, payload binary")
+    return sample_frames_batch(vids, stride=2).select(
+        "doc_id", "n_frames", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+_VIDEO_FRAMES_SQL = """
+SELECT d.doc_id,
+       CAST(d.doc_id % 6 + 2 AS INTEGER) AS n_frames,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(d.doc_id % 9 + 2 AS INTEGER) AS width,
+       CAST(d.doc_id % 4 + 2 AS INTEGER) AS height,
+       CAST((d.doc_id + 13 * f) % 256 AS DOUBLE) AS mean_r,
+       CAST((d.doc_id * 3 + 7 * f) % 256 AS DOUBLE) AS mean_g,
+       CAST((d.doc_id * 5 + 11 * f) % 256 AS DOUBLE) AS mean_b
+FROM documents d,
+     unnest(generate_series(0, CAST(d.doc_id % 6 + 1 AS BIGINT))) AS t(f)
+WHERE f % 2 = 0
+"""
+
+
 # ------------------------------------------------- BPE-ish token count
 
 _BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -2410,6 +2549,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(_q_embedding_norms, _EMBEDDING_NORMS_SQL),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _MULTIMODAL_META_SQL),
     "image_pipeline": QuerySpec(_q_image_pipeline, _IMAGE_PIPELINE_SQL),
+    "audio_pipeline": QuerySpec(_q_audio_pipeline, _AUDIO_PIPELINE_SQL),
+    "video_frames": QuerySpec(_q_video_frames, _VIDEO_FRAMES_SQL),
     "span_dedup": QuerySpec(_q_span_dedup, _SPAN_DEDUP_SQL),
     "span_strip": QuerySpec(_q_span_strip, _SPAN_STRIP_SQL),
     "span_strip_bloom": QuerySpec(_q_span_strip_bloom, _SPAN_STRIP_SQL),
