@@ -25,7 +25,11 @@ from nycitibike_data_transform_spark.operators.joins import (
     range_join,
     salted_join,
 )
-from nycitibike_data_transform_spark.operators.multimodal import attach_payload, extract_features
+from nycitibike_data_transform_spark.operators.multimodal import (
+    attach_payload,
+    decoder_for_mime,
+    extract_features,
+)
 from nycitibike_data_transform_spark.operators.diff import diff_summary, snapshot_diff
 from nycitibike_data_transform_spark.operators.packing import pack_sequences
 from nycitibike_data_transform_spark.operators.sampling import (
@@ -63,6 +67,7 @@ __all__ = [
     "range_join",
     "salted_join",
     "attach_payload",
+    "decoder_for_mime",
     "pack_sequences",
     "snapshot_diff",
     "diff_summary",

@@ -6,15 +6,18 @@ takes toward its WKB ``geometry: binary`` column (reference
 ``ref/2_DIM___AUX_NYC|nyc_nta_zones.parquet``, SURVEY.md §2.1 S6):
 store, move, and partition the bytes; decode only at the edge.
 
-Decode status: PNG decode is REAL — ``operators/imaging.py`` is a
-pure-numpy codec (zlib + scanline filters; no media libs exist in
-this container), driven end-to-end by the ``image_pipeline`` driver
-query and ``imaging.decode_image_batch``. Other codecs (JPEG, audio,
-video) remain gated: ``extract_features`` raises NotImplementedError
-unless handed a decoder (tests use the deterministic
-``fake_decoder``); the Spark-side plumbing — schema, Arrow batch
-shape, ``mapInPandas`` signature, partition behavior — is identical
-for every codec and fully tested.
+Decode status: image, audio, and video decode are all REAL —
+``operators/imaging.py`` (pure-numpy PNG: zlib + scanline filters),
+``operators/audio.py`` (RIFF/WAV PCM16), and ``operators/video.py``
+(length-prefixed frame container, stride sampling), each driven
+end-to-end by its own driver query (``image_pipeline``,
+``audio_pipeline``, ``video_frames``). ``decoder_for_mime`` maps the
+payload's declared mime to the matching feature decoder for
+``extract_features``; codecs this container genuinely lacks (JPEG,
+MP3, H.264) stay gated — ``extract_features`` raises
+NotImplementedError at plan-build time unless handed a decoder. The
+Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
+signature, partition behavior — is identical for every codec.
 """
 
 from __future__ import annotations
@@ -70,6 +73,66 @@ def fake_decoder(payload: bytes) -> list[float]:
         float(payload[-1]),
         float(total % 997),
     ]
+
+
+def png_feature_decoder(payload: bytes) -> list[float]:
+    """REAL image features: (width, height, channels, per-channel
+    means padded to 3) from the pure-numpy PNG codec."""
+    from nycitibike_data_transform_spark.operators.imaging import decode_png
+
+    img = decode_png(payload)
+    h, w, c = img.shape
+    means = img.reshape(-1, c).mean(axis=0)
+    m = [float(means[i]) if c > i else float(means[0]) for i in range(3)]
+    return [float(w), float(h), float(c), *m]
+
+
+def wav_feature_decoder(payload: bytes) -> list[float]:
+    """REAL audio features: (rate, channels, frames, duration, RMS,
+    peak, zero-crossings) from the RIFF/WAV PCM16 codec — the same
+    definitions ``decode_audio_batch`` documents."""
+    import numpy as np
+
+    from nycitibike_data_transform_spark.operators.audio import decode_wav
+
+    arr, rate = decode_wav(payload)
+    n, ch = arr.shape
+    x = arr.astype(np.int64)
+    rms = float(np.sqrt(int((x * x).sum()) / (n * ch))) if n else 0.0
+    ch0 = x[:, 0]
+    zc = float(np.count_nonzero(ch0[1:] * ch0[:-1] < 0)) if n else 0.0
+    peak = float(np.abs(x).max()) if n else 0.0
+    return [float(rate), float(ch), float(n), n / rate if rate else 0.0, rms, peak, zc]
+
+
+def frames_feature_decoder(payload: bytes) -> list[float]:
+    """REAL video features: (n_frames, first-frame width/height/mean
+    channels) — container walk + one seek-decode of frame 0."""
+    from nycitibike_data_transform_spark.operators.video import iter_frame_spans
+
+    spans = iter_frame_spans(payload)
+    if not spans:
+        return [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    off, length = spans[0]
+    return [float(len(spans)), *png_feature_decoder(payload[off : off + length])[:5]]
+
+
+#: declared-codec registry: payloads whose metadata mime is listed
+#: here decode with a REAL codec; anything else must come with an
+#: explicit decoder or fails at plan build (the gate below).
+MIME_DECODERS: dict[str, Callable[[bytes], list[float]]] = {
+    "image/png": png_feature_decoder,
+    "audio/wav": wav_feature_decoder,
+    "audio/x-wav": wav_feature_decoder,
+    "video/x-frames": frames_feature_decoder,
+}
+
+
+def decoder_for_mime(mime: str) -> Callable[[bytes], list[float]] | None:
+    """The registered real decoder for a declared mime, or None (the
+    caller then hits ``extract_features``'s plan-build gate — exactly
+    the undeclared-codec failure mode the contract requires)."""
+    return MIME_DECODERS.get(mime)
 
 
 def extract_features(
