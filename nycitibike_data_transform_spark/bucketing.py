@@ -1,0 +1,113 @@
+"""Bucketed table layout — pre-shuffled storage for co-located joins.
+
+The reference re-runs its models every 4 hours against the same
+warehouse tables (reference ``dbt/run_dbt.sh:9``, cron in
+``terraform/main.tf``); every run re-joins the same facts on the same
+keys. BigQuery hides the shuffle cost inside the service. On Spark the
+equivalent lever is explicit: write the fact table ONCE bucketed by
+the join key, and every subsequent join or aggregation on that key is
+co-located — Catalyst sees the scan's ``HashPartitioning(key, n)`` and
+plans a SortMergeJoin with ZERO shuffle exchanges. At 100 TB the
+repeated fact⋈fact shuffle is the dominant recurring cost; bucketing
+converts it into a one-time write-side shuffle amortized across every
+downstream run.
+
+Mechanics this module pins down (each is a silent performance cliff if
+missed):
+
+- **One file per bucket.** The writer repartitions by the bucket
+  expression first: Spark's bucket id is ``pmod(murmur3, n)`` — the
+  same function ``repartition(n, cols)`` uses — so each task owns
+  exactly one bucket and writes exactly one file. Without this, every
+  input partition appends its own file per bucket (files = partitions
+  × buckets: the small-files problem), and Spark refuses to use the
+  ``sortBy`` metadata when a bucket has >1 file.
+- **Sorted buckets.** ``sortBy(bucket_cols)`` by default; local sorts
+  before a merge join then read pre-sorted runs. (Spark ≥3 no longer
+  *elides* the Sort nodes by default — SPARK-28632 made scan output
+  ordering opt-in via ``spark.sql.legacy.bucketedTableScan
+  .outputOrdering`` — but the sorts are per-partition, never a
+  shuffle, and the legacy conf turns them into metadata no-ops.)
+- **Mismatched bucket counts still co-locate.** With
+  ``spark.sql.bucketing.coalesceBucketsInJoin.enabled`` (set by
+  ``session.get_spark``), a 16-bucket table joins an 8-bucket table
+  shuffle-free — the larger side's buckets coalesce pairwise. Growing
+  a table's bucket count over time does not orphan old layouts, as
+  long as counts stay ratio-divisible.
+- **The merge hint.** At test scale Catalyst would broadcast the
+  small side and never exercise the co-location; ``colocated_join``
+  pins SortMergeJoin with ``hint("merge")`` so the plan is the one a
+  100 TB fact⋈fact join gets (where neither side broadcasts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    num_buckets: int,
+    *,
+    sort_cols: str | list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize ``df`` as a bucketed catalog table (one file per
+    bucket, sorted within buckets — see module docstring for why both
+    matter). ``path`` makes the table external (data at ``path``
+    instead of the session warehouse dir)."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if sort_cols is None:
+        sort_cols = bucket_cols
+    sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(num_buckets, bucket_cols[0], *bucket_cols[1:])
+        .sortBy(sort_cols[0], *sort_cols[1:])
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucket_spec(spark: SparkSession, table: str) -> dict:
+    """Introspect a table's bucket layout from the catalog:
+    ``{"num_buckets": int, "bucket_cols": [...], "sort_cols": [...]}``
+    (``num_buckets`` 0 when the table is not bucketed). Callers use
+    this to keep new writes ratio-divisible with the existing layout."""
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r.col_name.strip(): (r.data_type or "").strip() for r in rows}
+
+    def _cols(v: str) -> list[str]:
+        body = v.strip().strip("[]")
+        return [c.strip().strip("`") for c in body.split(",") if c.strip()]
+
+    return {
+        "num_buckets": int(info.get("Num Buckets", "0") or 0),
+        "bucket_cols": _cols(info.get("Bucket Columns", "")),
+        "sort_cols": _cols(info.get("Sort Columns", "")),
+    }
+
+
+def colocated_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two relations pinned to SortMergeJoin so co-located bucket
+    layouts are actually used (a broadcast plan would ignore them —
+    correct at test scale, wrong shape for the 100 TB fact⋈fact case
+    this layout exists for). On matching/divisible bucket layouts the
+    plan has zero shuffle exchanges; on unbucketed inputs it degrades
+    to an ordinary shuffle merge join, never a wrong answer."""
+    return left.hint("merge").join(right, on, how)

@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # than r6, and every entry stays locally verified via
     # tools/check_oracle.py. ---
     # (a) new or changed this round
+    "bucketed_join",
     "date_spine_month",
     "span_strip_bloom",
     "generic_tests_audit",

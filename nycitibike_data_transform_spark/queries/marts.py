@@ -344,6 +344,73 @@ LIMIT 10
 """
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once bucketed layout, join-many (bucketing.py): orders and
+    lineitem materialized bucketed by orderkey (16 buckets, one sorted
+    file per bucket), then a co-located fact⋈fact join + per-order
+    aggregate. The WHOLE downstream plan — SortMergeJoin and the
+    groupBy on the bucket key — has ZERO shuffle exchanges (the
+    plan-audit row pins it): this is the 100 TB answer to the
+    reference's every-4-hours re-join of the same facts on the same
+    key (reference ``dbt/run_dbt.sh:9``), where the write-side shuffle
+    is paid once and amortized across every run.
+
+    The bucketed write happens at construction (idempotent overwrite
+    into a per-SF tmp path); the returned frame is the real
+    distributed plan over the bucketed scans, certified against the
+    plain-join DuckDB oracle — layout must never change answers."""
+    import os
+    import re
+    import tempfile
+
+    from nycitibike_data_transform_spark.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    t = load(spark, sf_dir, "orders", "lineitem")
+    suffix = re.sub(r"\W+", "_", sf_dir).strip("_")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    orders_t, lineitem_t = f"bkt_orders_{suffix}", f"bkt_lineitem_{suffix}"
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        orders_t,
+        "o_orderkey",
+        16,
+        path=f"{base}/{orders_t}",
+    )
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        lineitem_t,
+        "l_orderkey",
+        16,
+        path=f"{base}/{lineitem_t}",
+    )
+    o, l = spark.table(orders_t), spark.table(lineitem_t)
+    return (
+        colocated_join(o, l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            fast_revenue_sum("l_extendedprice", "l_discount").alias("revenue"),
+        )
+        .filter(F.col("revenue") > 300000.0)
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
+           AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+HAVING revenue > 300000
+"""
+
+
 def _q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the
     pushdown benchmark (all three predicates reach the parquet scan)."""
@@ -661,6 +728,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(_q_pricing_summary, _PRICING_SUMMARY_SQL),
     "price_histogram": QuerySpec(_q_price_histogram, _PRICE_HISTOGRAM_SQL),
     "shipping_priority": QuerySpec(_q_shipping_priority, _SHIPPING_PRIORITY_SQL),
+    "bucketed_join": QuerySpec(_q_bucketed_join, _BUCKETED_JOIN_SQL),
     "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
     "volume_shipping": QuerySpec(_q_volume_shipping, _VOLUME_SHIPPING_SQL),
     "returned_items": QuerySpec(_q_returned_items, _RETURNED_ITEMS_SQL),

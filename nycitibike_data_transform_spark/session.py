@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # ratio-divisible bucket counts (16 ⋈ 8) still join co-located
+        # (see bucketing.py) — off by default upstream, no cost when
+        # no bucketed tables participate
+        .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
@@ -66,4 +70,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
     return spark
