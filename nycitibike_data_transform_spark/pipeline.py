@@ -226,6 +226,14 @@ class Model:
     build: Callable[..., DataFrame]  # (spark, **dep_dataframes) -> DataFrame
     deps: tuple[str, ...] = ()
     partition_by: tuple[str, ...] = ()
+    # bucketed materialization (bucketing.py): the model is written
+    # ONCE bucketed by its hot join/agg key, so every downstream run's
+    # join on that key is co-located — the write-side shuffle is paid
+    # per refresh, not per consumer. Requires a catalog table (bucket
+    # metadata lives in the metastore, not the parquet files), so the
+    # model also registers as ``spark.table(name)``.
+    bucket_by: tuple[str, ...] = ()
+    num_buckets: int = 0
 
 
 @dataclass
@@ -254,10 +262,25 @@ class Pipeline:
         build: Callable[..., DataFrame],
         deps: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
+        bucket_by: tuple[str, ...] = (),
+        num_buckets: int = 0,
     ) -> None:
         if name in self.sources or name in self.models:
             raise ValueError(f"duplicate node {name!r}")
-        self.models[name] = Model(name, build, deps, partition_by)
+        if bool(bucket_by) != bool(num_buckets):
+            raise ValueError(
+                f"model {name!r}: bucket_by and num_buckets must be set together"
+            )
+        if bucket_by and partition_by:
+            raise ValueError(
+                f"model {name!r}: bucket_by and partition_by are exclusive "
+                "(bucket pruning and partition pruning address different "
+                "keys; combined hive-partitioned bucketed writes multiply "
+                "files per partition and are not supported here)"
+            )
+        self.models[name] = Model(
+            name, build, deps, partition_by, bucket_by, num_buckets
+        )
 
     def topo_order(self) -> list[str]:
         """Model names in dependency order (sources excluded);
@@ -323,6 +346,27 @@ class Pipeline:
                     # oversized partitions are a compact() concern.
                     df = df.repartition(*model.partition_by)
                 path = f"{self.warehouse_dir}/{name}"
+                if model.bucket_by:
+                    if versioned:
+                        raise ValueError(
+                            f"model {name!r}: bucketed materialization is "
+                            "not snapshot-versioned (bucket metadata lives "
+                            "in the catalog, not the snapshot dir) — pick "
+                            "one per model"
+                        )
+                    from nycitibike_data_transform_spark.bucketing import (
+                        write_bucketed,
+                    )
+
+                    write_bucketed(
+                        df,
+                        name,
+                        list(model.bucket_by),
+                        model.num_buckets,
+                        path=path,
+                    )
+                    built[name] = spark.table(name)
+                    continue
                 if versioned:
                     table = VersionedTable(path)
                     table.write_version(df, partition_by=model.partition_by)

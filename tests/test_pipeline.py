@@ -282,3 +282,83 @@ def test_partitioned_model_writes_one_file_per_partition(spark, tmp_path, sf_dir
     for d in dirs[:50]:
         files = [f for f in os.listdir(f"{mart}/{d}") if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_bucketed_model_materialization(spark, tmp_path, sf_dir):
+    """bucket_by on a model routes through bucketing.write_bucketed:
+    the materialized table is catalog-registered, downstream joins on
+    the bucket key are co-located (zero Exchange), and the returned
+    frame answers exactly like the unbucketed build."""
+    import uuid
+
+    from nycitibike_data_transform_spark.bucketing import bucket_spec, colocated_join
+    from nycitibike_data_transform_spark.plans import count_exchanges
+
+    name_o = f"bkt_model_orders_{uuid.uuid4().hex[:8]}"
+    name_l = f"bkt_model_lineitem_{uuid.uuid4().hex[:8]}"
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("orders", lambda s: s.read.parquet(f"{sf_dir}/orders.parquet"))
+    p.add_source("lineitem", lambda s: s.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    p.add_model(
+        name_o,
+        lambda s, orders: orders.select("o_orderkey", "o_orderpriority"),
+        deps=("orders",),
+        bucket_by=("o_orderkey",),
+        num_buckets=4,
+    )
+    p.add_model(
+        name_l,
+        lambda s, lineitem: lineitem.select("l_orderkey", "l_quantity"),
+        deps=("lineitem",),
+        bucket_by=("l_orderkey",),
+        num_buckets=4,
+    )
+    try:
+        built = p.run(spark)
+        assert bucket_spec(spark, name_o)["num_buckets"] == 4
+        joined = colocated_join(
+            built[name_l],
+            built[name_o],
+            built[name_l].l_orderkey == built[name_o].o_orderkey,
+        )
+        assert count_exchanges(joined) == 0
+        plain = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        assert built[name_o].count() == plain.count()
+        # re-run overwrites cleanly (full-refresh cadence)
+        assert p.run(spark)[name_o].count() == plain.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {name_l}")
+
+
+def test_bucketed_model_validation(tmp_path, sf_dir):
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("orders", lambda s: s.read.parquet(f"{sf_dir}/orders.parquet"))
+    with pytest.raises(ValueError, match="set together"):
+        p.add_model("m1", lambda s, orders: orders, deps=("orders",), bucket_by=("o_orderkey",))
+    with pytest.raises(ValueError, match="exclusive"):
+        p.add_model(
+            "m2",
+            lambda s, orders: orders,
+            deps=("orders",),
+            bucket_by=("o_orderkey",),
+            num_buckets=4,
+            partition_by=("o_orderpriority",),
+        )
+
+
+def test_bucketed_model_rejects_versioned(spark, tmp_path, sf_dir):
+    import uuid
+
+    name = f"bkt_model_v_{uuid.uuid4().hex[:8]}"
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("orders", lambda s: s.read.parquet(f"{sf_dir}/orders.parquet"))
+    p.add_model(
+        name,
+        lambda s, orders: orders,
+        deps=("orders",),
+        bucket_by=("o_orderkey",),
+        num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="not snapshot-versioned"):
+        p.run(spark, versioned=True)
