@@ -38,6 +38,15 @@ missed):
   small side and never exercise the co-location; ``colocated_join``
   pins SortMergeJoin with ``hint("merge")`` so the plan is the one a
   100 TB fact⋈fact join gets (where neither side broadcasts).
+
+Atomicity trade (explicit): ``saveAsTable(mode="overwrite")`` is a
+catalog drop-and-recreate, NOT an atomic pointer swap — a crash
+mid-refresh can leave the table absent until the next run. That is
+the same clobbering contract as the reference's ``CREATE OR REPLACE
+TABLE`` cadence; refreshes that need crash-safety and time travel use
+``versioning.VersionedTable`` instead (the two layouts are per-model
+alternatives in ``pipeline.Pipeline``, never combined — bucket
+metadata lives in the catalog, not the snapshot dir).
 """
 
 from __future__ import annotations

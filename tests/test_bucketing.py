@@ -139,3 +139,23 @@ def test_write_bucketed_rejects_bad_bucket_count(spark, sf_dir):
             "o_orderkey",
             0,
         )
+
+
+def test_bucketed_write_keeps_null_and_skewed_keys(spark, tmp_path):
+    # NULL bucket keys and heavy key skew must survive the layout
+    # round-trip exactly — bucketing is storage, never a filter
+    rows = [(None, "n")] * 7 + [(1, "a")] * 500 + [(k, "b") for k in range(2, 40)]
+    df = spark.createDataFrame(rows, "k int, v string")
+    t = f"bkt_nulls_{uuid.uuid4().hex[:8]}"
+    write_bucketed(df, t, "k", 4, path=str(tmp_path / t))
+    try:
+        got = spark.table(t)
+        assert got.count() == len(rows)
+        assert got.filter(F.col("k").isNull()).count() == 7
+        assert got.filter(F.col("k") == 1).count() == 500
+        # groupBy on the bucket key still plans shuffle-free with
+        # nulls present
+        agg = got.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        assert count_exchanges(agg) == 0, formatted_plan(agg)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
