@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # tools/check_oracle.py. ---
     # (a) new or changed this round
     "bucketed_join",
+    "incremental_model",
     "date_spine_month",
     "span_strip_bloom",
     "generic_tests_audit",

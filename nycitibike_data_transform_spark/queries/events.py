@@ -580,6 +580,61 @@ def _q_streaming_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_incremental_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL materialization path under a batch oracle (r8):
+    run the real ``Pipeline`` twice against a growing source — the
+    bootstrap feed holds events strictly before the median timestamp,
+    the second feed is the full table — with ``incremental_keys`` +
+    ``watermark_col``, so run 2 builds only rows at/past the
+    bootstrap's max(ts) and MERGEs them partition-scoped (shard =
+    pmod(user_id, 8); only touched partitions rewritten). The
+    converged table must equal the plain full table — an end-to-end
+    driver-gated proof that incremental refresh changes COST, never
+    answers.
+
+    Eager by construction (both pipeline runs execute at plan build;
+    the returned frame is the checkpointed converged table) —
+    EAGER class in the plan audit, like streaming_upsert_view."""
+    import shutil
+    import tempfile
+
+    from nycitibike_data_transform_spark.pipeline import Pipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    feeds = [ev.filter(F.col("ts") < F.lit(cutoff)), ev]
+    tmp = tempfile.mkdtemp(prefix="inc_model_")
+    try:
+        for feed in feeds:
+            p = Pipeline(warehouse_dir=tmp)
+            p.add_source("events_feed", lambda s, f=feed: f)
+            p.add_model(
+                "inc_events",
+                lambda s, events_feed: events_feed.withColumn(
+                    "shard", F.pmod("user_id", F.lit(8))
+                ),
+                deps=("events_feed",),
+                partition_by=("shard",),
+                incremental_keys=("event_id",),
+                watermark_col="ts",
+            )
+            converged = p.run(spark)["inc_events"]
+        return (
+            converged.select("event_id", "user_id", "ts", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_INCREMENTAL_MODEL_SQL = """
+SELECT event_id, user_id, ts, event_type FROM events
+"""
+
+
 # the batch oracle the streaming view must converge to — latest event
 # per user by (ts DESC, event_id DESC); same SQL as dedup_latest
 _STREAMING_UPSERT_SQL = """
@@ -594,6 +649,7 @@ FROM (
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "incremental_model": QuerySpec(_q_incremental_model, _INCREMENTAL_MODEL_SQL),
     "streaming_upsert_view": QuerySpec(
         _q_streaming_upsert_view, _STREAMING_UPSERT_SQL
     ),

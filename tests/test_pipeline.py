@@ -362,3 +362,149 @@ def test_bucketed_model_rejects_versioned(spark, tmp_path, sf_dir):
     )
     with pytest.raises(ValueError, match="not snapshot-versioned"):
         p.run(spark, versioned=True)
+
+
+def _write_src(spark, src, rows):
+    spark.createDataFrame(rows, "id int, day int, v string").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+
+def test_incremental_model_bootstrap_and_merge(spark, tmp_path):
+    """dbt 'materialized: incremental': bootstrap writes the full
+    build; the next run merges only rows at/past max(watermark) —
+    including an update to a key re-delivered at the boundary."""
+    src = str(tmp_path / "src")
+    _write_src(spark, src, [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")])
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("ev", lambda s: s.read.parquet(src))
+    p.add_model(
+        "inc",
+        lambda s, ev: ev.select("id", "day", "v"),
+        deps=("ev",),
+        incremental_keys=("id",),
+        watermark_col="day",
+    )
+    built = p.run(spark)["inc"]
+    assert sorted(map(tuple, built.collect())) == [
+        (1, 1, "a"), (2, 1, "b"), (3, 2, "c"),
+    ]
+    # new rows past the watermark + a boundary-row update (id=3 at
+    # day=2 == hwm gets replaced, not duplicated)
+    _write_src(
+        spark, src,
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c2"), (4, 3, "d")],
+    )
+    built2 = p.run(spark)["inc"]
+    expected2 = sorted(map(tuple, built2.collect()))
+    assert expected2 == [
+        (1, 1, "a"), (2, 1, "b"), (3, 2, "c2"), (4, 3, "d"),
+    ]
+    # idempotence: re-running with an unchanged source changes nothing
+    # (built2's frame itself is stale after the rewrite — collect the
+    # fresh frame, compare against the values captured above)
+    built3 = p.run(spark)["inc"]
+    assert sorted(map(tuple, built3.collect())) == expected2
+
+
+def test_incremental_partitioned_rewrites_only_touched(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    _write_src(
+        spark, src, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")]
+    )
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("ev", lambda s: s.read.parquet(src))
+    p.add_model(
+        "inc",
+        lambda s, ev: ev.select("id", "day", "v"),
+        deps=("ev",),
+        partition_by=("day",),
+        incremental_keys=("id",),
+        watermark_col="day",
+    )
+    p.run(spark)
+    mart = str(tmp_path / "wh" / "inc")
+
+    def files_of(day):
+        d = f"{mart}/day={day}"
+        return {
+            f: os.stat(f"{d}/{f}").st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_d1, before_d2 = files_of(1), files_of(2)
+    # second feed touches only day=3 and day=4
+    _write_src(
+        spark, src,
+        [(1, 1, "a"), (2, 2, "b"), (3, 3, "c2"), (4, 4, "d")],
+    )
+    built = p.run(spark)["inc"]
+    assert sorted(map(tuple, built.collect())) == [
+        (1, 1, "a"), (2, 2, "b"), (3, 3, "c2"), (4, 4, "d"),
+    ]
+    # untouched partitions: same file names, same mtimes — never opened
+    assert files_of(1) == before_d1
+    assert files_of(2) == before_d2
+
+
+def test_incremental_versioned_snapshots(spark, tmp_path):
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    src = str(tmp_path / "src")
+    _write_src(spark, src, [(1, 1, "a")])
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("ev", lambda s: s.read.parquet(src))
+    p.add_model(
+        "inc",
+        lambda s, ev: ev.select("id", "day", "v"),
+        deps=("ev",),
+        incremental_keys=("id",),
+        watermark_col="day",
+    )
+    p.run(spark, versioned=True)
+    _write_src(spark, src, [(1, 1, "a"), (2, 2, "b")])
+    built = p.run(spark, versioned=True)["inc"]
+    assert built.count() == 2
+    table = VersionedTable(str(tmp_path / "wh" / "inc"))
+    versions = table.versions()
+    assert len(versions) == 2
+    # the bootstrap snapshot is still time-travel readable
+    assert table.read_version(spark, versions[0]).count() == 1
+
+
+def test_incremental_validation(spark, tmp_path):
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("ev", lambda s: s.range(3))
+    with pytest.raises(ValueError, match="set together"):
+        p.add_model("m1", lambda s, ev: ev, deps=("ev",), incremental_keys=("id",))
+    with pytest.raises(ValueError, match="bucketed"):
+        p.add_model(
+            "m2",
+            lambda s, ev: ev,
+            deps=("ev",),
+            incremental_keys=("id",),
+            watermark_col="id",
+            bucket_by=("id",),
+            num_buckets=4,
+        )
+    with pytest.raises(ValueError, match="at most one"):
+        p.add_model(
+            "m3",
+            lambda s, ev: ev,
+            deps=("ev",),
+            incremental_keys=("id",),
+            watermark_col="id",
+            partition_by=("a", "b"),
+        )
+    p.add_model(
+        "m4",
+        lambda s, ev: ev,
+        deps=("ev",),
+        incremental_keys=("id",),
+        watermark_col="nope",
+    )
+    with pytest.raises(ValueError, match="missing from"):
+        p.run(spark)
