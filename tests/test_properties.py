@@ -254,3 +254,66 @@ def test_deduplicate_one_winner_per_key_and_is_a_source_row(spark, rows):
     for r in out:
         vmax = max(v for k, v, _ in rows if k == r["k"])
         assert r["v"] == vmax
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 8),  # key
+                st.integers(0, 5),  # watermark day
+                st.integers(0, 99),  # payload
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda r: r[0],  # unique_key per build (dbt contract)
+        ),
+        min_size=2,
+        max_size=3,
+    )
+)
+def test_incremental_model_matches_python_reference(spark, feeds):
+    """Incremental materialization == the spec executed in plain
+    Python: bootstrap keeps the full feed; each later run keeps built
+    rows with watermark >= max(existing watermark) and merges them on
+    the key (delete-insert). Any sequence of feeds, any watermark
+    order — including late rows below the max, which both sides must
+    MISS identically (the documented trade, pinned here so it can
+    never silently change)."""
+    import shutil
+    import tempfile
+
+    from nycitibike_data_transform_spark.pipeline import Pipeline
+
+    tmp = tempfile.mkdtemp(prefix="inc_prop_")
+    try:
+        table: dict[int, tuple[int, int, int]] = {}
+        first = True
+        for feed in feeds:
+            p = Pipeline(warehouse_dir=tmp)
+            p.add_source(
+                "src",
+                lambda s, f=feed: s.createDataFrame(
+                    f, "k int, day int, v int"
+                ),
+            )
+            p.add_model(
+                "inc",
+                lambda s, src: src,
+                deps=("src",),
+                incremental_keys=("k",),
+                watermark_col="day",
+            )
+            got = p.run(spark)["inc"]
+            if first:
+                updates = feed
+                first = False
+            else:
+                hwm = max(r[1] for r in table.values())
+                updates = [r for r in feed if r[1] >= hwm]
+            for r in updates:
+                table[r[0]] = r
+            assert sorted(map(tuple, got.collect())) == sorted(table.values())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
