@@ -113,6 +113,7 @@ def merge_upsert_partitioned(
     updates: DataFrame,
     keys: list[str],
     partition_col: str,
+    existing: DataFrame | None = None,
 ) -> list[object]:
     """Copy-on-write MERGE over a ``partitionBy(partition_col)``
     parquet layout: only the partitions present in ``updates`` are
@@ -144,7 +145,12 @@ def merge_upsert_partitioned(
     """
     if partition_col not in updates.columns:
         raise ValueError(f"updates missing partition column {partition_col!r}")
-    existing = read_table_for_merge(spark, path, updates.schema)
+    # a caller that already holds the schema-validated table frame
+    # (the incremental materializer reads it for the watermark) passes
+    # it in so the file listing + column-set validation run once per
+    # refresh, not twice
+    if existing is None:
+        existing = read_table_for_merge(spark, path, updates.schema)
     touched, cond = touched_partition_filter(updates, partition_col)
     affected = existing.filter(cond)
     merged = merge_upsert(
@@ -152,6 +158,19 @@ def merge_upsert_partitioned(
     ).localCheckpoint()
     write_dynamic_partition_overwrite(merged, path, partition_col)
     return touched
+
+
+def _has_parquet_files(path: str) -> bool:
+    """Whether ``path`` holds any parquet DATA files (recursing into
+    hive partition dirs). Mere directory existence is not enough: a
+    zero-row bootstrap leaves only _SUCCESS, and treating that as an
+    existing table would send every later run into the merge branch's
+    schema-inference read — which fails on a data-fileless dir,
+    bricking the model until someone deletes the path by hand."""
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def _materialize_incremental(
@@ -213,18 +232,39 @@ def _materialize_incremental(
             table.vacuum(keep=keep_versions)
         return table.read_current(spark).select(*df.columns)
 
-    if not os.path.exists(path):  # bootstrap = the plain full write
+    if "://" in path:
+        raise ValueError(
+            f"incremental model target must be a local path, got {path!r}: "
+            "bootstrap detection walks the local filesystem (an object-"
+            "store deployment would silently re-bootstrap every run — "
+            "fail loudly instead; same contract as VersionedTable)"
+        )
+
+    def _read_back() -> DataFrame:
+        # re-read under the BUILD's schema, never inference: (a) hive
+        # partition-type inference is lossy (string '01' comes back as
+        # int 1 — read_table_for_merge's docstring), so an inference
+        # read would hand downstream models changed types/values;
+        # (b) a zero-row bootstrap leaves no data files, and inference
+        # would fail with UNABLE_TO_INFER_SCHEMA where an explicit
+        # schema correctly yields the empty frame
+        return spark.read.schema(df.schema).parquet(path).select(*df.columns)
+
+    if not _has_parquet_files(path):  # bootstrap = the plain full write
         if model.partition_by:
             out = df.repartition(*model.partition_by)
             out.write.mode("overwrite").partitionBy(*model.partition_by).parquet(path)
         else:
             df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path).select(*df.columns)
+        spark.catalog.refreshByPath(path)
+        return _read_back()
 
     existing = read_table_for_merge(spark, path, df.schema)
     updates = _updates(existing)
     if model.partition_by:
-        merge_upsert_partitioned(spark, path, updates, keys, model.partition_by[0])
+        merge_upsert_partitioned(
+            spark, path, updates, keys, model.partition_by[0], existing=existing
+        )
     else:
         # localCheckpoint breaks lineage: Spark refuses to overwrite a
         # path its write plan still reads
@@ -234,11 +274,9 @@ def _materialize_incremental(
         merged.write.mode("overwrite").parquet(path)
     # drop the session's cached file listing for the path — without
     # this a later read can serve the pre-merge file set and fail
-    # with FILE_NOT_EXIST on the replaced files; the select keeps the
-    # build's column order (a hive-partitioned read appends the
-    # partition column last)
+    # with FILE_NOT_EXIST on the replaced files
     spark.catalog.refreshByPath(path)
-    return spark.read.parquet(path).select(*df.columns)
+    return _read_back()
 
 
 def scd2_apply(

@@ -369,7 +369,10 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load(spark, sf_dir, "orders", "lineitem")
-    suffix = re.sub(r"\W+", "_", sf_dir).strip("_")
+    # pid-scoped names/paths: re-runs in one process reuse (idempotent
+    # overwrite), while concurrent processes on the same SF (bench vs
+    # oracle sweep) never clobber each other's in-flight scans
+    suffix = f"{re.sub(r'[^A-Za-z0-9]+', '_', sf_dir).strip('_')}_{os.getpid()}"
     base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
     orders_t, lineitem_t = f"bkt_orders_{suffix}", f"bkt_lineitem_{suffix}"
     write_bucketed(

@@ -71,7 +71,7 @@ def test_one_file_per_bucket(spark, bucketed_tables):
         assert len(files) == 8, sorted(files)
 
 
-def test_bucket_spec_introspection(spark, bucketed_tables):
+def test_bucket_spec_introspection(spark, sf_dir, bucketed_tables):
     orders_t, _, _ = bucketed_tables
     spec = bucket_spec(spark, orders_t)
     assert spec == {
@@ -79,7 +79,7 @@ def test_bucket_spec_introspection(spark, bucketed_tables):
         "bucket_cols": ["o_orderkey"],
         "sort_cols": ["o_orderkey"],
     }
-    plain = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plain = spark.read.parquet(f"{sf_dir}/orders.parquet")
     plain.createOrReplaceTempView("plain_orders_view")
     # unbucketed relation → num_buckets 0 (DESCRIBE on a view has no
     # bucket rows)

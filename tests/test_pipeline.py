@@ -508,3 +508,74 @@ def test_incremental_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="missing from"):
         p.run(spark)
+
+
+def test_incremental_empty_bootstrap_then_data(spark, tmp_path):
+    """r8 review finding: a zero-row partitioned bootstrap leaves no
+    data files — that must NOT brick the model: the run returns the
+    empty frame under the declared schema, and the next run (data
+    arrived) bootstraps for real."""
+    src = str(tmp_path / "src")
+    _write_src(spark, src, [(1, 1, "a")])
+
+    def pipe(pred):
+        p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+        p.add_source("ev", lambda s: s.read.parquet(src).filter(pred))
+        p.add_model(
+            "inc",
+            lambda s, ev: ev.select("id", "day", "v"),
+            deps=("ev",),
+            partition_by=("day",),
+            incremental_keys=("id",),
+            watermark_col="day",
+        )
+        return p
+
+    empty = pipe("id < 0").run(spark)["inc"]
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "day", "v"]
+    built = pipe("id > 0").run(spark)["inc"]
+    assert sorted(map(tuple, built.collect())) == [(1, 1, "a")]
+
+
+def test_incremental_readback_preserves_partition_type(spark, tmp_path):
+    """r8 review finding: the frame handed to downstream models must
+    keep the BUILD's types — hive inference would turn a string
+    partition value '01' into int 1."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "01", "a"), (2, "2", "b")], "id int, day string, v string"
+    ).write.mode("overwrite").parquet(src)
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("ev", lambda s: s.read.parquet(src))
+    p.add_model(
+        "inc",
+        lambda s, ev: ev.select("id", "day", "v"),
+        deps=("ev",),
+        partition_by=("day",),
+        incremental_keys=("id",),
+        watermark_col="day",
+    )
+    for _ in range(2):  # bootstrap read-back AND merge read-back
+        built = p.run(spark)["inc"]
+        assert built.schema["day"].dataType.typeName() == "string"
+        assert sorted(map(tuple, built.collect())) == [
+            (1, "01", "a"), (2, "2", "b"),
+        ]
+
+
+def test_incremental_rejects_remote_warehouse(spark):
+    """r8 review finding: bootstrap detection is local-filesystem;
+    an object-store warehouse would silently full-rewrite every run —
+    fail loudly instead (VersionedTable's contract)."""
+    p = Pipeline(warehouse_dir="s3a://bucket/wh")
+    p.add_source("ev", lambda s: s.createDataFrame([(1, 1)], "id int, day int"))
+    p.add_model(
+        "inc",
+        lambda s, ev: ev,
+        deps=("ev",),
+        incremental_keys=("id",),
+        watermark_col="day",
+    )
+    with pytest.raises(ValueError, match="local path"):
+        p.run(spark)
