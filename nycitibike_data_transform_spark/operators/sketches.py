@@ -1,0 +1,135 @@
+"""Mergeable frequency sketch — Misra–Gries heavy hitters.
+
+Completes the sketch family next to HLL approx-distinct and
+approx_percentile quantiles (SURVEY §2 A5): bounded-state frequent
+items. At 100 TB an exact token top-k holds map-side hash state
+proportional to the PER-PARTITION DISTINCT count — unbounded for
+natural text — and shuffles every distinct item. Misra–Gries (1982)
+caps per-partition state at ``sketch_size`` counters, and the
+summaries are mergeable (Agarwal et al., "Mergeable Summaries",
+PODS '12) with the classic guarantee: after merging, every item with
+true global frequency > n/(sketch_size+1) survives, and each
+surviving estimate undercounts by at most n/(sketch_size+1).
+
+``heavy_hitters`` is a TWO-PASS exact frequent-items operator built
+on that guarantee:
+
+- pass 1 (sketch): one ``mapInPandas`` sweep, zero shuffle, at most
+  ``sketch_size`` candidate rows per partition out — the candidate
+  set PROVABLY contains every item with count > n/k (k ≤ sketch_size,
+  so n/k ≥ n/(sketch_size+1)). The bounded candidate relation is
+  eagerly checkpointed (partitions × sketch_size rows — metadata, the
+  same bounded-collect class as the IVF quantizer);
+- pass 2 (exact): re-count ONLY candidate-matching rows — a broadcast
+  semi-join keeps the candidates as DATA, never a giant ``isin``
+  literal (the constants-as-data lesson from the Bloom work) — then
+  keep items with ``count · k > n`` against the 1-row total broadcast.
+
+The output is therefore EXACT — precisely the items with frequency
+above n/k and their true counts — with shuffle bounded by the
+candidate superset instead of the full distinct domain. Python is
+justified the same way the zlib/PNG/WKB sites are: Spark has no
+bounded-state frequency-sketch aggregate; the per-batch work is
+vectorized (pandas ``value_counts``) with one decrement step per
+Arrow batch.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _mg_add(counters: dict, batch_counts: "pd.Series", limit: int) -> int:
+    """Fold one batch's value counts into the MG counter dict, then
+    apply the mergeable-summaries trim: subtract the (limit+1)-th
+    largest count from everything and drop the non-positive. Returns
+    the amount subtracted (error bookkeeping for tests)."""
+    for item, c in batch_counts.items():
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) <= limit:
+        return 0
+    m = heapq.nlargest(limit + 1, counters.values())[limit]
+    for item in [i for i, c in counters.items() if c <= m]:
+        del counters[item]
+    for item in counters:
+        counters[item] -= m
+    return m
+
+
+def mg_sketch_partitions(df: DataFrame, col: str, sketch_size: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries: ≤ ``sketch_size`` rows of
+    (item, mg_est) per partition, plus one (NULL item, part_rows) row
+    carrying the partition's non-null row count so the caller gets the
+    global total from the same single sweep. NULL input values are
+    not counted (SQL ``count(col)`` semantics)."""
+    item_type = df.schema[col].dataType
+    schema = StructType(
+        [
+            StructField(col, item_type, True),
+            StructField("mg_est", LongType(), True),
+            StructField("part_rows", LongType(), True),
+        ]
+    )
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        rows = 0
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            rows += len(vals)
+            if len(vals):
+                _mg_add(counters, vals.value_counts(), sketch_size)
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                "mg_est": list(counters.values()) + [None],
+                "part_rows": [None] * len(counters) + [rows],
+            }
+        )
+
+    return df.select(col).mapInPandas(sketch, schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int,
+    sketch_size: int | None = None,
+) -> DataFrame:
+    """EXACT frequent items: every value of ``col`` whose count
+    exceeds n/k (n = non-null rows), with its true count — computed
+    through the bounded-state sketch path described in the module
+    docstring, never a full-domain shuffle. Columns: (col, n).
+
+    ``sketch_size`` (default k) trades candidate-superset size against
+    guarantee slack; it must be ≥ k or items between n/(sketch_size+1)
+    and n/k could be missed."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sketch_size = k if sketch_size is None else sketch_size
+    if sketch_size < k:
+        raise ValueError(
+            f"sketch_size ({sketch_size}) must be >= k ({k}): the "
+            f"survival guarantee only covers counts > n/(sketch_size+1)"
+        )
+    # bounded relation (partitions × sketch_size rows): checkpoint so
+    # the sketch sweep runs once, not once per consumer below
+    summaries = mg_sketch_partitions(df, col, sketch_size).localCheckpoint(eager=True)
+    candidates = summaries.filter(F.col(col).isNotNull()).select(col).distinct()
+    total = summaries.agg(F.sum("part_rows").alias("n_total"))
+    return (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .join(F.broadcast(candidates), col, "semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .filter(F.col("n") * F.lit(k) > F.col("n_total"))
+        .drop("n_total")
+    )

@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new or changed this round
     "bucketed_join",
     "incremental_model",
+    "heavy_hitters",
     "date_spine_month",
     "span_strip_bloom",
     "generic_tests_audit",

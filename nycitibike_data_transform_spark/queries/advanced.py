@@ -335,6 +335,52 @@ GROUP BY 1
 """
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent items through the Misra–Gries sketch path
+    (operators/sketches.py): tokens from three part attributes (type
+    words, name words, brand — 47 distinct values on the fixtures)
+    against a 32-counter sketch, threshold n/27. The six 6-way type
+    first-words sit at a ~4.2% share, above the 3.7% threshold; name
+    words (~3.2%) and brands (~1%) sit below — a non-trivial split,
+    and 47 distinct > 32 counters means the sketch genuinely
+    decrements. The oracle is the NAIVE exact SQL, so the gate itself
+    proves the bounded-state candidate pass lossless for everything
+    above the threshold (same oracle-proves-the-prefilter pattern as
+    fuzzy_name_pairs and decontaminate_bloom)."""
+    from nycitibike_data_transform_spark.operators.sketches import heavy_hitters
+
+    t = load(spark, sf_dir, "part")
+    p = t["part"]
+    toks = (
+        p.select(F.explode(F.split("p_type", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .unionByName(
+            p.select(F.explode(F.split("p_name", " ")).alias("token")).filter(
+                F.length("token") > 0
+            )
+        )
+        .unionByName(p.select(F.col("p_brand").alias("token")))
+    )
+    return heavy_hitters(toks, "token", k=27, sketch_size=32)
+
+
+_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT t.w AS token
+  FROM part, unnest(string_split(p_type, ' ')) AS t(w)
+  WHERE length(t.w) > 0
+  UNION ALL
+  SELECT t2.w
+  FROM part, unnest(string_split(p_name, ' ')) AS t2(w)
+  WHERE length(t2.w) > 0
+  UNION ALL SELECT p_brand FROM part
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM toks)
+SELECT token, n FROM c, tot WHERE n * 27 > total
+"""
+
+
 # ------------------------------------------------------- fuzzy join
 
 _FUZZY_KEYS = 60  # bounded pair space for the exact all-pairs tier
@@ -671,6 +717,7 @@ QUERIES: dict[str, QuerySpec] = {
     "null_semantics": QuerySpec(_q_null_semantics, _NULL_SEMANTICS_SQL),
     "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, _FUZZY_SQL),
     "word_frequencies": QuerySpec(_q_word_frequencies, _WORD_FREQUENCIES_SQL),
+    "heavy_hitters": QuerySpec(_q_heavy_hitters, _HEAVY_HITTERS_SQL),
     "range_join_tiers": QuerySpec(_q_range_join_tiers, _RANGE_JOIN_SQL),
     "grouping_sets": QuerySpec(_q_grouping_sets, _GROUPING_SETS_SQL),
     "correlated_subquery": QuerySpec(_q_correlated_subquery, _CORRELATED_SQL),

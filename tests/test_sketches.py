@@ -1,0 +1,134 @@
+"""Misra–Gries heavy hitters: bounded-state candidates, exact output."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nycitibike_data_transform_spark.operators.sketches import (
+    _mg_add,
+    heavy_hitters,
+    mg_sketch_partitions,
+)
+from nycitibike_data_transform_spark.plans import count_exchanges, formatted_plan
+
+
+def _exact_over_threshold(rows: list, k: int) -> dict:
+    counts: dict = {}
+    for v in rows:
+        if v is not None:
+            counts[v] = counts.get(v, 0) + 1
+    n = sum(counts.values())
+    return {v: c for v, c in counts.items() if c * k > n}
+
+
+def _zipfish(n: int) -> list[int]:
+    # deterministic skewed stream: item i appears ~n/2^(i+1) times —
+    # a few giants over a long tail, far more distinct values than
+    # the sketch size used against it
+    out: list[int] = []
+    i, remaining = 0, n
+    while remaining > 0:
+        block = max(1, remaining // 2)
+        out.extend([i] * block)
+        remaining -= block
+        i += 1
+    # interleave deterministically so giants span every partition
+    idx = sorted(range(len(out)), key=lambda j: (j * 2654435761) % 1000003)
+    return [out[j] for j in idx]
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    data = _zipfish(4096)
+    df = spark.createDataFrame([(v,) for v in data], "v int").repartition(8)
+    got = {r["v"]: r["n"] for r in heavy_hitters(df, "v", k=16, sketch_size=16).collect()}
+    assert got == _exact_over_threshold(data, 16)
+    assert got  # non-vacuous: the stream has giants above n/16
+
+
+def test_heavy_hitters_sketch_is_genuinely_bounded(spark):
+    # distinct values ≈ log2(n) giants + tail >> sketch_size would be
+    # trivial; use uniform tail to force decrements, then check the
+    # candidate relation really is ≤ partitions × sketch_size rows
+    data = _zipfish(2048) + list(range(1000, 1400))
+    df = spark.createDataFrame([(v,) for v in data], "v int").repartition(4)
+    summaries = mg_sketch_partitions(df, "v", 8)
+    per_part = (
+        summaries.filter(F.col("v").isNotNull())
+        .groupBy(F.spark_partition_id())
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_part <= 8
+    got = {r["v"]: r["n"] for r in heavy_hitters(df, "v", k=8, sketch_size=8).collect()}
+    assert got == _exact_over_threshold(data, 8)
+
+
+def test_mg_add_error_bound():
+    import pandas as pd
+
+    data = _zipfish(1000)
+    counters: dict = {}
+    subtracted = 0
+    for i in range(0, len(data), 100):  # 10 Arrow-batch-sized folds
+        batch = pd.Series(data[i : i + 100]).value_counts()
+        subtracted += _mg_add(counters, batch, 12)
+    # classic MG bound: total decrement ≤ n/(k+1); estimates undercount
+    # truth by at most the total decrement
+    assert subtracted <= len(data) / 13
+    truth: dict = {}
+    for v in data:
+        truth[v] = truth.get(v, 0) + 1
+    for v, est in counters.items():
+        assert 0 <= truth[v] - est <= subtracted
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=300),
+    st.integers(1, 12),
+)
+def test_heavy_hitters_matches_naive(spark, values, k):
+    df = spark.createDataFrame([(v,) for v in values], "v int").repartition(3)
+    got = {r["v"]: r["n"] for r in heavy_hitters(df, "v", k=k).collect()}
+    assert got == _exact_over_threshold(values, k)
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), (None,), (None,), ("b",)], "v string"
+    )
+    # n counts non-null rows only (4): 'a' (3) > 4/2, 'b' (1) is not
+    got = {r["v"]: r["n"] for r in heavy_hitters(df, "v", k=2).collect()}
+    assert got == {"a": 3}
+
+
+def test_heavy_hitters_empty_input(spark):
+    df = spark.createDataFrame([], "v string")
+    assert heavy_hitters(df, "v", k=4).count() == 0
+
+
+def test_heavy_hitters_validation(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "v", k=0)
+    with pytest.raises(ValueError, match="sketch_size"):
+        heavy_hitters(df, "v", k=8, sketch_size=4)
+
+
+def test_heavy_hitters_plan_shape(spark, sf_dir):
+    # the full-data side must meet the candidates via BROADCAST semi
+    # join (candidates as data, never a giant isin literal / SMJ), and
+    # the only full-data shuffle is the candidate-filtered groupBy
+    words = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(F.explode(F.split("p_type", " ")).alias("w"))
+    )
+    out = heavy_hitters(words, "w", k=20, sketch_size=24)
+    plan = formatted_plan(out)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert count_exchanges(out) <= 3, plan  # groupBy + two metadata aggs
