@@ -469,6 +469,12 @@ class Pipeline:
         """Build every model in topo order; optionally persist each as
         parquet (full refresh). Returns name -> DataFrame.
 
+        Incremental models (``incremental_keys``/``watermark_col``)
+        merge into their materialized target; with
+        ``materialize=False`` (or no ``warehouse_dir``) there is no
+        target to merge into, so they behave as plain full builds for
+        that run — ephemeral runs carry no incremental state.
+
         ``versioned=True`` upgrades the reference's clobbering
         ``CREATE OR REPLACE`` semantics to snapshot versioning
         (``versioning.VersionedTable``): each run commits a new
