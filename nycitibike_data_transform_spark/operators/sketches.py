@@ -96,6 +96,33 @@ def mg_sketch_partitions(df: DataFrame, col: str, sketch_size: int) -> DataFrame
     return df.select(col).mapInPandas(sketch, schema)
 
 
+def mg_estimates(df: DataFrame, col: str, sketch_size: int) -> DataFrame:
+    """Single-pass frequency ESTIMATES (when even the second exact
+    scan of :func:`heavy_hitters` is too expensive): the merged
+    Misra–Gries summary as (col, est, max_undercount). Guarantees, per
+    the mergeable-summaries bound: estimates never overcount;
+    ``true − est ≤ max_undercount`` (= n // (sketch_size+1)) for every
+    emitted item; any item NOT emitted has true count ≤ max_undercount.
+    The merged relation holds ≤ partitions × sketch_size rows (the
+    per-partition trims already happened; a final global trim would
+    only discard information)."""
+    if sketch_size < 1:
+        raise ValueError(f"sketch_size must be >= 1, got {sketch_size}")
+    summaries = mg_sketch_partitions(df, col, sketch_size).localCheckpoint(eager=True)
+    total = summaries.agg(F.sum("part_rows").alias("n_total"))
+    return (
+        summaries.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.sum("mg_est").alias("est"))
+        .join(F.broadcast(total))
+        .withColumn(
+            "max_undercount",
+            (F.col("n_total") / F.lit(sketch_size + 1)).cast("long"),
+        )
+        .drop("n_total")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

@@ -132,3 +132,35 @@ def test_heavy_hitters_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert count_exchanges(out) <= 3, plan  # groupBy + two metadata aggs
+
+
+def test_mg_estimates_bounds(spark):
+    from nycitibike_data_transform_spark.operators.sketches import mg_estimates
+
+    data = _zipfish(3000) + list(range(500, 900))
+    df = spark.createDataFrame([(v,) for v in data], "v int").repartition(5)
+    truth: dict = {}
+    for v in data:
+        truth[v] = truth.get(v, 0) + 1
+    rows = mg_estimates(df, "v", sketch_size=10).collect()
+    assert rows
+    bound = len(data) // 11
+    emitted = set()
+    for r in rows:
+        assert r["max_undercount"] == bound
+        emitted.add(r["v"])
+        # never overcounts; undercounts by at most the bound
+        assert r["est"] <= truth[r["v"]]
+        assert truth[r["v"]] - r["est"] <= bound
+    # anything NOT emitted is provably below the bound
+    for v, c in truth.items():
+        if v not in emitted:
+            assert c <= bound
+
+
+def test_mg_estimates_validation(spark):
+    from nycitibike_data_transform_spark.operators.sketches import mg_estimates
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="sketch_size"):
+        mg_estimates(df, "v", 0)
