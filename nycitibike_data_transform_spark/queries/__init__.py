@@ -70,8 +70,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r8 rotation (VERDICT r7 item #3: refresh the 26 rows whose
     # latest green driver row is r5, plus the oldest r6 rows). The
     # 50-entry driver window, in priority order: (a) queries ADDED or
-    # CHANGED this round — date_spine_month / span_strip_bloom /
-    # generic_tests_audit are new; date_spine's month/year semantics
+    # CHANGED this round — bucketed_join / incremental_model /
+    # heavy_hitters (late-r8 layout + sketch operators),
+    # date_spine_month / span_strip_bloom / generic_tests_audit; date_spine's month/year semantics
     # changed (ADVICE r7 medium fix); supplier_wait and bigram_lm got
     # new physical plans (TakeOrdered instead of global rank windows);
     # (b) the 25 remaining r5-evidenced rows; (c) the oldest r6 rows
