@@ -1,8 +1,9 @@
 """Bucketed table layout — pre-shuffled storage for co-located joins.
 
 The reference re-runs its models every 4 hours against the same
-warehouse tables (reference ``dbt/run_dbt.sh:9``, cron in
-``terraform/main.tf``); every run re-joins the same facts on the same
+warehouse tables (reference ``setup_script.sh:7``, cron in
+``terraform/a2_config_second_apply/main.tf:199``); every run re-joins
+the same facts on the same
 keys. BigQuery hides the shuffle cost inside the service. On Spark the
 equivalent lever is explicit: write the fact table ONCE bucketed by
 the join key, and every subsequent join or aggregation on that key is

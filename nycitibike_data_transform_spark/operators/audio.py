@@ -96,6 +96,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise WavError(f"format code {audio_format} not supported (PCM only)")
             if bits != 16:
                 raise WavError(f"bit depth {bits} not supported (16 only)")
+            # a crafted fmt chunk with zero channels/rate would
+            # otherwise surface as ZeroDivisionError below, breaking
+            # the "malformed input raises WavError cleanly" contract
+            # (ADVICE r8)
+            if channels == 0 or sample_rate == 0:
+                raise WavError(
+                    f"invalid fmt chunk: channels={channels} rate={sample_rate}"
+                )
         elif tag == b"data":
             pcm = data[body_at : body_at + length]
         # word-aligned chunks: odd sizes carry a pad byte

@@ -81,19 +81,36 @@ def mg_sketch_partitions(df: DataFrame, col: str, sketch_size: int) -> DataFrame
         counters: dict = {}
         rows = 0
         for pdf in batches:
-            vals = pdf[col].dropna()
+            vals = pdf[col]
             rows += len(vals)
             if len(vals):
                 _mg_add(counters, vals.value_counts(), sketch_size)
+        # null-safe dtypes, NEVER list+[None] (ADVICE r8 medium): mixing
+        # None into a plain list makes pandas infer float64, silently
+        # rounding int64 items above 2^53 (e.g. 64-bit hashed keys)
+        # before the Arrow conversion back to LongType — the candidate
+        # semi-join would then miss true heavy hitters. object dtype
+        # keeps every item value exact for any input type; the count
+        # columns use pandas' nullable Int64.
         yield pd.DataFrame(
             {
-                col: list(counters.keys()) + [None],
-                "mg_est": list(counters.values()) + [None],
-                "part_rows": [None] * len(counters) + [rows],
+                col: pd.Series(list(counters.keys()) + [None], dtype=object),
+                "mg_est": pd.array(
+                    list(counters.values()) + [None], dtype="Int64"
+                ),
+                "part_rows": pd.array(
+                    [None] * len(counters) + [rows], dtype="Int64"
+                ),
             }
         )
 
-    return df.select(col).mapInPandas(sketch, schema)
+    # NULLs are filtered Spark-side, BEFORE the Arrow hand-off (not
+    # pandas dropna inside the sketch): an int64 column containing any
+    # null converts to pandas float64, rounding items above 2^53 on
+    # entry — the input-side half of the ADVICE r8 exactness bug. The
+    # filter is narrow (partitions preserved), and part_rows counted
+    # after it matches SQL count(col) semantics exactly.
+    return df.select(col).filter(F.col(col).isNotNull()).mapInPandas(sketch, schema)
 
 
 def mg_estimates(df: DataFrame, col: str, sketch_size: int) -> DataFrame:
@@ -136,7 +153,15 @@ def heavy_hitters(
 
     ``sketch_size`` (default k) trades candidate-superset size against
     guarantee slack; it must be ≥ k or items between n/(sketch_size+1)
-    and n/k could be missed."""
+    and n/k could be missed.
+
+    Candidate-broadcast ceiling (stated like the Bloom bitset's): the
+    candidate relation holds at most ``input_partitions × sketch_size``
+    rows — e.g. 10⁵ partitions × a 10³ sketch is 10⁸ candidate rows,
+    GBs broadcast to every executor. Keep ``sketch_size`` near ``k``
+    (the guarantee needs no more), and coalesce absurdly-fine inputs
+    before sketching; the checkpoint + broadcast are metadata-class
+    only while that product stays in the low millions."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     sketch_size = k if sketch_size is None else sketch_size

@@ -352,7 +352,7 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on the bucket key — has ZERO shuffle exchanges (the
     plan-audit row pins it): this is the 100 TB answer to the
     reference's every-4-hours re-join of the same facts on the same
-    key (reference ``dbt/run_dbt.sh:9``), where the write-side shuffle
+    key (reference ``setup_script.sh:7``), where the write-side shuffle
     is paid once and amortized across every run.
 
     The bucketed write happens at construction (idempotent overwrite
@@ -374,6 +374,25 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle sweep) never clobber each other's in-flight scans
     suffix = f"{re.sub(r'[^A-Za-z0-9]+', '_', sf_dir).strip('_')}_{os.getpid()}"
     base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    # self-cleaning scratch (ADVICE r8): dirs from DEAD pids are
+    # reclaimed here — a finally-block delete is impossible because the
+    # returned plan lazily scans these files, and a live sibling pid's
+    # dir must survive (its oracle/bench run may still be scanning).
+    # Catalog entries die with their process (in-memory catalog), so
+    # disk is the only cross-lifetime leak.
+    if os.path.isdir(base):
+        import shutil
+
+        for name in os.listdir(base):
+            m = re.search(r"_(\d+)$", name)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)  # raises if pid is gone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another user — leave it
     orders_t, lineitem_t = f"bkt_orders_{suffix}", f"bkt_lineitem_{suffix}"
     write_bucketed(
         t["orders"].select("o_orderkey", "o_orderpriority"),

@@ -65,6 +65,16 @@ def test_unsupported_variants_fail_cleanly():
     bad[34:36] = struct.pack("<H", 8)
     with pytest.raises(WavError, match="16 only"):
         decode_wav(bytes(bad))
+    # zero channels (ADVICE r8: was ZeroDivisionError, not WavError)
+    bad = bytearray(good)
+    bad[22:24] = struct.pack("<H", 0)
+    with pytest.raises(WavError, match="invalid fmt"):
+        decode_wav(bytes(bad))
+    # zero sample rate
+    bad = bytearray(good)
+    bad[24:28] = struct.pack("<I", 0)
+    with pytest.raises(WavError, match="invalid fmt"):
+        decode_wav(bytes(bad))
 
 
 def test_encode_rejects_out_of_range():

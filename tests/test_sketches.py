@@ -164,3 +164,45 @@ def test_mg_estimates_validation(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError, match="sketch_size"):
         mg_estimates(df, "v", 0)
+
+
+def test_mg_sketch_exact_above_2_53(spark):
+    """ADVICE r8 medium: items above 2^53 must survive the sketch's
+    pandas→Arrow round-trip exactly. The old list+[None] construction
+    coerced integral items to float64, rounding 2^53+1 to 2^53 —
+    both the candidate set and mg_estimates then carried corrupted
+    item values."""
+    from nycitibike_data_transform_spark.operators.sketches import mg_estimates
+
+    big = (1 << 53) + 1           # not representable in float64
+    big2 = (1 << 62) + 12345      # deep into the rounded zone
+    data = [(big,)] * 40 + [(big2,)] * 25 + [(big + 2,)] * 3 + [(None,)] * 2
+    df = spark.createDataFrame(data, "v long").repartition(4)
+
+    hh = {r["v"]: r["n"] for r in heavy_hitters(df, "v", k=3).collect()}
+    assert hh == {big: 40, big2: 25}
+
+    est = {r["v"]: r["est"] for r in mg_estimates(df, "v", sketch_size=8).collect()}
+    assert set(est) <= {big, big2, big + 2}
+    assert big in est and big2 in est  # exact item values, never big±1
+
+    # raw summaries carry exact items and Int64 (not float) counts
+    rows = mg_sketch_partitions(df, "v", 8).collect()
+    items = {r["v"] for r in rows if r["v"] is not None}
+    assert items <= {big, big2, big + 2}
+
+
+def test_mg_sketch_exact_above_2_53_string_and_double(spark):
+    """The dtype fix must not regress non-integral item types: object
+    dtype keeps strings and doubles flowing exactly as before."""
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 10 + [("c",)] * 2, "v string"
+    ).repartition(3)
+    hh = {r["v"]: r["n"] for r in heavy_hitters(df, "v", k=3).collect()}
+    assert hh == {"a": 30}
+
+    dfd = spark.createDataFrame(
+        [(1.5,)] * 20 + [(2.25,)] * 8 + [(3.0,)] * 1, "v double"
+    ).repartition(3)
+    hhd = {r["v"]: r["n"] for r in heavy_hitters(dfd, "v", k=2).collect()}
+    assert hhd == {1.5: 20}
