@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bucketed_join",
     "incremental_model",
     "heavy_hitters",
+    "mg_estimates",
     "date_spine_month",
     "span_strip_bloom",
     "generic_tests_audit",

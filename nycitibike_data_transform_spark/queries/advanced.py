@@ -381,6 +381,94 @@ SELECT token, n FROM c, tot WHERE n * 27 > total
 """
 
 
+def _q_mg_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify :func:`mg_estimates`' proven bounds as a driver-oracle
+    verdict (VERDICT r8 item #5). The raw single-pass estimates are
+    PARTITION-DEPENDENT (which below-threshold items survive the trims
+    varies with data placement), so they can't hash-match an oracle
+    directly; what IS deterministic — by the Misra–Gries mergeable-
+    summaries theorem, for every partitioning — is that violations
+    are impossible. This query joins the sketch estimates to the naive
+    exact counts and emits one row of violation counters, each
+    provably zero:
+
+    - ``n_overcounts``: emitted items with est > true count;
+    - ``n_bound_violations``: items (emitted or not, est coalesced to
+      0) undercounted by more than n // (sketch_size+1);
+    - ``n_missed_heavy``: items with true count > n/(sketch_size+1)
+      absent from the sketch output;
+    - ``n_mu_mismatch``: emitted rows whose max_undercount column
+      disagrees with n // (sketch_size+1).
+
+    The oracle is closed-form SQL over the same token stream — exact
+    n_total, the undercount ceiling, and constant zeros — so a red row
+    here means the sketch broke its theorem, not a flaky estimate.
+    Token stream and sketch_size (32) match ``heavy_hitters``; 47
+    distinct tokens > 32 counters means the trims genuinely fire."""
+    from nycitibike_data_transform_spark.operators.sketches import mg_estimates
+
+    t = load(spark, sf_dir, "part")
+    p = t["part"]
+    toks = (
+        p.select(F.explode(F.split("p_type", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .unionByName(
+            p.select(F.explode(F.split("p_name", " ")).alias("token")).filter(
+                F.length("token") > 0
+            )
+        )
+        .unionByName(p.select(F.col("p_brand").alias("token")))
+    )
+    ks1 = 33  # sketch_size + 1
+    est = mg_estimates(toks, "token", sketch_size=ks1 - 1)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    tot = exact.agg(F.sum("true_n").cast("long").alias("n_total"))
+    j = exact.join(est, "token", "left").join(F.broadcast(tot))
+    mu = F.floor(F.col("n_total") / F.lit(ks1)).cast("long")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return j.groupBy("n_total").agg(
+        flag(F.col("est") > F.col("true_n")).alias("n_overcounts"),
+        flag(
+            (F.col("true_n") - F.coalesce(F.col("est"), F.lit(0))) > mu
+        ).alias("n_bound_violations"),
+        flag(
+            F.col("est").isNull() & (F.col("true_n") * F.lit(ks1) > F.col("n_total"))
+        ).alias("n_missed_heavy"),
+        flag(
+            F.col("est").isNotNull() & (F.col("max_undercount") != mu)
+        ).alias("n_mu_mismatch"),
+        F.max(mu).alias("max_undercount"),
+    ).select(
+        "n_total",
+        "max_undercount",
+        "n_overcounts",
+        "n_bound_violations",
+        "n_missed_heavy",
+        "n_mu_mismatch",
+    )
+
+
+_MG_ESTIMATES_SQL = """
+WITH toks AS (
+  SELECT t.w AS token
+  FROM part, unnest(string_split(p_type, ' ')) AS t(w)
+  WHERE length(t.w) > 0
+  UNION ALL
+  SELECT t2.w
+  FROM part, unnest(string_split(p_name, ' ')) AS t2(w)
+  WHERE length(t2.w) > 0
+  UNION ALL SELECT p_brand FROM part
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) // 33 AS BIGINT) AS max_undercount,
+       CAST(0 AS BIGINT) AS n_overcounts,
+       CAST(0 AS BIGINT) AS n_bound_violations,
+       CAST(0 AS BIGINT) AS n_missed_heavy,
+       CAST(0 AS BIGINT) AS n_mu_mismatch
+FROM toks
+"""
+
+
 # ------------------------------------------------------- fuzzy join
 
 _FUZZY_KEYS = 60  # bounded pair space for the exact all-pairs tier
@@ -718,6 +806,7 @@ QUERIES: dict[str, QuerySpec] = {
     "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, _FUZZY_SQL),
     "word_frequencies": QuerySpec(_q_word_frequencies, _WORD_FREQUENCIES_SQL),
     "heavy_hitters": QuerySpec(_q_heavy_hitters, _HEAVY_HITTERS_SQL),
+    "mg_estimates": QuerySpec(_q_mg_estimates, _MG_ESTIMATES_SQL),
     "range_join_tiers": QuerySpec(_q_range_join_tiers, _RANGE_JOIN_SQL),
     "grouping_sets": QuerySpec(_q_grouping_sets, _GROUPING_SETS_SQL),
     "correlated_subquery": QuerySpec(_q_correlated_subquery, _CORRELATED_SQL),
