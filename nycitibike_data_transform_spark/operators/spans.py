@@ -61,6 +61,73 @@ def _spans_with_positions(
     return base, spans
 
 
+# --- bloom_prefilter="auto" gate (VERDICT r8 item #4, the size-gated
+# pattern from similarity.cosine_topk). Measured on the natural sf0.1
+# corpus (ROUND8_NOTES): the prefilter cuts the probe-side shuffle
+# 10.9× at 0.07% FPR, but its FIXED costs (dup-set checkpoint + count,
+# bitset collect, probe codegen) are ~2 s — a net loss below a few
+# hundred thousand span rows. The gate turns the prefilter on only
+# when BOTH hold:
+#
+# - the span stream is big enough to amortize the fixed cost
+#   (estimated from sum(length(text)) — one column-pruned scan, no
+#   tokenize pass, no shuffle; ~6 chars per whitespace token+space);
+# - the duplicated-hash set is a small fraction of the span stream —
+#   when most span hashes are duplicated the probe passes nearly
+#   every row and the bitset buys nothing.
+#
+# The dup-key count needed for the decision is the SAME count the
+# bitset sizing needs, so deciding costs nothing extra on the on-path;
+# the off-path pays one checkpoint of the (small) dup-key relation,
+# which the join consumes anyway.
+BLOOM_AUTO_MIN_SPAN_ROWS = 2_000_000
+BLOOM_AUTO_MAX_DUP_KEY_FRACTION = 0.25
+_EST_CHARS_PER_TOKEN = 6
+
+
+def _resolve_bloom(
+    docs: DataFrame,
+    text_col: str,
+    spans: DataFrame,
+    dup_keys: DataFrame,
+    mode,
+    bits_per_key: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply the ``bloom_prefilter`` mode: True forces the prefilter,
+    False bypasses it, "auto" decides by the size gate above. Returns
+    (possibly prefiltered spans, checkpointed-or-passthrough dup_keys);
+    output is bit-identical across all three modes (the prefilter is
+    lossless — pinned in tests/test_spans.py both sides of the gate).
+    """
+    if mode is False:
+        return spans, dup_keys
+    if mode is True:
+        return _bloom_cut_probe_side(spans, dup_keys, bits_per_key)
+    if mode != "auto":
+        raise ValueError(
+            f"bloom_prefilter must be True, False, or 'auto', got {mode!r}"
+        )
+    from nycitibike_data_transform_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    dup_keys = dup_keys.localCheckpoint(eager=True)
+    n_keys = dup_keys.count()
+    if n_keys == 0:
+        return spans, dup_keys  # nothing duplicated — the join is empty
+    total_chars = docs.agg(F.sum(F.length(text_col)).alias("c")).first()[0] or 0
+    est_span_rows = total_chars / _EST_CHARS_PER_TOKEN
+    if (
+        est_span_rows < BLOOM_AUTO_MIN_SPAN_ROWS
+        or n_keys > est_span_rows * BLOOM_AUTO_MAX_DUP_KEY_FRACTION
+    ):
+        return spans, dup_keys
+    m_bits = max(64, -(-(n_keys * bits_per_key) // 64) * 64)
+    bits = bloom_build(dup_keys, "__h", m_bits=m_bits)
+    return bloom_prefilter(spans, "__h", bits), dup_keys
+
+
 def _bloom_cut_probe_side(
     spans: DataFrame, dup_keys: DataFrame, bits_per_key: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -97,7 +164,7 @@ def strip_duplicate_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bloom_prefilter: bool = False,
+    bloom_prefilter: bool | str = "auto",
     bloom_bits_per_key: int = 16,
 ) -> DataFrame:
     """Remove duplicated spans, keeping each span's globally-first
@@ -122,9 +189,11 @@ def strip_duplicate_spans(
     map-side combinable — then per-document windows). The rebuild
     collects each document's surviving tokens into one row — bounded
     by input-document size, which arrived as one row already.
-    ``bloom_prefilter=True`` cuts the join-back shuffle: span rows
-    whose hash provably isn't duplicated are dropped by a broadcast
-    Bloom bitset before they shuffle — lossless, output bit-identical.
+    ``bloom_prefilter`` ("auto" default) cuts the join-back shuffle:
+    span rows whose hash provably isn't duplicated are dropped by a
+    broadcast Bloom bitset before they shuffle — lossless, output
+    bit-identical. "auto" engages it only past the size gate (see
+    ``_resolve_bloom``); True/False force either path.
     """
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")
@@ -144,10 +213,9 @@ def strip_duplicate_spans(
         .filter(F.col("__cnt") >= min_count)
         .select("__h", "__first")
     )
-    if bloom_prefilter:
-        spans, dup_first = _bloom_cut_probe_side(
-            spans, dup_first, bloom_bits_per_key
-        )
+    spans, dup_first = _resolve_bloom(
+        docs, text_col, spans, dup_first, bloom_prefilter, bloom_bits_per_key
+    )
     removed = (
         spans.join(dup_first, "__h")
         .filter(
@@ -205,7 +273,7 @@ def duplicate_span_stats(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bloom_prefilter: bool = False,
+    bloom_prefilter: bool | str = "auto",
     bloom_bits_per_key: int = 16,
 ) -> DataFrame:
     """Per-document duplicate-span statistics.
@@ -235,10 +303,9 @@ def duplicate_span_stats(
         .filter(F.col("__cnt") >= min_count)
         .select("__h")
     )
-    if bloom_prefilter:
-        spans, dup_hashes = _bloom_cut_probe_side(
-            spans, dup_hashes, bloom_bits_per_key
-        )
+    spans, dup_hashes = _resolve_bloom(
+        docs, text_col, spans, dup_hashes, bloom_prefilter, bloom_bits_per_key
+    )
     dup_positions = spans.join(dup_hashes, "__h").select(
         "doc_id", "pos", (F.col("pos") + F.lit(width - 1)).alias("__end")
     )
