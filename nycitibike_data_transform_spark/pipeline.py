@@ -202,8 +202,11 @@ def _materialize_incremental(
 
     Targets: plain parquet (whole-table rewrite on merge),
     ``partition_by`` (partition-scoped merge — only touched partitions
-    rewritten, via :func:`merge_upsert_partitioned`), or
-    ``versioned=True`` (merge committed as an atomic new snapshot)."""
+    rewritten, via :func:`merge_upsert_partitioned`),
+    ``versioned=True`` (merge committed as an atomic new snapshot), or
+    ``bucket_by`` (the composed layout, ``bucketed_table.py``:
+    bucket-granular merge + zero-shuffle downstream joins + intrinsic
+    snapshot versioning)."""
     keys = list(model.incremental_keys)
     wm = model.watermark_col
     missing = [c for c in (*keys, wm) if c not in df.columns]
@@ -216,6 +219,35 @@ def _materialize_incremental(
     def _updates(existing: DataFrame) -> DataFrame:
         hwm = existing.agg(F.max(wm).alias("hwm")).first()[0]
         return df if hwm is None else df.filter(F.col(wm) >= F.lit(hwm))
+
+    if model.bucket_by:
+        # the composed layout (VERDICT r8 item #2): incremental merge
+        # AND a bucketed snapshot AND versioned crash-safe commits in
+        # one table — merge rewrites only the buckets the update keys
+        # hash into (untouched bucket files are hardlinked across
+        # snapshots), and the registered catalog table gives every
+        # downstream join/agg on the bucket key a zero-exchange plan.
+        # Versioning is intrinsic here, so this branch serves both
+        # versioned=True and False (keep_versions bounds retention).
+        from nycitibike_data_transform_spark.bucketed_table import (
+            BucketedIncrementalTable,
+        )
+
+        table = BucketedIncrementalTable(
+            path, list(model.bucket_by), model.num_buckets
+        )
+        if table.current_version() is None:
+            table.write_full(spark, df)
+        else:
+            table.merge(
+                spark,
+                _updates(table.read_current(spark)).select(*df.columns),
+                keys,
+            )
+        if keep_versions is not None:
+            table.vacuum(keep=keep_versions)
+        table.register(spark, model.name)
+        return spark.table(model.name).select(*df.columns)
 
     if versioned:
         table = VersionedTable(path)
@@ -421,11 +453,17 @@ class Pipeline:
                 "be set together"
             )
         if incremental_keys and bucket_by:
-            raise ValueError(
-                f"model {name!r}: incremental merge into a bucketed table "
-                "is not supported (saveAsTable overwrite is a full "
-                "drop-and-recreate; merge needs a path-level layout)"
-            )
+            # the composed layout (bucketed_table.py) merges at bucket
+            # granularity, which is only exact when a key can never
+            # change its bucket — enforce the structural form here so
+            # the model fails at declaration, not first refresh
+            loose = [c for c in bucket_by if c not in incremental_keys]
+            if loose:
+                raise ValueError(
+                    f"model {name!r}: bucket columns {loose} are not "
+                    "incremental keys — bucket-granular merge needs "
+                    "bucket_by ⊆ incremental_keys (key stability)"
+                )
         if incremental_keys and len(partition_by) > 1:
             raise ValueError(
                 f"model {name!r}: incremental merge supports at most one "

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new or changed this round
     "bucketed_join",
     "incremental_model",
+    "incremental_bucketed",
     "heavy_hitters",
     "mg_estimates",
     "date_spine_month",

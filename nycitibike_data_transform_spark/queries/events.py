@@ -635,6 +635,55 @@ SELECT event_id, user_id, ts, event_type FROM events
 """
 
 
+def _q_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED layout (VERDICT r8 item #2) under a batch oracle:
+    the same twice-run incremental Pipeline as ``incremental_model``,
+    but materialized through ``bucketed_table.BucketedIncrementalTable``
+    — bucket_by=(event_id,) ∩ incremental_keys, 16 buckets. Run 2
+    merges only the buckets the post-watermark keys hash into
+    (untouched bucket files are hardlinked across snapshots), and the
+    converged registered bucketed table must equal the plain full
+    table — layout and refresh strategy change COST, never answers.
+    The downstream zero-exchange join/agg property and the inode-
+    sharing merge economics are pinned in tests/test_bucketed_table.py
+    and test_pipeline.py; this row certifies the ANSWERS end-to-end at
+    the driver gate. Eager by construction (both pipeline runs execute
+    at plan build) — EAGER class in the plan audit."""
+    import shutil
+    import tempfile
+
+    from nycitibike_data_transform_spark.pipeline import Pipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    feeds = [ev.filter(F.col("ts") < F.lit(cutoff)), ev]
+    tmp = tempfile.mkdtemp(prefix="inc_bkt_")
+    try:
+        for feed in feeds:
+            p = Pipeline(warehouse_dir=tmp)
+            p.add_source("events_feed", lambda s, f=feed: f)
+            p.add_model(
+                "inc_events_bkt",
+                lambda s, events_feed: events_feed,
+                deps=("events_feed",),
+                bucket_by=("event_id",),
+                num_buckets=16,
+                incremental_keys=("event_id",),
+                watermark_col="ts",
+            )
+            converged = p.run(spark)["inc_events_bkt"]
+        return (
+            converged.select("event_id", "user_id", "ts", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS `inc_events_bkt`")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # the batch oracle the streaming view must converge to — latest event
 # per user by (ts DESC, event_id DESC); same SQL as dedup_latest
 _STREAMING_UPSERT_SQL = """
@@ -650,6 +699,7 @@ FROM (
 
 QUERIES: dict[str, QuerySpec] = {
     "incremental_model": QuerySpec(_q_incremental_model, _INCREMENTAL_MODEL_SQL),
+    "incremental_bucketed": QuerySpec(_q_incremental_bucketed, _INCREMENTAL_MODEL_SQL),
     "streaming_upsert_view": QuerySpec(
         _q_streaming_upsert_view, _STREAMING_UPSERT_SQL
     ),

@@ -480,14 +480,16 @@ def test_incremental_validation(spark, tmp_path):
     p.add_source("ev", lambda s: s.range(3))
     with pytest.raises(ValueError, match="set together"):
         p.add_model("m1", lambda s, ev: ev, deps=("ev",), incremental_keys=("id",))
-    with pytest.raises(ValueError, match="bucketed"):
+    # incremental + bucketed now composes (bucketed_table.py), but only
+    # when the bucket columns are merge keys (key stability)
+    with pytest.raises(ValueError, match="not incremental keys"):
         p.add_model(
             "m2",
             lambda s, ev: ev,
             deps=("ev",),
             incremental_keys=("id",),
             watermark_col="id",
-            bucket_by=("id",),
+            bucket_by=("other",),
             num_buckets=4,
         )
     with pytest.raises(ValueError, match="at most one"):
@@ -579,3 +581,76 @@ def test_incremental_rejects_remote_warehouse(spark):
     )
     with pytest.raises(ValueError, match="local path"):
         p.run(spark)
+
+
+def test_incremental_bucketed_composed_layout(spark, tmp_path):
+    """The composed layout (VERDICT r8 item #2): an incremental model
+    materialized as a bucketed, versioned table — merge touches only
+    the buckets the update keys hash into, downstream joins on the
+    bucket key plan zero exchanges, and every refresh is an atomic
+    snapshot commit."""
+    import os
+
+    from nycitibike_data_transform_spark.bucketed_table import (
+        BucketedIncrementalTable,
+        bucket_id_of_file,
+    )
+    from nycitibike_data_transform_spark.plans import count_exchanges
+
+    src = str(tmp_path / "src")
+    # id=35 sits alone at the watermark boundary (day=2); everything
+    # else is day=1 so the second run's updates slice stays tiny
+    base = [(i, 2 if i == 35 else 1, f"r{i}") for i in range(40)]
+    _write_src(spark, src, base)
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("ev", lambda s: s.read.parquet(src))
+    p.add_model(
+        "fact",
+        lambda s, ev: ev.select("id", "day", "v"),
+        deps=("ev",),
+        bucket_by=("id",),
+        num_buckets=8,
+        incremental_keys=("id",),
+        watermark_col="day",
+    )
+    built = p.run(spark)["fact"]
+    assert built.count() == 40
+    # downstream groupBy on the bucket key: zero exchanges off the
+    # registered bucketed scan
+    agg = spark.table("fact").groupBy("id").count()
+    assert count_exchanges(agg) == 0
+
+    root = str(tmp_path / "wh" / "fact")
+    table = BucketedIncrementalTable(root, ["id"], 8)
+    v1_files = {
+        f: os.stat(os.path.join(table._data_dir(1), f)).st_ino
+        for f in table.manifest(1)["files"]
+    }
+
+    # second feed: a boundary update (id=35 re-delivered at day=2 ==
+    # hwm) + one new row past the watermark — only these two keys'
+    # buckets get rewritten
+    _write_src(
+        spark, src,
+        [r for r in base if r[0] != 35] + [(35, 2, "patched"), (99, 3, "new")],
+    )
+    built2 = p.run(spark)["fact"]
+    rows = {r["id"]: r["v"] for r in built2.collect()}
+    assert rows[35] == "patched" and rows[99] == "new" and len(rows) == 41
+    # untouched buckets share inodes with v1 (zero bytes rewritten)
+    m2 = table.manifest(2)
+    touched = {
+        bucket_id_of_file(f)
+        for f in m2["files"]
+        if os.stat(os.path.join(table._data_dir(2), f)).st_ino
+        not in v1_files.values()
+    }
+    untouched_shared = [
+        f
+        for f in m2["files"]
+        if bucket_id_of_file(f) not in touched
+        and os.stat(os.path.join(table._data_dir(2), f)).st_ino
+        in v1_files.values()
+    ]
+    assert len(touched) < 8 and untouched_shared
+    spark.sql("DROP TABLE IF EXISTS fact")
