@@ -251,15 +251,30 @@ def _materialize_incremental(
 
     if versioned:
         table = VersionedTable(path)
-        out = df
-        if table.current_version() is not None:
-            existing = table.read_current(spark)
-            out = merge_upsert(
-                existing.select(*df.columns), _updates(existing), keys
-            )
-        if model.partition_by:
-            out = out.repartition(*model.partition_by)
-        table.write_version(out, partition_by=model.partition_by)
+        if table.current_version() is not None and model.partition_by:
+            # partition-scoped COPY-ON-WRITE commit (VERDICT r8 item
+            # #3): merge only the touched partitions and hardlink the
+            # rest into the new snapshot — the versioned refresh now
+            # costs O(touched data) like the unversioned partitioned
+            # merge, while keeping the atomic pointer-swap commit
+            pc = model.partition_by[0]
+            existing = table.read_current_as(spark, df.schema)
+            updates = _updates(existing)
+            _, cond = touched_partition_filter(updates, pc)
+            merged = merge_upsert(
+                existing.filter(cond).select(*df.columns), updates, keys
+            ).repartition(pc)
+            table.write_version_cow(merged, pc)
+        else:
+            out = df
+            if table.current_version() is not None:
+                existing = table.read_current(spark)
+                out = merge_upsert(
+                    existing.select(*df.columns), _updates(existing), keys
+                )
+            if model.partition_by:
+                out = out.repartition(*model.partition_by)
+            table.write_version(out, partition_by=model.partition_by)
         if keep_versions is not None:
             table.vacuum(keep=keep_versions)
         return table.read_current(spark).select(*df.columns)

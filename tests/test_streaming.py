@@ -522,3 +522,160 @@ def test_upsert_partitioned_zero_padded_string_partition(spark, tmp_path):
         for r in spark.read.schema(base.schema).parquet(target).collect()
     }
     assert rows == {(1, "a2", 2, "01"), (2, "b", 1, "02")}
+
+
+def test_upsert_versioned_partitioned_cow_and_time_travel(spark, sf_dir, tmp_path):
+    """versioned=True (VERDICT r8 item #3): each micro-batch is an
+    atomic snapshot commit. Values must match the unversioned path
+    exactly; untouched partitions share INODES across snapshots (zero
+    bytes copied); the pre-batch snapshot stays time-travel readable."""
+    import os
+
+    from nycitibike_data_transform_spark.catalog import load_table
+    from nycitibike_data_transform_spark.streaming.upsert import apply_upsert_batch
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).withColumn("shard", F.pmod("user_id", F.lit(4)))
+    target = str(tmp_path / "vview")
+    apply_upsert_batch(
+        ev, 0, target, ["user_id"], ["ts", "event_id"],
+        partition_col="shard", versioned=True,
+    )
+    table = VersionedTable(target)
+    assert table.current_version() == 1
+    v1_count = table.read_current(spark).count()
+
+    upd = (
+        table.read_current(spark)
+        .filter(F.col("shard") == 2)
+        .limit(1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1000 DAYS"))
+        .withColumn("event_id", F.col("event_id") + F.lit(10**9))
+        .localCheckpoint(eager=True)
+    )
+    apply_upsert_batch(
+        upd, 1, target, ["user_id"], ["ts", "event_id"],
+        partition_col="shard", versioned=True,
+    )
+    assert table.current_version() == 2
+
+    # parity with the unversioned partitioned path fed the same batches
+    flat = str(tmp_path / "plain")
+    apply_upsert_batch(ev, 0, flat, ["user_id"], ["ts", "event_id"],
+                       partition_col="shard")
+    apply_upsert_batch(upd, 1, flat, ["user_id"], ["ts", "event_id"],
+                       partition_col="shard")
+    got = {
+        (r["user_id"], r["event_id"], r["ts"])
+        for r in table.read_current(spark).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["ts"])
+        for r in spark.read.parquet(flat).collect()
+    }
+    assert got == want
+
+    # untouched partitions: identical inodes between v1 and v2
+    d1, d2 = table._data_dir(1), table._data_dir(2)
+    shared = 0
+    for f in table.manifest(2)["files"]:
+        if not f.startswith("shard=2/"):
+            assert os.path.samefile(os.path.join(d2, f), os.path.join(d1, f))
+            shared += 1
+    assert shared > 0
+    # pre-batch snapshot still readable
+    assert table.read_version(spark, 1).count() == v1_count
+
+
+def test_upsert_versioned_kill_mid_batch_then_replay(spark, tmp_path, monkeypatch):
+    """Kill-mid-batch (test_sinks.py style): a crash at any point
+    before the pointer swap leaves the committed snapshot intact and
+    readable, and replaying the same batch converges — the guarantee
+    the torn in-place dynamic-partition overwrite cannot give."""
+    import nycitibike_data_transform_spark.versioning as versioning
+    from nycitibike_data_transform_spark.streaming.upsert import apply_upsert_batch
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    rows = [(u, e, float(e), "t", u % 2) for u in range(6) for e in (1, 2)]
+    batch0 = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts double, event_type string, shard long"
+    )
+    target = str(tmp_path / "vcrash")
+    apply_upsert_batch(
+        batch0, 0, target, ["user_id"], ["ts", "event_id"],
+        partition_col="shard", versioned=True,
+    )
+    table = VersionedTable(target)
+    before = sorted(map(tuple, table.read_current(spark).collect()))
+
+    batch1 = spark.createDataFrame(
+        [(0, 99, 999.0, "new", 0)],
+        "user_id long, event_id long, ts double, event_type string, shard long",
+    )
+    real = versioning._durable_write
+
+    def boom(path, content):
+        raise RuntimeError("kill mid-batch")
+
+    monkeypatch.setattr(versioning, "_durable_write", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="kill mid-batch"):
+        apply_upsert_batch(
+            batch1, 1, target, ["user_id"], ["ts", "event_id"],
+            partition_col="shard", versioned=True,
+        )
+    monkeypatch.setattr(versioning, "_durable_write", real)
+
+    # the torn attempt is invisible: pointer and data unchanged
+    assert table.current_version() == 1
+    assert sorted(map(tuple, table.read_current(spark).collect())) == before
+
+    # replay converges from the torn state
+    apply_upsert_batch(
+        batch1, 1, target, ["user_id"], ["ts", "event_id"],
+        partition_col="shard", versioned=True,
+    )
+    assert table.current_version() == 2
+    winner = (
+        table.read_current(spark).filter("user_id = 0")
+        .orderBy(F.col("ts").desc()).first()
+    )
+    assert winner["event_id"] == 99
+
+
+def test_upsert_versioned_stream_end_to_end(spark, sf_dir, tmp_path):
+    """The real writeStream wiring with versioned=True: availableNow
+    catch-up commits snapshots and converges to the batch answer."""
+    from nycitibike_data_transform_spark.streaming.events import read_events_stream
+    from nycitibike_data_transform_spark.streaming.upsert import (
+        upsert_stream_to_table,
+    )
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    target = str(tmp_path / "vstream")
+    q = (
+        upsert_stream_to_table(
+            stream, target, ["user_id"], ["ts", "event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"), versioned=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    table = VersionedTable(target)
+    assert table.current_version() >= 1
+    got = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in table.read_current(spark).collect()
+    }
+    batch = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in all_queries()["dedup_latest"].spark(spark, sf_dir).collect()
+    }
+    assert got == batch

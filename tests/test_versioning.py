@@ -393,3 +393,54 @@ def test_compact_partition_value_containing_slash(spark, tmp_path):
     assert got.count() == 200
     assert sorted(r["id"] for r in got.collect()) == list(range(200))
     assert got.filter(F.col("part") == "a/b").count() == 100
+
+
+def test_write_version_cow_contracts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "cow"))
+    df = spark.createDataFrame(
+        [(1, "p1", "a"), (2, "p2", "b")], "k int, part string, v string"
+    )
+    # bootstrap through cow falls back to a full partitioned write
+    assert t.write_version_cow(df, "part") == 1
+    assert t.manifest(1)["partition_by"] == ["part"]
+    # partition-col mismatch is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partitioned by"):
+        t.write_version_cow(df.withColumnRenamed("part", "other"), "other")
+    # merge one partition: the other's file is the same inode
+    import os
+
+    upd = spark.createDataFrame([(1, "p1", "a2")], "k int, part string, v string")
+    t.write_version_cow(upd, "part")
+    m2 = t.manifest(2)
+    p2_files = [f for f in m2["files"] if f.startswith("part=p2/")]
+    assert p2_files
+    for f in p2_files:
+        assert os.path.samefile(
+            os.path.join(t._data_dir(2), f), os.path.join(t._data_dir(1), f)
+        )
+    rows = {r["k"]: r["v"] for r in t.read_current(spark).collect()}
+    assert rows == {1: "a2", 2: "b"}
+
+
+def test_read_current_as_schema_validation(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "ras"))
+    df = spark.createDataFrame([(1, "01", "a")], "k int, part string, v string")
+    t.write_version(df, partition_by=("part",))
+    # explicit schema preserves the zero-padded string partition value
+    got = t.read_current_as(spark, df.schema).first()
+    assert got["part"] == "01"
+    import pytest as _pytest
+
+    bad = StructType.fromDDL("k int, v string")
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        t.read_current_as(spark, bad)
