@@ -67,162 +67,163 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r8 rotation (VERDICT r7 item #3: refresh the 26 rows whose
-    # latest green driver row is r5, plus the oldest r6 rows). The
-    # 50-entry driver window, in priority order: (a) queries ADDED or
-    # CHANGED this round — bucketed_join / incremental_model /
-    # heavy_hitters (late-r8 layout + sketch operators),
-    # date_spine_month / span_strip_bloom / generic_tests_audit; date_spine's month/year semantics
-    # changed (ADVICE r7 medium fix); supplier_wait and bigram_lm got
-    # new physical plans (TakeOrdered instead of global rank windows);
-    # (b) the 25 remaining r5-evidenced rows; (c) the oldest r6 rows
-    # fill the rest. Past-window: the r6 remainder then the 50
-    # r7-green rows — after r8 nothing's freshest evidence is older
-    # than r6, and every entry stays locally verified via
-    # tools/check_oracle.py. ---
+    # --- r9 rotation (VERDICT r8 item #1: refresh the 38 rows whose
+    # latest green driver row is r6). The 50-entry driver window, in
+    # priority order: (a) queries ADDED or CHANGED this round —
+    # mg_estimates / incremental_bucketed are new; streaming_upsert_view
+    # now runs the versioned COW path; heavy_hitters' sketch got the
+    # >2^53 exactness fix; the three span queries run the Bloom
+    # auto-gate default (new plans); bucketed_join gained scratch
+    # cleanup; incremental_model shares the reworked materializer;
+    # audio_pipeline's decoder gained fmt validation; (b) the 38
+    # r6-evidenced rows; (c) two of the oldest r7 rows fill the window.
+    # Past-window: the r7-green remainder (oldest evidence first),
+    # then the r8-green rows — after r9 nothing's freshest driver
+    # evidence is older than r7, and every entry stays locally
+    # verified via tools/check_oracle.py. ---
     # (a) new or changed this round
+    "mg_estimates",
+    "incremental_bucketed",
+    "streaming_upsert_view",
+    "heavy_hitters",
+    "span_strip_bloom",
+    "span_strip",
+    "span_dedup",
     "bucketed_join",
     "incremental_model",
-    "incremental_bucketed",
-    "heavy_hitters",
-    "mg_estimates",
-    "date_spine_month",
-    "span_strip_bloom",
-    "generic_tests_audit",
-    "pivot_macro",
-    "streaming_upsert_view",
     "audio_pipeline",
-    "video_frames",
-    "date_spine",
-    "supplier_wait",
-    "bigram_lm",
-    # (b) r5-evidenced rows
-    "asof_purchase_click",
-    "fuzzy_name_pairs",
-    "range_join_tiers",
-    "correlated_subquery",
-    "signup_purchase_funnel",
-    "events_sessionize",
-    "dedup_exact",
-    "bpe_token_count",
-    "scrub_pii",
-    "tfidf_top_terms",
-    "text_stats",
-    "ngram_jaccard",
-    "dedup_near",
-    "cosine_topk",
-    "crossmodal_dup_check",
-    "events_json",
-    "aux_econ_by_nta",
-    "inspections_by_nta",
-    "image_pipeline",
-    "novelty_score",
-    "split_leakage",
-    "cdc_chunks",
-    "retention_cohorts",
-    "lang_confusion",
-    "order_priority_check",
-    # (c) oldest r6 rows fill the remaining window slots
-    "location_dim",
-    "stage_rides",
-    "filter_project",
-    "payment_decode",
-    "haversine",
-    "set_except",
-    "anti_join",
-    "pricing_summary",
-    "revenue_by_nation",
-    "window_running_qty",
-    "pivot_qty_by_status",
-    "null_semantics",
-    "quantiles",
-    "date_functions",
-    "string_functions",
-    "chunk_documents",
-    "language_id",
-    "doc_fingerprint",
-    "embedding_norms",
-    # ---- past the 50-entry window: r6-green remainder, then the 50
-    # r7-green rows (freshest evidence) ----
-    "multimodal_meta",
-    "repetition_ratio",
-    "dedup_clusters",
-    "quality_filter",
-    "pack_sequences",
-    "snapshot_diff",
-    "decontaminate",
-    "stratified_sample",
-    "source_mix_report",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "resample_balanced",
-    "customer_distribution",
-    "promo_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_volume_customers",
-    "disjunctive_revenue",
-    "idle_rich_customers",
-    "profit_by_nation_year",
-    "important_parts",
-    "padded_batches",
-    "embedding_quantize",
-    "events_gapfill",
-    "quantized_topk",
-    "table_profile",
-    "user_streaks",
-    "collection_functions",
+    # (b) the 38 r6-evidenced rows
     "bpe_merges",
     "bpe_segment",
+    "chunk_documents",
+    "collection_functions",
+    "customer_distribution",
+    "date_functions",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "disjunctive_revenue",
+    "doc_fingerprint",
+    "embedding_norms",
+    "embedding_quantize",
+    "events_gapfill",
+    "idle_rich_customers",
+    "important_parts",
+    "language_id",
+    "large_volume_customers",
+    "multimodal_meta",
+    "pack_sequences",
+    "padded_batches",
+    "profit_by_nation_year",
+    "promo_revenue",
+    "quality_filter",
+    "quantiles",
+    "quantized_topk",
+    "repetition_ratio",
+    "resample_balanced",
+    "small_qty_revenue",
+    "snapshot_diff",
+    "source_mix_report",
+    "stratified_sample",
+    "string_functions",
+    "table_profile",
+    "top_supplier",
+    "user_streaks",
     "weighted_sample",
-    "table_profile_approx",
-    "embedding_near_dup",
-    "embedding_dedup",
-    "surrogate_keys",
-    "dedup_latest",
-    "decontaminate_bloom",
-    "price_histogram",
-    "volume_shipping",
-    "returned_items",
-    "rollup_qty",
-    "cube_orders",
-    "top_orders",
-    "collect_sorted",
-    "unpivot_money",
-    "word_frequencies",
-    "dispersion",
-    "event_type_daily",
-    "events_hourly",
-    "set_intersect",
+    # (c) oldest r7 rows fill the remaining window slots
     "semi_join",
-    "shipping_priority",
-    "forecast_revenue",
-    "distinct_parts_per_flag",
-    "grouping_sets",
-    "window_topk_orders",
-    "window_variants",
-    "argmax_orders",
-    "minhash_pairs",
-    "simhash",
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
+    "set_intersect",
+    # ---- past the 50-entry window: r7-green remainder, then the 50
+    # r8-green rows (freshest evidence) ----
     "approx_distinct",
-    "hash_sample",
-    "skew_join_events",
-    "span_dedup",
-    "span_strip",
-    "mixture_plan",
-    "shard_manifest",
+    "argmax_orders",
+    "collect_sorted",
+    "compression_signal",
+    "containment_pairs",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "cube_orders",
     "curriculum_stages",
     "dataset_report",
-    "compression_signal",
-    "perplexity_score",
-    "pack_render",
-    "token_budget_select",
+    "decontaminate_bloom",
+    "dedup_latest",
+    "dispersion",
+    "distinct_parts_per_flag",
+    "embedding_dedup",
+    "embedding_near_dup",
+    "event_type_daily",
+    "events_hourly",
+    "forecast_revenue",
     "global_shuffle",
-    "token_histogram",
-    "containment_pairs",
+    "grouping_sets",
+    "hash_sample",
+    "minhash_pairs",
+    "mixture_plan",
+    "pack_render",
+    "perplexity_score",
+    "price_histogram",
     "quality_logit",
+    "returned_items",
+    "rollup_qty",
+    "shard_manifest",
+    "shipping_priority",
+    "simhash",
+    "skew_join_events",
+    "surrogate_keys",
+    "table_profile_approx",
+    "token_budget_select",
+    "token_histogram",
+    "top_orders",
+    "unpivot_money",
+    "volume_shipping",
+    "window_topk_orders",
+    "window_variants",
+    "word_frequencies",
+    "anti_join",
+    "asof_purchase_click",
+    "aux_econ_by_nta",
+    "bigram_lm",
+    "bpe_token_count",
+    "cdc_chunks",
+    "correlated_subquery",
+    "cosine_topk",
+    "crossmodal_dup_check",
+    "date_spine",
+    "date_spine_month",
+    "dedup_exact",
+    "dedup_near",
+    "events_json",
+    "events_sessionize",
+    "filter_project",
+    "fuzzy_name_pairs",
+    "generic_tests_audit",
+    "haversine",
+    "image_pipeline",
+    "inspections_by_nta",
+    "lang_confusion",
+    "location_dim",
+    "ngram_jaccard",
+    "novelty_score",
+    "null_semantics",
+    "order_priority_check",
+    "payment_decode",
+    "pivot_macro",
+    "pivot_qty_by_status",
+    "pricing_summary",
+    "range_join_tiers",
+    "retention_cohorts",
+    "revenue_by_nation",
+    "scrub_pii",
+    "set_except",
+    "signup_purchase_funnel",
+    "split_leakage",
+    "stage_rides",
+    "supplier_wait",
+    "text_stats",
+    "tfidf_top_terms",
+    "video_frames",
+    "window_running_qty",
 )
 
 
