@@ -62,16 +62,25 @@ def _spans_with_positions(
 
 
 # --- bloom_prefilter="auto" gate (VERDICT r8 item #4, the size-gated
-# pattern from similarity.cosine_topk). Measured on the natural sf0.1
-# corpus (ROUND8_NOTES): the prefilter cuts the probe-side shuffle
-# 10.9× at 0.07% FPR, but its FIXED costs (dup-set checkpoint + count,
-# bitset collect, probe codegen) are ~2 s — a net loss below a few
-# hundred thousand span rows. The gate turns the prefilter on only
-# when BOTH hold:
+# pattern from similarity.cosine_topk). The prefilter provably cuts
+# probe-side SHUFFLE ROWS (measured 10.9× at 0.07% FPR on the natural
+# sf0.1 corpus, ROUND8_NOTES), but rows-cut only converts to wall time
+# when shuffle bytes are expensive — i.e. when they cross a network.
+# Measured both ways (r9, 10× organic corpus: 2.36M span rows, 5.3%
+# dup-key fraction, local[32]): off 6.1 s, on 7.8 s — on a single node
+# the shuffle is a memcpy and the prefilter's fixed costs (dup-set
+# checkpoint + count, 343 KB bitset collect, extra probe jobs) never
+# pay for themselves even at a 93% row cut. The row threshold is
+# therefore calibrated for the CLUSTER regime the operator targets:
+# ~50M span rows ≈ 1.6 GB of md5 hashes per shuffle side, where
+# dropping >90% of them beats a sub-second bitset build by orders of
+# magnitude. Local/test scales stay on the off-path (and the r9
+# measurement shows that is the FASTER path there, not a missed win).
+# The gate turns the prefilter on only when BOTH hold:
 #
-# - the span stream is big enough to amortize the fixed cost
-#   (estimated from sum(length(text)) — one column-pruned scan, no
-#   tokenize pass, no shuffle; ~6 chars per whitespace token+space);
+# - span stream ≥ BLOOM_AUTO_MIN_SPAN_ROWS (estimated from
+#   sum(length(text)) — one column-pruned scan, no tokenize pass, no
+#   shuffle; ~6 chars per whitespace token+space);
 # - the duplicated-hash set is a small fraction of the span stream —
 #   when most span hashes are duplicated the probe passes nearly
 #   every row and the bitset buys nothing.
@@ -79,8 +88,11 @@ def _spans_with_positions(
 # The dup-key count needed for the decision is the SAME count the
 # bitset sizing needs, so deciding costs nothing extra on the on-path;
 # the off-path pays one checkpoint of the (small) dup-key relation,
-# which the join consumes anyway.
-BLOOM_AUTO_MIN_SPAN_ROWS = 2_000_000
+# which the join consumes anyway. Bitset ceiling at the gate boundary:
+# 50M rows × 25% dup keys × 16 bits = 25 MB broadcast — acceptable;
+# callers forcing True on larger dup sets should size bits_per_key
+# down or re-shard first.
+BLOOM_AUTO_MIN_SPAN_ROWS = 50_000_000
 BLOOM_AUTO_MAX_DUP_KEY_FRACTION = 0.25
 _EST_CHARS_PER_TOKEN = 6
 

@@ -25,7 +25,26 @@ of near-dups, so their TRUE OUTPUT grows ~K² — are listed in
 ``OUTPUT_QUADRATIC`` with the invariant that wall growth must stay far
 below K² (pair-bounded, never corpus²-bounded).
 
-Usage: python tools/stress_full.py [K] [scratch_dir] [query ...]
+Organic mode (``--organic[=PCT]``, VERDICT r8 item #6): the plain
+replica makes every document a K-clique of exact copies — 100%
+duplicated by construction, useless for measuring dedup CUT RATES or
+the span Bloom auto-gate (ROUND8_NOTES). With ``--organic``, each
+``documents`` copy is, deterministically per (doc_id, copy):
+
+- with probability PCT% (default 7): a NEAR-DUP — every ~20th token
+  mutated, the rest intact (MinHash/shingle similarity stays high);
+- otherwise: a DISTINCT document — every token gets a copy-specific
+  suffix (no shared shingles with any other copy).
+
+``embeddings`` copies mirror the same per-(id, copy) coin so
+document↔embedding dup status stays aligned: near copies keep the
+vector exactly (cosine 1), distinct copies rotate it by ``copy``
+positions (near-zero expected cosine for these random-ish vectors).
+``n_chars`` is recomputed from the transformed text. Everything else
+(id shifts, other tables) matches the plain replica. Determinism: all
+coins are hash(id, copy) — no RNG, rebuilds are bit-identical.
+
+Usage: python tools/stress_full.py [K] [scratch_dir] [--organic[=PCT]] [query ...]
 Prints one JSON line: {query: [t_1x, t_Kx, ratio]} + per-family rollup.
 """
 
@@ -72,7 +91,61 @@ def _replicate(df, factor: int, shifts: dict[str, int]):
     return big
 
 
-def build(spark, factor: int, base: str) -> None:
+def _near_coin(id_col: str, i: int, rate_pct: int):
+    """Deterministic per-(id, copy) coin: True → this copy is a
+    near-dup of the original; shared by documents and embeddings so
+    their dup status stays aligned (vec_id pairs doc_id per copy)."""
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(i)), F.lit(100)) < rate_pct
+
+
+def _organic_documents(df, factor: int, rate_pct: int):
+    copies = [df]
+    for i in range(1, factor):
+        near_txt = F.array_join(
+            F.expr(
+                f"transform(split(text, ' '), (t, j) -> "
+                f"IF(pmod(hash(t, j, {i}), 20) = 0, concat(t, '~'), t))"
+            ),
+            " ",
+        )
+        dist_txt = F.array_join(
+            F.expr(f"transform(split(text, ' '), t -> concat(t, '_{i}'))"), " "
+        )
+        copies.append(
+            df.withColumn(
+                "text", F.when(_near_coin("doc_id", i, rate_pct), near_txt).otherwise(dist_txt)
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.lit(i * _DOC_SHIFT))
+            .withColumn("n_chars", F.length(F.coalesce(F.col("text"), F.lit(""))))
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _organic_embeddings(df, factor: int, rate_pct: int):
+    copies = [df]
+    for i in range(1, factor):
+        rot = F.expr(
+            f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
+            f"slice(embedding, 1, {i}))"
+        )
+        copies.append(
+            df.withColumn(
+                "embedding",
+                F.when(_near_coin("vec_id", i, rate_pct), F.col("embedding")).otherwise(rot),
+            ).withColumn("vec_id", F.col("vec_id") + F.lit(i * _DOC_SHIFT))
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def build(
+    spark, factor: int, base: str, organic_pct: int | None = None
+) -> None:
     plans = {
         "lineitem": {"l_orderkey": _KEY_SHIFT},
         "orders": {"o_orderkey": _KEY_SHIFT},
@@ -85,7 +158,14 @@ def build(spark, factor: int, base: str) -> None:
         "orders", "lineitem", "events", "documents", "embeddings",
     ):
         src = spark.read.parquet(f"{BASE}/{table}.parquet")
-        out = _replicate(src, factor, plans.get(table, {})) if table in plans else src
+        if organic_pct is not None and table == "documents":
+            out = _organic_documents(src, factor, organic_pct)
+        elif organic_pct is not None and table == "embeddings":
+            out = _organic_embeddings(src, factor, organic_pct)
+        elif table in plans:
+            out = _replicate(src, factor, plans[table])
+        else:
+            out = src
         out.repartition(32).write.mode("overwrite").parquet(
             f"{base}/{table}.parquet"
         )
@@ -118,13 +198,21 @@ def family_of(name: str) -> str:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark_graft_full_{factor}x"
-    names = sys.argv[3:] or list(all_queries())
+    argv = list(sys.argv[1:])
+    organic_pct: int | None = None
+    for a in list(argv):
+        if a.startswith("--organic"):
+            organic_pct = int(a.split("=", 1)[1]) if "=" in a else 7
+            argv.remove(a)
+    factor = int(argv[0]) if argv else 10
+    base = argv[1] if len(argv) > 1 else f"/tmp/spark_graft_full_{factor}x"
+    names = argv[2:] or list(all_queries())
     spark = get_spark("stress_full")
-    if not os.path.exists(f"{base}/_BUILT"):
-        build(spark, factor, base)
-        open(f"{base}/_BUILT", "w").write(str(factor))
+    marker = f"{factor}:organic={organic_pct}"
+    built = f"{base}/_BUILT"
+    if not (os.path.exists(built) and open(built).read() == marker):
+        build(spark, factor, base, organic_pct)
+        open(built, "w").write(marker)
     # session warmup: JVM/codegen cold-start otherwise lands entirely
     # on the first few 1× timings and poisons their ratios
     for w in ("pricing_summary", "text_stats", "dedup_exact"):
