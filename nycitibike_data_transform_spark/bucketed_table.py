@@ -77,7 +77,8 @@ from nycitibike_data_transform_spark.versioning import VersionedTable, _durable_
 
 # Spark's bucketed writer encodes the bucket id as _NNNNN before the
 # file extensions: part-00003-<uuid>_00007.c000.snappy.parquet
-_BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
+# (zero-padded to 5 digits, but ids >= 100000 print wider — hence {5,})
+_BUCKET_ID_RE = re.compile(r"_(\d{5,})\.")
 
 
 def bucket_id_of_file(name: str) -> int:
