@@ -114,13 +114,20 @@ class BucketedIncrementalTable(VersionedTable):
         cur = self.current_version()
         if cur is not None:
             m = self.manifest(cur)
-            spec = (m.get("bucket_cols"), m.get("num_buckets"))
-            if spec != (self.bucket_cols, self.num_buckets):
+            # sort_cols is part of the spec check too: a reopen with
+            # different sort_cols would stage NEW bucket files sorted
+            # one way while hardlinked old files stay sorted the other,
+            # and register()'s SORTED BY metadata would then let Spark
+            # elide sorts over files that aren't — silently wrong join
+            # results, the worst failure class (review finding r9)
+            spec = (m.get("bucket_cols"), m.get("num_buckets"), m.get("sort_cols"))
+            if spec != (self.bucket_cols, self.num_buckets, self.sort_cols):
                 raise ValueError(
-                    f"existing table at {root} is bucketed {spec}, "
-                    f"requested ({self.bucket_cols}, {self.num_buckets}) — "
-                    "changing the layout needs an explicit full write_full "
-                    "after constructing with the NEW spec and vacuuming"
+                    f"existing table at {root} has layout {spec}, "
+                    f"requested ({self.bucket_cols}, {self.num_buckets}, "
+                    f"{self.sort_cols}) — changing the layout needs an "
+                    "explicit full write_full after constructing with the "
+                    "NEW spec and vacuuming"
                 )
 
     # ------------------------------------------------------------ util
@@ -237,6 +244,14 @@ class BucketedIncrementalTable(VersionedTable):
                 f"updates={sorted(updates.columns)}"
             )
         updates = updates.select(*[f.name for f in schema.fields])
+        # checkpoint BEFORE the touched-bucket collect (review finding
+        # r9, the flag_contaminated lesson): the collect below and the
+        # merge would otherwise each re-run the updates plan — paying
+        # the build twice, and worse, a nondeterministic source could
+        # emit rows into a bucket the collect didn't see, committing
+        # TWO files for one bucket (stale duplicates + a broken
+        # one-file-per-bucket invariant)
+        updates = updates.localCheckpoint(eager=True)
 
         # bounded metadata collect: ≤ num_buckets distinct ids
         touched = sorted(

@@ -110,6 +110,13 @@ def _resolve_bloom(
     (possibly prefiltered spans, checkpointed-or-passthrough dup_keys);
     output is bit-identical across all three modes (the prefilter is
     lossless — pinned in tests/test_spans.py both sides of the gate).
+
+    Laziness contract (r9 review): ``False`` builds a fully lazy plan;
+    ``True`` and ``"auto"`` EXECUTE at call time — both checkpoint and
+    count the dup-key relation (materializing the span groupBy), and
+    "auto" additionally scans the text column once for the size
+    estimate. Callers that only want to build/inspect a plan should
+    pass ``False``.
     """
     if mode is False:
         return spans, dup_keys
@@ -119,11 +126,6 @@ def _resolve_bloom(
         raise ValueError(
             f"bloom_prefilter must be True, False, or 'auto', got {mode!r}"
         )
-    from nycitibike_data_transform_spark.operators.bloom import (
-        bloom_build,
-        bloom_prefilter,
-    )
-
     dup_keys = dup_keys.localCheckpoint(eager=True)
     n_keys = dup_keys.count()
     if n_keys == 0:
@@ -135,13 +137,18 @@ def _resolve_bloom(
         or n_keys > est_span_rows * BLOOM_AUTO_MAX_DUP_KEY_FRACTION
     ):
         return spans, dup_keys
-    m_bits = max(64, -(-(n_keys * bits_per_key) // 64) * 64)
-    bits = bloom_build(dup_keys, "__h", m_bits=m_bits)
-    return bloom_prefilter(spans, "__h", bits), dup_keys
+    # same sized build as the forced-True path — shared helper so the
+    # bitset sizing/FPR math can never diverge between modes (r9 review)
+    return _bloom_cut_probe_side(
+        spans, dup_keys, bits_per_key, n_keys=n_keys
+    )
 
 
 def _bloom_cut_probe_side(
-    spans: DataFrame, dup_keys: DataFrame, bits_per_key: int
+    spans: DataFrame,
+    dup_keys: DataFrame,
+    bits_per_key: int,
+    n_keys: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lossless Bloom prefilter in front of the spans ⋈ dup-hash
     equi-join (VERDICT r7 item #4 — the DEPLOY.md shuffle-cut wired
@@ -157,14 +164,17 @@ def _bloom_cut_probe_side(
     collect, and the final join would otherwise each recompute the
     full span groupBy from scratch (the flag_contaminated lesson,
     ADVICE r7). Returns (prefiltered spans, checkpointed dup_keys).
+    Pass ``n_keys`` when the caller already checkpointed and counted
+    (the auto gate) — the keys are then used as-is.
     """
     from nycitibike_data_transform_spark.operators.bloom import (
         bloom_build,
         bloom_prefilter,
     )
 
-    dup_keys = dup_keys.localCheckpoint(eager=True)
-    n_keys = dup_keys.count()
+    if n_keys is None:
+        dup_keys = dup_keys.localCheckpoint(eager=True)
+        n_keys = dup_keys.count()
     m_bits = max(64, -(-(n_keys * bits_per_key) // 64) * 64)
     bits = bloom_build(dup_keys, "__h", m_bits=m_bits)
     return bloom_prefilter(spans, "__h", bits), dup_keys
@@ -205,7 +215,9 @@ def strip_duplicate_spans(
     span rows whose hash provably isn't duplicated are dropped by a
     broadcast Bloom bitset before they shuffle — lossless, output
     bit-identical. "auto" engages it only past the size gate (see
-    ``_resolve_bloom``); True/False force either path.
+    ``_resolve_bloom``); True/False force either path. NOTE: with
+    "auto" (and True) plan CONSTRUCTION executes the dup-hash
+    count — pass False for a fully lazy plan.
     """
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")

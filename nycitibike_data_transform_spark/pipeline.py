@@ -203,10 +203,19 @@ def _materialize_incremental(
     Targets: plain parquet (whole-table rewrite on merge),
     ``partition_by`` (partition-scoped merge — only touched partitions
     rewritten, via :func:`merge_upsert_partitioned`),
-    ``versioned=True`` (merge committed as an atomic new snapshot), or
-    ``bucket_by`` (the composed layout, ``bucketed_table.py``:
-    bucket-granular merge + zero-shuffle downstream joins + intrinsic
-    snapshot versioning)."""
+    ``versioned=True`` (merge committed as an atomic new snapshot;
+    with ``partition_by`` the commit is partition-scoped
+    copy-on-write), or ``bucket_by`` (the composed layout,
+    ``bucketed_table.py``: bucket-granular merge + zero-shuffle
+    downstream joins + intrinsic snapshot versioning).
+
+    EVERY partition- or bucket-scoped form carries the key-stability
+    contract: the partition/bucket columns must be functionally
+    dependent on ``incremental_keys`` (a key never moves between
+    partitions), or the moved key's stale row survives in an untouched
+    partition. ``bucket_by`` enforces it structurally (⊆ keys) at
+    declaration; ``partition_by`` is a documented contract, matching
+    :func:`merge_upsert_partitioned`."""
     keys = list(model.incremental_keys)
     wm = model.watermark_col
     missing = [c for c in (*keys, wm) if c not in df.columns]
@@ -256,7 +265,14 @@ def _materialize_incremental(
             # #3): merge only the touched partitions and hardlink the
             # rest into the new snapshot — the versioned refresh now
             # costs O(touched data) like the unversioned partitioned
-            # merge, while keeping the atomic pointer-swap commit
+            # merge, while keeping the atomic pointer-swap commit.
+            # SAME contract as merge_upsert_partitioned (r9 review:
+            # this used to be a whole-table merge, which tolerated a
+            # key changing its partition value — the scoped form does
+            # not): partition_col must be functionally dependent on
+            # the keys, or a moved key's stale row survives in an
+            # untouched partition. The unversioned partitioned path
+            # has always had this contract; versioned now matches it.
             pc = model.partition_by[0]
             existing = table.read_current_as(spark, df.schema)
             updates = _updates(existing)

@@ -84,6 +84,7 @@ def apply_upsert_batch(
     a cadence (``VersionedTable(path).vacuum(keep=...)``).
     """
     from nycitibike_data_transform_spark.pipeline import (
+        _has_parquet_files,
         read_table_for_merge,
         touched_partition_filter,
         write_dynamic_partition_overwrite,
@@ -98,6 +99,18 @@ def apply_upsert_batch(
         raise ValueError(f"batch missing partition column {partition_col!r}")
 
     table = VersionedTable(path) if versioned else None
+    if versioned and table.current_version() is None and _has_parquet_files(path):
+        # an existing NON-versioned table at path: bootstrapping a
+        # versioned view over it would silently abandon every prior
+        # row (the old part files have no manifest and never merge
+        # again). Fail loudly — migrate by replaying the stream into a
+        # fresh path, or seed the snapshot with one explicit
+        # write_version of the old table (review finding r9)
+        raise ValueError(
+            f"{path!r} holds parquet data but no versioned-table "
+            "pointer: refusing to bootstrap versioned=True over a "
+            "non-versioned upsert target"
+        )
     exists = (
         table.current_version() is not None
         if versioned

@@ -175,8 +175,13 @@ def test_contracts(spark, tmp_path):
         t.write_version(_facts(spark, 5))
     with pytest.raises(TypeError, match="one file per bucket"):
         t.compact(spark)
-    with pytest.raises(ValueError, match="bucketed"):
+    with pytest.raises(ValueError, match="layout"):
         BucketedIncrementalTable(str(tmp_path / "t"), ["k"], 4)
+    # sort_cols is part of the layout spec too (r9 review: a silent
+    # sort change would register false SORTED BY metadata over
+    # hardlinked old files — wrong join results)
+    with pytest.raises(ValueError, match="layout"):
+        BucketedIncrementalTable(str(tmp_path / "t"), ["k"], N_BUCKETS, sort_cols=["v"])
     with pytest.raises(ValueError, match="bootstrap"):
         BucketedIncrementalTable(str(tmp_path / "empty"), ["k"], 4).merge(
             spark, upd, ["k"]

@@ -679,3 +679,22 @@ def test_upsert_versioned_stream_end_to_end(spark, sf_dir, tmp_path):
         for r in all_queries()["dedup_latest"].spark(spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_upsert_versioned_refuses_nonversioned_target(spark, tmp_path):
+    """r9 review: flipping versioned=True over an existing PLAIN
+    upsert target must fail loudly — a versioned bootstrap there would
+    silently abandon every prior row (no manifest, never merged)."""
+    from nycitibike_data_transform_spark.streaming.upsert import apply_upsert_batch
+
+    rows = spark.createDataFrame(
+        [(1, 1, 1.0, "t")], "user_id long, event_id long, ts double, event_type string"
+    )
+    target = str(tmp_path / "plain_then_versioned")
+    apply_upsert_batch(rows, 0, target, ["user_id"], ["ts", "event_id"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refusing to bootstrap"):
+        apply_upsert_batch(
+            rows, 1, target, ["user_id"], ["ts", "event_id"], versioned=True
+        )
