@@ -703,3 +703,46 @@ def test_incremental_versioned_partitioned_is_cow(spark, tmp_path):
     assert any(f.startswith("day=4/") for f in table.manifest(2)["files"])
     # v1 remains time-travel readable after the COW commit
     assert table.read_version(spark, 1).count() == 3
+
+
+def test_downstream_model_join_on_bucketed_incremental_is_shuffle_free(
+    spark, tmp_path
+):
+    """The point of the composed layout: a DOWNSTREAM model joining two
+    bucketed incremental facts on the bucket key gets a zero-exchange
+    plan through Pipeline.run itself (not just in hand-built probes)."""
+    from nycitibike_data_transform_spark.plans import count_exchanges
+
+    srca, srcb = str(tmp_path / "a"), str(tmp_path / "b")
+    _write_src(spark, srca, [(i, 1, f"a{i}") for i in range(50)])
+    _write_src(spark, srcb, [(i, 1, f"b{i}") for i in range(50)])
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("feed_a", lambda s: s.read.parquet(srca))
+    p.add_source("feed_b", lambda s: s.read.parquet(srcb))
+    for name, dep in (("fact_a", "feed_a"), ("fact_b", "feed_b")):
+        p.add_model(
+            name,
+            lambda s, **deps: next(iter(deps.values())).select("id", "day", "v"),
+            deps=(dep,),
+            bucket_by=("id",),
+            num_buckets=8,
+            incremental_keys=("id",),
+            watermark_col="day",
+        )
+    joined_plan = {}
+
+    def build_joined(s, fact_a, fact_b):
+        j = fact_a.hint("merge").join(
+            fact_b.select("id", F.col("v").alias("w")), "id"
+        )
+        joined_plan["exchanges"] = count_exchanges(j)
+        return j
+
+    p.add_model("joined", build_joined, deps=("fact_a", "fact_b"))
+    built = p.run(spark)
+    try:
+        assert joined_plan["exchanges"] == 0
+        assert built["joined"].count() == 50
+    finally:
+        for n in ("fact_a", "fact_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
