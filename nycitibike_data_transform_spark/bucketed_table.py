@@ -35,6 +35,13 @@ writer:
   refresh killed at ANY point leaves the previous snapshot intact and
   readable (crash-safety the plain catalog-bucketed table never had),
   with time travel and vacuum inherited.
+- **Bucket-pruned point lookups**: an equality filter on the bucket
+  column scans 1 of n bucket files (``SelectedBucketsCount`` in the
+  plan) — note Spark's autoBucketedScan optimization (SPARK-32859)
+  swaps in a plain scan when no operator needs the distribution,
+  which also drops the pruning; set
+  ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` for
+  lookup-style workloads (pinned in tests).
 - **Downstream zero-shuffle access**: ``register()`` creates an
   external ``CLUSTERED BY … INTO n BUCKETS`` table over the CURRENT
   snapshot dir. Spark parses each file's bucket id from its name, so

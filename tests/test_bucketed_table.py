@@ -246,3 +246,45 @@ def test_random_merge_sequences_converge_to_reference(spark, tmp_path):
         # all update rows) — dedup the batch like a real feed would
         dedup = {k: (k, v, s) for k, v, s in batch}
         apply(list(dedup.values()))
+
+
+def test_multi_column_bucket_keys(spark, tmp_path):
+    t = BucketedIncrementalTable(str(tmp_path / "t"), ["k", "s"], N_BUCKETS)
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 2) for i in range(60)], "k long, s string, v long"
+    )
+    t.write_full(spark, df)
+    upd = spark.createDataFrame([(5, "g2", 999)], "k long, s string, v long")
+    touched = t.merge(spark, upd, ["k", "s"])
+    assert len(touched) == 1
+    rows = {(r["k"], r["s"]): r["v"] for r in t.read_current(spark).collect()}
+    assert rows[(5, "g2")] == 999  # overwrote the existing (5, g2) row
+    assert rows[(4, "g1")] == 8 and len(rows) == 60
+    # bucket cols must ALL be merge keys
+    with pytest.raises(ValueError, match="not merge keys"):
+        t.merge(spark, upd, ["k"])
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """Spark's bucketed scan prunes buckets on equality filters over
+    the bucket column — a point lookup against the registered snapshot
+    opens 1 of N bucket files (SelectedBucketsCount in the plan), the
+    O(1-bucket) GET the layout buys beyond the zero-shuffle joins."""
+    from nycitibike_data_transform_spark.plans import formatted_plan
+
+    t = BucketedIncrementalTable(str(tmp_path / "t"), ["k"], N_BUCKETS)
+    t.write_full(spark, _facts(spark, 200))
+    t.register(spark, "bkt_point")
+    # autoBucketedScan (SPARK-32859) swaps the bucketed scan for a
+    # plain one when no operator needs the distribution — which also
+    # drops bucket pruning; pin it off for the point-lookup pattern
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        q = spark.table("bkt_point").filter(F.col("k") == 42)
+        plan = formatted_plan(q)
+        assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan
+        assert q.first()["v"] == 84
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_point")
