@@ -55,6 +55,7 @@ def apply_upsert_batch(
     order_desc: list[str],
     partition_col: str | None = None,
     versioned: bool = False,
+    keep_versions: int | None = None,
 ) -> None:
     """The ``foreachBatch`` body — also directly callable for tests
     and for batch backfills (same code path as the stream, the
@@ -80,8 +81,13 @@ def apply_upsert_batch(
     With ``partition_col`` the commit is still partition-scoped:
     untouched partitions' files are hardlinked into the new snapshot
     (``write_version_cow`` — O(touched data) written per batch). The
-    cost of atomicity is snapshot accumulation: cap it by vacuuming on
-    a cadence (``VersionedTable(path).vacuum(keep=...)``).
+    cost of atomicity is snapshot accumulation — one snapshot per
+    micro-batch, unbounded over a long-running stream — so
+    ``keep_versions`` vacuums after each commit (the Pipeline's
+    retention knob, applied at stream cadence). ``None`` keeps
+    everything: an explicit archival choice, reasonable for
+    availableNow catch-up runs, wrong for a 24/7 processingTime
+    stream.
     """
     from nycitibike_data_transform_spark.pipeline import (
         _has_parquet_files,
@@ -154,6 +160,8 @@ def apply_upsert_batch(
             )
         else:
             table.write_version_cow(merged, partition_col)
+        if keep_versions is not None:
+            table.vacuum(keep=keep_versions)
     elif partition_col is None:
         merged.write.mode("overwrite").parquet(path)
     else:
@@ -168,6 +176,7 @@ def upsert_stream_to_table(
     checkpoint_dir: str,
     partition_col: str | None = None,
     versioned: bool = False,
+    keep_versions: int | None = None,
 ) -> DataStreamWriter:
     """Wire a stream into the upsert view. Returns a CONFIGURED
     ``DataStreamWriter`` — the caller picks the trigger and starts it
@@ -175,11 +184,15 @@ def upsert_stream_to_table(
     ``.trigger(processingTime=...)`` for continuous maintenance); the
     query is NOT started here. ``partition_col`` selects the
     partition-scoped merge; ``versioned`` makes every micro-batch a
-    crash-atomic snapshot commit (see :func:`apply_upsert_batch`)."""
+    crash-atomic snapshot commit, with ``keep_versions`` bounding
+    snapshot retention per batch (see :func:`apply_upsert_batch`)."""
+    if keep_versions is not None and not versioned:
+        raise ValueError("keep_versions requires versioned=True")
     return (
         stream_df.writeStream.foreachBatch(
             lambda df, bid: apply_upsert_batch(
-                df, bid, path, keys, order_desc, partition_col, versioned
+                df, bid, path, keys, order_desc, partition_col, versioned,
+                keep_versions,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -698,3 +698,35 @@ def test_upsert_versioned_refuses_nonversioned_target(spark, tmp_path):
         apply_upsert_batch(
             rows, 1, target, ["user_id"], ["ts", "event_id"], versioned=True
         )
+
+
+def test_upsert_versioned_keep_versions_bounds_retention(spark, tmp_path):
+    """keep_versions vacuums after each versioned batch commit: a
+    long-running stream keeps a bounded snapshot history while the
+    newest snapshots stay readable (hardlinks survive the vacuum)."""
+    from nycitibike_data_transform_spark.streaming.upsert import (
+        apply_upsert_batch,
+        upsert_stream_to_table,
+    )
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    target = str(tmp_path / "bounded")
+    schema = "user_id long, event_id long, ts double, event_type string, shard long"
+    for i in range(4):
+        batch = spark.createDataFrame([(i, i, float(i), "t", i % 2)], schema)
+        apply_upsert_batch(
+            batch, i, target, ["user_id"], ["ts", "event_id"],
+            partition_col="shard", versioned=True, keep_versions=2,
+        )
+    table = VersionedTable(target)
+    assert table.current_version() == 4
+    assert table.versions() == [3, 4]  # older snapshots vacuumed
+    assert table.read_current(spark).count() == 4  # all keys survive
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_versions requires"):
+        upsert_stream_to_table(
+            spark.readStream.format("rate").load(), target,
+            ["user_id"], ["ts"], str(tmp_path / "ck"), keep_versions=2,
+        )
