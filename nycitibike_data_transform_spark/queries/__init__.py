@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new or changed this round
     "mg_estimates",
     "incremental_bucketed",
+    "zonemap_scan",
     "streaming_upsert_view",
     "heavy_hitters",
     "span_strip_bloom",
@@ -131,11 +132,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_supplier",
     "user_streaks",
     "weighted_sample",
-    # (c) oldest r7 rows fill the remaining window slots
+    # (c) the oldest r7 row fills the last window slot (zonemap_scan,
+    # added late in r9, took the other filler's place)
     "semi_join",
-    "set_intersect",
     # ---- past the 50-entry window: r7-green remainder, then the 50
     # r8-green rows (freshest evidence) ----
+    "set_intersect",
     "approx_distinct",
     "argmax_orders",
     "collect_sorted",

@@ -420,6 +420,50 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map FILE SKIPPING under the batch oracle (r9): materialize
+    lineitem as a versioned snapshot, ``compact(cluster_by=
+    (l_shipdate,))`` so each file covers a narrow non-overlapping date
+    range, then ``read_range`` a one-quarter window — the read opens
+    ONLY the files whose footer [min,max] overlaps (Delta data
+    skipping, built from parquet row-group stats cached in a manifest
+    sidecar). Certified against the plain full-scan filter in DuckDB:
+    skipping changes I/O, never answers. The actual file-count cut is
+    pinned in tests/test_versioning.py; at 100 TB the same read opens
+    O(matching files) instead of O(table). Eager by construction
+    (snapshot + compaction run at plan build) — EAGER class in the
+    plan audit."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = load(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    tmp = tempfile.mkdtemp(prefix="zonemap_")
+    try:
+        table = VersionedTable(f"{tmp}/li")
+        table.write_version(li.repartition(8))
+        table.compact(spark, target_file_mb=1, cluster_by=("l_shipdate",))
+        return (
+            table.read_range(
+                spark, "l_shipdate", dt.datetime(1996, 1, 1), dt.datetime(1996, 3, 31)
+            )
+            .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_ZONEMAP_SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+"""
+
+
 _BUCKETED_JOIN_SQL = """
 SELECT o_orderkey, o_orderpriority,
        count(*) AS n_items,
@@ -751,6 +795,7 @@ QUERIES: dict[str, QuerySpec] = {
     "price_histogram": QuerySpec(_q_price_histogram, _PRICE_HISTOGRAM_SQL),
     "shipping_priority": QuerySpec(_q_shipping_priority, _SHIPPING_PRIORITY_SQL),
     "bucketed_join": QuerySpec(_q_bucketed_join, _BUCKETED_JOIN_SQL),
+    "zonemap_scan": QuerySpec(_q_zonemap_scan, _ZONEMAP_SCAN_SQL),
     "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
     "volume_shipping": QuerySpec(_q_volume_shipping, _VOLUME_SHIPPING_SQL),
     "returned_items": QuerySpec(_q_returned_items, _RETURNED_ITEMS_SQL),

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,28 @@ def _hashable_type(dt) -> bool:
     if isinstance(dt, StructType):
         return all(_hashable_type(f.dataType) for f in dt.fields)
     return True
+
+
+def _stats_json(v):
+    """Canonical JSON-storable form of a parquet-stats value that
+    PRESERVES ORDERING under Python comparison, so cached zone maps
+    compare correctly against query bounds put through the same
+    function: numbers/strings as-is; bytes as byte lists
+    (lexicographic); datetime/date as ISO strings (ISO orders
+    correctly within one flavor — pass bounds in the column's own
+    temporal flavor); Decimal as float (exact for this engine's
+    decimal(18,2) money range; sub-ulp edge cases only matter beyond
+    2^53)."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, bytes):
+        return list(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _Dec):
+        return float(v)
+    return v
 
 
 def _durable_write(path: str, content: str) -> None:
@@ -127,8 +150,11 @@ class VersionedTable:
             return []
         out = []
         for name in sorted(os.listdir(self._versions_dir)):
-            if name.endswith(".json"):
-                v = int(name[1:-5])
+            # strict manifest pattern: zone-map sidecars (vN.stats.json)
+            # and any future metadata live alongside the manifests
+            m = re.fullmatch(r"v(\d{8})\.json", name)
+            if m:
+                v = int(m.group(1))
                 if v <= cur:
                     out.append(v)
         return out
@@ -195,6 +221,128 @@ class VersionedTable:
         _durable_write(self._manifest_path(version), json.dumps(manifest))
         _durable_write(self._pointer, str(version))  # the commit point
         return version
+
+    # --------------------------------------------- zone-map file skipping
+
+    def file_stats(self, version: int, cols: list[str]) -> dict:
+        """Per-file zone maps for ``cols`` on one committed snapshot:
+        ``{rel_file: {col: {"min": v, "max": v, "nulls": n, "rows": n}
+        | None}}`` (None = no usable stats for that column in that
+        file — the pruner must keep it). Aggregated from the parquet
+        FOOTERS (row-group statistics), driver-side one footer per
+        file — manifest-class metadata, the same information Delta
+        materializes into its log at write time. Cached durably in a
+        sidecar next to the manifest (``vN.stats.json``), so the
+        footer sweep runs once per (version, new columns). Snapshot
+        immutability makes the cache trivially valid forever.
+
+        Scope note, matching the module contract: footers are read
+        through the local filesystem. An object-store port would
+        collect these stats executor-side at write time (as Delta
+        does) — the READ path (``read_range``) is unchanged by that.
+        """
+        import pyarrow.parquet as pq
+
+        if version not in self.versions():
+            raise ValueError(f"version {version} not committed")
+        sidecar = os.path.join(self._versions_dir, f"v{version:08d}.stats.json")
+        cached: dict = {}
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                cached = json.load(f)
+        manifest = self.manifest(version)
+        missing_cols = [
+            c
+            for c in cols
+            if any(c not in cached.get(f, {}) for f in manifest["files"])
+        ]
+        if missing_cols:
+            data_dir = self._data_dir(version)
+            for rel in manifest["files"]:
+                md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
+                entry = cached.setdefault(rel, {})
+                name_to_idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                for c in missing_cols:
+                    idx = name_to_idx.get(c)
+                    agg = None
+                    if idx is not None:
+                        mins, maxs, nulls, rows, ok = [], [], 0, 0, True
+                        for rg in range(md.num_row_groups):
+                            col_md = md.row_group(rg).column(idx)
+                            st = col_md.statistics
+                            rows += col_md.num_values
+                            if st is None or not st.has_min_max:
+                                # all-null row groups legitimately lack
+                                # min/max; only a missing null_count
+                                # makes the file unprunable
+                                if st is None or st.null_count is None:
+                                    ok = False
+                                    break
+                                nulls += st.null_count
+                                continue
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                            nulls += st.null_count or 0
+                        if ok and mins:
+                            agg = {
+                                "min": _stats_json(min(mins)),
+                                "max": _stats_json(max(maxs)),
+                                "nulls": nulls,
+                                "rows": rows,
+                            }
+                        elif ok and not mins:
+                            # every row group all-null: a range
+                            # predicate can never match — prunable
+                            agg = {"min": None, "max": None,
+                                   "nulls": nulls, "rows": rows}
+                    entry[c] = agg
+            _durable_write(sidecar, json.dumps(cached))
+        return {f: {c: cached[f].get(c) for c in cols} for f in manifest["files"]}
+
+    def read_range(
+        self, spark: SparkSession, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Range scan with ZONE-MAP FILE SKIPPING: rows of the snapshot
+        where ``lo <= col <= hi`` (SQL BETWEEN semantics — NULLs never
+        match), reading ONLY the files whose footer [min, max] overlaps
+        the range. After ``compact(cluster_by=(col,))`` laid the
+        snapshot out in non-overlapping ranges, a point/range query
+        opens O(matching files) instead of O(table) — the read-side
+        payoff of that clustering (Delta's data skipping). Fail-safe:
+        a file without usable stats for ``col`` is always read (the
+        residual filter keeps the answer exact either way)."""
+        from pyspark.sql import functions as F
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"empty versioned table at {self.root}")
+        stats = self.file_stats(v, [col])
+        lo_j, hi_j = _stats_json(lo), _stats_json(hi)
+        keep = []
+        for rel, by_col in stats.items():
+            s = by_col[col]
+            if s is None:
+                keep.append(rel)  # unknown — must read
+            elif s["min"] is None:
+                continue  # all-null file: BETWEEN matches nothing
+            elif not (s["max"] < lo_j or s["min"] > hi_j):
+                keep.append(rel)
+        data_dir = self._data_dir(v)
+        df_filter = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if not keep:
+            return (
+                spark.read.option("basePath", data_dir)
+                .parquet(data_dir)
+                .filter(df_filter)
+                .limit(0)
+            )
+        # basePath keeps hive partition columns when reading file lists
+        reader = spark.read.option("basePath", data_dir)
+        return reader.parquet(
+            *[os.path.join(data_dir, f) for f in keep]
+        ).filter(df_filter)
 
     def write_version_cow(
         self, merged: DataFrame, partition_col: str
@@ -459,6 +607,12 @@ class VersionedTable:
             # manifest's existence
             try:
                 os.remove(self._manifest_path(v))
+            except FileNotFoundError:
+                pass
+            try:  # zone-map sidecar, if file_stats ever ran on v
+                os.remove(
+                    os.path.join(self._versions_dir, f"v{v:08d}.stats.json")
+                )
             except FileNotFoundError:
                 pass
             shutil.rmtree(self._data_dir(v), ignore_errors=True)

@@ -497,3 +497,79 @@ def test_write_version_cow_adversarial_partition_values(spark, tmp_path):
                 os.path.join(t._data_dir(2), f), os.path.join(t._data_dir(1), f)
             )
         )
+
+
+def test_read_range_zone_map_skips_files(spark, tmp_path):
+    """After compact(cluster_by) lays the snapshot out in
+    non-overlapping ranges, read_range opens only the overlapping
+    files (inputFiles ≪ total) and returns exactly the plain-filter
+    answer."""
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "zm"))
+    # xxhash64 payload resists compression so target_file_mb=1 yields
+    # a genuinely multi-file clustered layout
+    df = spark.range(2_000_000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("v")
+    )
+    t.write_version(df.repartition(8))
+    t.compact(spark, target_file_mb=1, cluster_by=("k",))
+    total_files = len(t.manifest(t.current_version())["files"])
+    assert total_files > 3  # the pruning test needs several files
+
+    got = t.read_range(spark, "k", 10_000, 10_050)
+    assert len(got.inputFiles()) < total_files
+    expect = sorted(
+        map(tuple, df.filter((F.col("k") >= 10_000) & (F.col("k") <= 10_050)).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == expect
+
+    # out-of-domain range: zero files read, empty result, schema kept
+    nothing = t.read_range(spark, "k", 10**9, 10**9 + 5)
+    assert nothing.count() == 0 and nothing.columns == ["k", "v"]
+
+
+def test_read_range_fail_safe_and_nulls(spark, tmp_path):
+    """Files without usable stats are always read (fail-safe); an
+    all-null file is provably unmatchable by BETWEEN and is pruned;
+    NULL rows never match (SQL semantics)."""
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "zmn"))
+    mixed = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c"), (None, "d")], "k int, s string"
+    )
+    t.write_version(mixed.repartition(1))
+    got = sorted(
+        map(tuple, t.read_range(spark, "k", 0, 10).select("k", "s").collect())
+    )
+    assert got == [(1, "a"), (2, None)]
+
+    # stats sidecar is cached and durable
+    v = t.current_version()
+    stats1 = t.file_stats(v, ["k"])
+    stats2 = t.file_stats(v, ["k"])
+    assert stats1 == stats2
+    for by_col in stats1.values():
+        assert by_col["k"]["min"] == 1 and by_col["k"]["max"] == 2
+        assert by_col["k"]["nulls"] == 2
+
+
+def test_read_range_partitioned_snapshot_keeps_partition_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "zmp"))
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(40)], "k int, part string, v int"
+    )
+    t.write_version(df.repartition("part"), partition_by=("part",))
+    got = t.read_range(spark, "k", 5, 8)
+    assert set(got.columns) == {"k", "part", "v"}
+    rows = sorted(map(tuple, got.select("k", "part", "v").collect()))
+    assert rows == [(5, "p1", 50), (6, "p0", 60), (7, "p1", 70), (8, "p0", 80)]
