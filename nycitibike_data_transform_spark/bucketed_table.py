@@ -163,7 +163,14 @@ class BucketedIncrementalTable(VersionedTable):
             .sortBy(self.sort_cols[0], *self.sort_cols[1:])
             .option("path", stage)
         )
-        writer.saveAsTable(table)
+        from nycitibike_data_transform_spark.versioning import (
+            _stats_friendly_writes,
+        )
+
+        with _stats_friendly_writes(spark):
+            # MICROS timestamps (not stat-less INT96) so parquet
+            # row-group skipping works on sorted time columns
+            writer.saveAsTable(table)
         spark.sql(f"DROP TABLE `{table}`")  # external: files stay
         return stage
 

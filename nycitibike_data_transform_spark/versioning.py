@@ -91,6 +91,29 @@ def _stats_json(v):
     return v
 
 
+class _stats_friendly_writes:
+    """Write parquet with ``TIMESTAMP_MICROS`` instead of Spark's
+    legacy INT96 default (conf saved/restored): INT96 carries NO
+    column statistics, which silently blinds the zone-map pruner (and
+    parquet row-group skipping generally) for every timestamp column —
+    a snapshot written under the default would make ``read_range`` on
+    a time column fail-safe to a full file list. MICROS is the modern
+    parquet timestamp; every reader here (Spark, DuckDB, pyarrow)
+    handles it natively."""
+
+    KEY = "spark.sql.parquet.outputTimestampType"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY)
+        self.spark.conf.set(self.KEY, "TIMESTAMP_MICROS")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.prev)
+
+
 def _durable_write(path: str, content: str) -> None:
     """write-temp + fsync + atomic rename + fsync(dir): the rename is
     the commit point and both the bytes and the directory entry are
@@ -203,7 +226,8 @@ class VersionedTable:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
+        with _stats_friendly_writes(df.sparkSession):
+            writer.parquet(data_dir)
 
         files = sorted(
             os.path.relpath(os.path.join(base, f), data_dir)
@@ -391,7 +415,8 @@ class VersionedTable:
             shutil.rmtree(data_dir)
         stage = os.path.join(self.root, "_staging", "cow")
         shutil.rmtree(stage, ignore_errors=True)
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+        with _stats_friendly_writes(merged.sparkSession):
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
         try:
             replaced_dirs = {
                 d
