@@ -321,7 +321,8 @@ class BucketedIncrementalTable(VersionedTable):
         )
 
     def compact(self, spark: SparkSession, target_file_mb: int = 128,
-                cluster_by: tuple[str, ...] = ()) -> int:
+                cluster_by: tuple[str, ...] = (),
+                zorder_by: tuple[str, ...] = ()) -> int:
         """Blocked: every snapshot already holds exactly one file per
         bucket (the replacement invariant), so there is nothing to
         compact; file sizing is governed by ``num_buckets``. To change

@@ -471,11 +471,77 @@ class VersionedTable:
             )
         return spark.read.schema(schema).parquet(self._data_dir(cur))
 
+    @staticmethod
+    def _zvalue_column(df: DataFrame, cols: tuple[str, ...], bits: int = 8):
+        """Z-order (Morton) key over ``cols`` as a Column: each column
+        is quantile-bucketized into 2^bits ranks (percentile_approx —
+        ONE bounded aggregate, 2^bits-1 boundary literals per column,
+        so skew can't unbalance the curve the way min/max scaling
+        would), then the rank bits are interleaved. Rows close on the
+        curve are close in EVERY dimension, so range-partitioning by
+        the z-value gives every file a bounded min/max rectangle on
+        ALL the z-ordered columns at once — the property lexicographic
+        multi-column clustering only has for its leading column.
+        Numeric and temporal columns supported (temporals bucketize on
+        their epoch value; the z-key only needs ORDER, not units)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import DateType, NumericType, TimestampType
+
+        n = 1 << bits
+        rank_cols = []
+        quantile_args = []
+        for c in cols:
+            dt = df.schema[c].dataType
+            if isinstance(dt, (TimestampType, DateType)):
+                expr = F.col(c).cast("timestamp").cast("double")
+            elif isinstance(dt, NumericType):
+                expr = F.col(c).cast("double")
+            else:
+                raise ValueError(
+                    f"zorder_by column {c!r} has non-orderable-numeric "
+                    f"type {dt.simpleString()}: z-order needs numeric or "
+                    "temporal columns"
+                )
+            quantile_args.append(
+                F.percentile_approx(
+                    expr, [i / n for i in range(1, n)], 10_000
+                ).alias(c)
+            )
+            rank_cols.append((c, expr))
+        bounds = df.agg(*quantile_args).first()
+        z = F.lit(0).cast("long")
+        for i, (c, expr) in enumerate(rank_cols):
+            bs = bounds[c] or []
+            if not bs:  # all-null or constant column: one rank
+                continue
+            arr = F.array(*[F.lit(float(b)) for b in bs])
+            # rank = #boundaries <= value (vectorized JVM lambda, no
+            # UDF); NULLs rank 0 — they cluster together at the low end
+            rank = F.when(
+                expr.isNull(), F.lit(0)
+            ).otherwise(
+                F.aggregate(
+                    arr,
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(expr >= b, F.lit(1)).otherwise(F.lit(0)),
+                )
+            ).cast("long")
+            for j in range(bits):  # interleave bit j of column i
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(rank, j).bitwiseAND(F.lit(1)),
+                        j * len(cols) + i,
+                    )
+                )
+        return z
+
     def compact(
         self,
         spark: SparkSession,
         target_file_mb: int = 128,
         cluster_by: tuple[str, ...] = (),
+        zorder_by: tuple[str, ...] = (),
     ) -> int:
         """Small-file compaction: rewrite the CURRENT snapshot into
         size-targeted files as a NEW committed version. Data-identical
@@ -492,10 +558,25 @@ class VersionedTable:
         size, not a guess.
 
         ``cluster_by`` additionally range-partitions + sorts the
-        rewrite on the given columns (Delta's ZORDER-lite): each
-        output file then covers a narrow, non-overlapping value range,
-        so parquet row-group min/max stats let point/range scans skip
-        whole files. Returns the new version number."""
+        rewrite on the given columns: each output file then covers a
+        narrow, non-overlapping value range on the LEADING column, so
+        zone maps (:meth:`read_range`) and parquet row-group stats let
+        point/range scans on it skip whole files.
+
+        ``zorder_by`` is the multi-dimensional form (Delta's OPTIMIZE
+        ZORDER): rows are laid out along a Morton curve over the given
+        columns, so every file gets a bounded min/max rectangle on ALL
+        of them — range reads on ANY z-ordered column skip files,
+        where lexicographic ``cluster_by`` only skips on the first.
+        The trade: per-column skipping is ~2^(bits/k) coarser with k
+        columns, so prefer ``cluster_by`` when queries only ever
+        filter one column. Unpartitioned snapshots only (partition
+        dirs already split the space; compose by partitioning on the
+        coarse key and z-ordering inside if needed later).
+
+        Returns the new version number."""
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are exclusive")
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"empty versioned table at {self.root}")
@@ -507,6 +588,21 @@ class VersionedTable:
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
         partition_by = tuple(manifest["partition_by"])
         df = self.read_version(spark, cur)
+        if zorder_by:
+            if partition_by:
+                raise ValueError(
+                    "zorder_by supports unpartitioned snapshots only"
+                )
+            from pyspark.sql import functions as F
+
+            z = self._zvalue_column(df, tuple(zorder_by))
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(int(n_files), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            return self.write_version(df, partition_by=())
         if cluster_by:
             # partition columns LEAD the range keys: otherwise each of
             # the n_files cluster ranges spans every partition value

@@ -573,3 +573,67 @@ def test_read_range_partitioned_snapshot_keeps_partition_column(spark, tmp_path)
     assert set(got.columns) == {"k", "part", "v"}
     rows = sorted(map(tuple, got.select("k", "part", "v").collect()))
     assert rows == [(5, "p1", 50), (6, "p0", 60), (7, "p1", 70), (8, "p0", 80)]
+
+
+def test_zorder_compaction_skips_on_every_dimension(spark, tmp_path):
+    """Z-ORDER (Morton-curve) compaction: after compact(zorder_by=
+    ("a","b")), range reads on EITHER column open a fraction of the
+    files — where lexicographic cluster_by=("a","b") skips only on the
+    leading column (a b-range opens everything). Answers always equal
+    the plain filter."""
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    # two INDEPENDENT pseudo-uniform dimensions (hash-derived, no RNG)
+    df = spark.range(2_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000)).alias("b"),
+        F.xxhash64("id", F.lit(2)).alias("payload"),
+    )
+
+    def expect(col, lo, hi):
+        return sorted(
+            map(tuple, df.filter((F.col(col) >= lo) & (F.col(col) <= hi)).collect())
+        )
+
+    tz = VersionedTable(str(tmp_path / "z"))
+    tz.write_version(df.repartition(8))
+    tz.compact(spark, target_file_mb=1, cluster_by=None or (), zorder_by=("a", "b"))
+    total = len(tz.manifest(tz.current_version())["files"])
+    assert total >= 8
+    for col in ("a", "b"):
+        got = tz.read_range(spark, col, 40_000, 42_000)
+        opened = len(got.inputFiles())
+        assert 1 <= opened <= total // 2, (col, opened, total)
+        assert sorted(map(tuple, got.collect())) == expect(col, 40_000, 42_000)
+
+    # the lexicographic contrast: cluster_by skips on a, not on b
+    tc = VersionedTable(str(tmp_path / "c"))
+    tc.write_version(df.repartition(8))
+    tc.compact(spark, target_file_mb=1, cluster_by=("a", "b"))
+    totc = len(tc.manifest(tc.current_version())["files"])
+    a_opened = len(tc.read_range(spark, "a", 40_000, 42_000).inputFiles())
+    b_opened = len(tc.read_range(spark, "b", 40_000, 42_000).inputFiles())
+    assert a_opened <= totc // 2
+    assert b_opened == totc  # leading-column-only skipping
+
+
+def test_zorder_validation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "zv"))
+    df = spark.createDataFrame([(1, "x", "p")], "a int, s string, part string")
+    t.write_version(df, partition_by=("part",))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unpartitioned"):
+        t.compact(spark, zorder_by=("a",))
+    t2 = VersionedTable(str(tmp_path / "zv2"))
+    t2.write_version(df)
+    with _pytest.raises(ValueError, match="exclusive"):
+        t2.compact(spark, cluster_by=("a",), zorder_by=("a",))
+    with _pytest.raises(ValueError, match="non-orderable-numeric"):
+        t2.compact(spark, zorder_by=("s",))
