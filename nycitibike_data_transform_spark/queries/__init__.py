@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mg_estimates",
     "incremental_bucketed",
     "zonemap_scan",
+    "zorder_scan",
     "streaming_upsert_view",
     "heavy_hitters",
     "span_strip_bloom",
@@ -132,11 +133,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_supplier",
     "user_streaks",
     "weighted_sample",
-    # (c) the oldest r7 row fills the last window slot (zonemap_scan,
-    # added late in r9, took the other filler's place)
+    # ---- past the 50-entry window (the two r7 fillers ceded their
+    # slots to the late-r9 zonemap_scan/zorder_scan): r7-green
+    # remainder, then the 50 r8-green rows (freshest evidence) ----
     "semi_join",
-    # ---- past the 50-entry window: r7-green remainder, then the 50
-    # r8-green rows (freshest evidence) ----
     "set_intersect",
     "approx_distinct",
     "argmax_orders",

@@ -464,6 +464,48 @@ WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
 """
 
 
+def _q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout under the batch oracle (r9): snapshot lineitem,
+    ``compact(zorder_by=(l_shipdate, l_extendedprice))`` (Morton-curve
+    layout — every file gets a bounded rectangle on BOTH columns),
+    then ``read_range`` a price window on the SECOND z-ordered column
+    — the read a lexicographic layout could never skip for. Certified
+    against the plain full-scan filter in DuckDB: the curve layout
+    changes I/O, never answers. Per-dimension skip counts and the
+    lexicographic contrast are pinned in tests/test_versioning.py.
+    Eager by construction — EAGER class in the plan audit."""
+    import shutil
+    import tempfile
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = load(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        table = VersionedTable(f"{tmp}/li")
+        table.write_version(li.repartition(8))
+        table.compact(
+            spark, target_file_mb=1, zorder_by=("l_shipdate", "l_extendedprice")
+        )
+        return (
+            table.read_range(spark, "l_extendedprice", 900.0, 1500.0)
+            .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_ZORDER_SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+FROM lineitem
+WHERE l_extendedprice BETWEEN 900.0 AND 1500.0
+"""
+
+
 _BUCKETED_JOIN_SQL = """
 SELECT o_orderkey, o_orderpriority,
        count(*) AS n_items,
@@ -796,6 +838,7 @@ QUERIES: dict[str, QuerySpec] = {
     "shipping_priority": QuerySpec(_q_shipping_priority, _SHIPPING_PRIORITY_SQL),
     "bucketed_join": QuerySpec(_q_bucketed_join, _BUCKETED_JOIN_SQL),
     "zonemap_scan": QuerySpec(_q_zonemap_scan, _ZONEMAP_SCAN_SQL),
+    "zorder_scan": QuerySpec(_q_zorder_scan, _ZORDER_SCAN_SQL),
     "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
     "volume_shipping": QuerySpec(_q_volume_shipping, _VOLUME_SHIPPING_SQL),
     "returned_items": QuerySpec(_q_returned_items, _RETURNED_ITEMS_SQL),
