@@ -80,7 +80,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from nycitibike_data_transform_spark.versioning import VersionedTable, _durable_write
+from nycitibike_data_transform_spark.versioning import (
+    VersionedTable,
+    _durable_write,
+    _stats_friendly_writes,
+)
 
 # Spark's bucketed writer encodes the bucket id as _NNNNN before the
 # file extensions: part-00003-<uuid>_00007.c000.snappy.parquet
@@ -163,10 +167,6 @@ class BucketedIncrementalTable(VersionedTable):
             .sortBy(self.sort_cols[0], *self.sort_cols[1:])
             .option("path", stage)
         )
-        from nycitibike_data_transform_spark.versioning import (
-            _stats_friendly_writes,
-        )
-
         with _stats_friendly_writes(spark):
             # MICROS timestamps (not stat-less INT96) so parquet
             # row-group skipping works on sorted time columns

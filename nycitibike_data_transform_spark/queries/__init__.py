@@ -75,12 +75,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # >2^53 exactness fix; the three span queries run the Bloom
     # auto-gate default (new plans); bucketed_join gained scratch
     # cleanup; incremental_model shares the reworked materializer;
-    # audio_pipeline's decoder gained fmt validation; (b) the 38
-    # r6-evidenced rows; (c) two of the oldest r7 rows fill the window.
-    # Past-window: the r7-green remainder (oldest evidence first),
-    # then the r8-green rows — after r9 nothing's freshest driver
-    # evidence is older than r7, and every entry stays locally
-    # verified via tools/check_oracle.py. ---
+    # audio_pipeline's decoder gained fmt validation; zonemap_scan and
+    # zorder_scan (late-r9 layout features) complete section (a);
+    # (b) the 38 r6-evidenced rows exactly fill the rest of the
+    # 50-entry window. Past-window: the r7-green remainder (oldest
+    # evidence first), then the r8-green rows — after r9 nothing's
+    # freshest driver evidence is older than r7, and every entry stays
+    # locally verified via tools/check_oracle.py. ---
     # (a) new or changed this round
     "mg_estimates",
     "incremental_bucketed",

@@ -188,6 +188,11 @@ def upsert_stream_to_table(
     snapshot retention per batch (see :func:`apply_upsert_batch`)."""
     if keep_versions is not None and not versioned:
         raise ValueError("keep_versions requires versioned=True")
+    if keep_versions is not None and keep_versions < 1:
+        # vacuum(keep=0) would raise AFTER each snapshot commit — the
+        # stream would crash every batch while versions accumulate
+        # unbounded (r9 review); reject at wiring time instead
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     return (
         stream_df.writeStream.foreachBatch(
             lambda df, bid: apply_upsert_batch(

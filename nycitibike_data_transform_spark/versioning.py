@@ -74,18 +74,30 @@ def _stats_json(v):
     PRESERVES ORDERING under Python comparison, so cached zone maps
     compare correctly against query bounds put through the same
     function: numbers/strings as-is; bytes as byte lists
-    (lexicographic); datetime/date as ISO strings (ISO orders
-    correctly within one flavor — pass bounds in the column's own
-    temporal flavor); Decimal as float (exact for this engine's
-    decimal(18,2) money range; sub-ulp edge cases only matter beyond
-    2^53)."""
+    (lexicographic); datetime/date as EPOCH MICROSECONDS — numbers,
+    never ISO strings, because pyarrow hands back parquet
+    TIMESTAMP_MICROS stats TZ-AWARE ('…+00:00') while callers pass
+    naive bounds, and the two isoformats compare WRONG at equal
+    instants (r9 review, live-reproduced: a file whose min equals the
+    hi bound was silently pruned). Naive datetimes are interpreted as
+    UTC — this engine's session timezone, the flavor Spark's
+    UTC-adjusted micros decode to; dates are UTC midnight, so
+    date-vs-timestamp bounds also compare consistently. Decimal as
+    float (exact for this engine's decimal(18,2) money range; sub-ulp
+    edge cases only matter beyond 2^53)."""
     import datetime as _dt
     from decimal import Decimal as _Dec
 
     if isinstance(v, bytes):
         return list(v)
-    if isinstance(v, (_dt.datetime, _dt.date)):
-        return v.isoformat()
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        d = v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        # exact timedelta arithmetic — float timestamp() rounds
+        return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days * 86_400_000_000
     if isinstance(v, _Dec):
         return float(v)
     return v
@@ -274,6 +286,12 @@ class VersionedTable:
         if os.path.exists(sidecar):
             with open(sidecar) as f:
                 cached = json.load(f)
+            # format versioning: fmt 2 switched temporal stats from ISO
+            # strings to epoch micros (the tz-aware-vs-naive ordering
+            # bug) — a fmt-1 cache would mix string stats with numeric
+            # bounds, so rebuild instead of trusting it
+            if cached.pop("_fmt", 1) != 2:
+                cached = {}
         manifest = self.manifest(version)
         missing_cols = [
             c
@@ -298,14 +316,24 @@ class VersionedTable:
                             st = col_md.statistics
                             rows += col_md.num_values
                             if st is None or not st.has_min_max:
-                                # all-null row groups legitimately lack
-                                # min/max; only a missing null_count
-                                # makes the file unprunable
-                                if st is None or st.null_count is None:
-                                    ok = False
-                                    break
-                                nulls += st.null_count
-                                continue
+                                # min/max can be absent for two very
+                                # different reasons: a genuinely
+                                # all-null row group (prunable), or a
+                                # writer that DROPPED the stats (e.g.
+                                # pyarrow omits min/max for >4 KB
+                                # strings but still writes
+                                # null_count=0 — r9 review). Only
+                                # null_count == num_values PROVES
+                                # all-null; anything else is unusable.
+                                if (
+                                    st is not None
+                                    and st.null_count is not None
+                                    and st.null_count == col_md.num_values
+                                ):
+                                    nulls += st.null_count
+                                    continue
+                                ok = False
+                                break
                             mins.append(st.min)
                             maxs.append(st.max)
                             nulls += st.null_count or 0
@@ -322,7 +350,7 @@ class VersionedTable:
                             agg = {"min": None, "max": None,
                                    "nulls": nulls, "rows": rows}
                     entry[c] = agg
-            _durable_write(sidecar, json.dumps(cached))
+            _durable_write(sidecar, json.dumps({**cached, "_fmt": 2}))
         return {f: {c: cached[f].get(c) for c in cols} for f in manifest["files"]}
 
     def read_range(
@@ -356,12 +384,15 @@ class VersionedTable:
         data_dir = self._data_dir(v)
         df_filter = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not keep:
-            return (
-                spark.read.option("basePath", data_dir)
-                .parquet(data_dir)
-                .filter(df_filter)
-                .limit(0)
-            )
+            # fully-pruned range: the empty frame comes from the
+            # MANIFEST schema — scanning the snapshot dir just to
+            # produce zero rows would pay listing + footer reads over
+            # every file, exactly the cost pruning exists to avoid
+            # (r9 review)
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(self.manifest(v)["schema"])
+            return spark.createDataFrame([], schema).filter(df_filter)
         # basePath keeps hive partition columns when reading file lists
         reader = spark.read.option("basePath", data_dir)
         return reader.parquet(
@@ -593,8 +624,6 @@ class VersionedTable:
                 raise ValueError(
                     "zorder_by supports unpartitioned snapshots only"
                 )
-            from pyspark.sql import functions as F
-
             z = self._zvalue_column(df, tuple(zorder_by))
             df = (
                 df.withColumn("__z", z)

@@ -637,3 +637,44 @@ def test_zorder_validation(spark, tmp_path):
         t2.compact(spark, cluster_by=("a",), zorder_by=("a",))
     with _pytest.raises(ValueError, match="non-orderable-numeric"):
         t2.compact(spark, zorder_by=("s",))
+
+
+def test_read_range_temporal_boundary_exact(spark, tmp_path):
+    """r9 review (live-reproduced): TIMESTAMP_MICROS parquet stats come
+    back tz-aware while bounds arrive naive; ISO-string comparison
+    pruned a file whose min instant EQUALS the hi bound, silently
+    dropping its rows. Stats now canonicalize to epoch micros — every
+    boundary-equal case must survive, for timestamps and dates."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "tb"))
+    rows = [(i, dt.datetime(1996, 1, i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp")
+    # one file per row → every file boundary is a row value
+    t.write_version(df.repartition(6, "k"))
+
+    got = sorted(
+        r["k"]
+        for r in t.read_range(
+            spark, "ts", dt.datetime(1996, 1, 2), dt.datetime(1996, 1, 5)
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4]  # both boundary days included
+
+    # date column: lo-boundary mirror case
+    ddf = spark.createDataFrame(
+        [(i, dt.date(1996, 1, i + 1)) for i in range(6)], "k int, d date"
+    )
+    td = VersionedTable(str(tmp_path / "td"))
+    td.write_version(ddf.repartition(6, "k"))
+    gd = sorted(
+        r["k"]
+        for r in td.read_range(
+            spark, "d", dt.date(1996, 1, 2), dt.date(1996, 1, 5)
+        ).collect()
+    )
+    assert gd == [1, 2, 3, 4]
