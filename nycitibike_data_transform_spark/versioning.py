@@ -299,10 +299,13 @@ class VersionedTable:
             if any(c not in cached.get(f, {}) for f in manifest["files"])
         ]
         if missing_cols:
+            from concurrent.futures import ThreadPoolExecutor
+
             data_dir = self._data_dir(version)
-            for rel in manifest["files"]:
+
+            def _sweep(rel: str) -> tuple[str, dict]:
                 md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
-                entry = cached.setdefault(rel, {})
+                entry: dict = {}
                 name_to_idx = {
                     md.schema.column(i).name: i for i in range(md.num_columns)
                 }
@@ -350,8 +353,65 @@ class VersionedTable:
                             agg = {"min": None, "max": None,
                                    "nulls": nulls, "rows": rows}
                     entry[c] = agg
+                return rel, entry
+
+            # footer reads are independent tiny I/O ops — a 10k-file
+            # snapshot sweeps in parallel instead of sequentially
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                for rel, entry in ex.map(_sweep, manifest["files"]):
+                    cached.setdefault(rel, {}).update(entry)
             _durable_write(sidecar, json.dumps({**cached, "_fmt": 2}))
         return {f: {c: cached[f].get(c) for c in cols} for f in manifest["files"]}
+
+    def read_box(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Multi-column rectangle scan with zone-map skipping: rows
+        satisfying EVERY ``col: (lo, hi)`` BETWEEN predicate, reading
+        only files whose zone maps overlap on ALL the columns — the
+        natural query shape for a Z-ordered snapshot, where every file
+        is a bounded rectangle in all z-dimensions and a k-dimensional
+        box prunes multiplicatively (each dimension independently cuts
+        the file list). Same fail-safe semantics per column as
+        :meth:`read_range`."""
+        from pyspark.sql import functions as F
+
+        if not ranges:
+            raise ValueError("read_box needs at least one column range")
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"empty versioned table at {self.root}")
+        stats = self.file_stats(v, list(ranges))
+        keep = []
+        for rel, by_col in stats.items():
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                s = by_col[col]
+                if s is None:
+                    continue  # unknown stats — this column can't prune
+                lo_j, hi_j = _stats_json(lo), _stats_json(hi)
+                if s["min"] is None or s["max"] < lo_j or s["min"] > hi_j:
+                    ok = False
+                    break
+            if ok:
+                keep.append(rel)
+        df_filter = None
+        for col, (lo, hi) in ranges.items():
+            c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+            df_filter = c if df_filter is None else (df_filter & c)
+        data_dir = self._data_dir(v)
+        if not keep:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(self.manifest(v)["schema"])
+            return spark.createDataFrame([], schema).filter(df_filter)
+        reader = spark.read.option("basePath", data_dir)
+        return reader.parquet(
+            *[os.path.join(data_dir, f) for f in keep]
+        ).filter(df_filter)
 
     def read_range(
         self, spark: SparkSession, col: str, lo, hi, version: int | None = None
@@ -364,40 +424,9 @@ class VersionedTable:
         opens O(matching files) instead of O(table) — the read-side
         payoff of that clustering (Delta's data skipping). Fail-safe:
         a file without usable stats for ``col`` is always read (the
-        residual filter keeps the answer exact either way)."""
-        from pyspark.sql import functions as F
-
-        v = self.current_version() if version is None else version
-        if v is None:
-            raise ValueError(f"empty versioned table at {self.root}")
-        stats = self.file_stats(v, [col])
-        lo_j, hi_j = _stats_json(lo), _stats_json(hi)
-        keep = []
-        for rel, by_col in stats.items():
-            s = by_col[col]
-            if s is None:
-                keep.append(rel)  # unknown — must read
-            elif s["min"] is None:
-                continue  # all-null file: BETWEEN matches nothing
-            elif not (s["max"] < lo_j or s["min"] > hi_j):
-                keep.append(rel)
-        data_dir = self._data_dir(v)
-        df_filter = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-        if not keep:
-            # fully-pruned range: the empty frame comes from the
-            # MANIFEST schema — scanning the snapshot dir just to
-            # produce zero rows would pay listing + footer reads over
-            # every file, exactly the cost pruning exists to avoid
-            # (r9 review)
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(self.manifest(v)["schema"])
-            return spark.createDataFrame([], schema).filter(df_filter)
-        # basePath keeps hive partition columns when reading file lists
-        reader = spark.read.option("basePath", data_dir)
-        return reader.parquet(
-            *[os.path.join(data_dir, f) for f in keep]
-        ).filter(df_filter)
+        residual filter keeps the answer exact either way). The
+        one-column case of :meth:`read_box`."""
+        return self.read_box(spark, {col: (lo, hi)}, version=version)
 
     def write_version_cow(
         self, merged: DataFrame, partition_col: str

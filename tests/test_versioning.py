@@ -678,3 +678,43 @@ def test_read_range_temporal_boundary_exact(spark, tmp_path):
         ).collect()
     )
     assert gd == [1, 2, 3, 4]
+
+
+def test_read_box_multiplicative_pruning_on_zorder(spark, tmp_path):
+    """read_box (k-dimensional rectangle) on a Z-ordered snapshot:
+    each dimension independently cuts the file list, so the box opens
+    fewer files than either single-column range — and the answer
+    equals the plain conjunctive filter."""
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    df = spark.range(2_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000)).alias("b"),
+        F.xxhash64("id", F.lit(2)).alias("payload"),
+    )
+    t = VersionedTable(str(tmp_path / "box"))
+    t.write_version(df.repartition(8))
+    t.compact(spark, target_file_mb=1, zorder_by=("a", "b"))
+    total = len(t.manifest(t.current_version())["files"])
+
+    a_rng, b_rng = (40_000, 45_000), (70_000, 75_000)
+    a_only = len(t.read_range(spark, "a", *a_rng).inputFiles())
+    b_only = len(t.read_range(spark, "b", *b_rng).inputFiles())
+    box = t.read_box(spark, {"a": a_rng, "b": b_rng})
+    opened = len(box.inputFiles())
+    assert opened <= min(a_only, b_only) < total
+
+    expect = sorted(
+        map(
+            tuple,
+            df.filter(
+                (F.col("a").between(*a_rng)) & (F.col("b").between(*b_rng))
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, box.collect())) == expect
+
+    with pytest.raises(ValueError, match="at least one"):
+        t.read_box(spark, {})
