@@ -172,6 +172,26 @@ class BucketedIncrementalTable(VersionedTable):
             # row-group skipping works on sorted time columns
             writer.saveAsTable(table)
         spark.sql(f"DROP TABLE `{table}`")  # external: files stay
+        # Enforce the one-file-per-bucket invariant the whole layout
+        # rests on (ADVICE r9): the repartition above normally yields
+        # exactly one file per bucket, but a session conf like
+        # spark.sql.files.maxRecordsPerFile splits writes and would
+        # silently break both the manifest's single-file replacement
+        # and the SORTED BY single-file precondition register() relies
+        # on (Spark stops eliding sorts — wrong plans, quiet). Fail
+        # loudly at stage time, before anything is committed.
+        by_bucket: dict[int, list[str]] = {}
+        for f in self._parquet_files(stage):
+            by_bucket.setdefault(bucket_id_of_file(f), []).append(f)
+        dupes = {b: fs for b, fs in by_bucket.items() if len(fs) > 1}
+        if dupes:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"bucketed stage produced multiple files per bucket "
+                f"{sorted(dupes)} — a write-splitting session conf "
+                "(e.g. spark.sql.files.maxRecordsPerFile) is set; "
+                "unset it for BucketedIncrementalTable writes"
+            )
         return stage
 
     def _commit_linked(

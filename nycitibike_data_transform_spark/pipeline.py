@@ -275,7 +275,16 @@ def _materialize_incremental(
             # has always had this contract; versioned now matches it.
             pc = model.partition_by[0]
             existing = table.read_current_as(spark, df.schema)
-            updates = _updates(existing)
+            # Pin the updates plan BEFORE deriving touched partitions:
+            # write_version_cow replaces exactly the partition dirs its
+            # staged write produces, so if a nondeterministic model
+            # source emitted different partition values between the
+            # touched-partition scan and the snapshot write, a replaced
+            # dir could commit without its existing rows ever being
+            # merged in (silent row loss). Same hazard — and same fix —
+            # as bucketed_table.merge and streaming apply_upsert_batch.
+            # Deterministic plans also stop executing the model twice.
+            updates = _updates(existing).localCheckpoint(eager=True)
             _, cond = touched_partition_filter(updates, pc)
             merged = merge_upsert(
                 existing.filter(cond).select(*df.columns), updates, keys

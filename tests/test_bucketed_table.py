@@ -288,3 +288,39 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_point")
+
+
+def test_stage_rejects_write_splitting_conf(spark, tmp_path):
+    """The one-file-per-bucket invariant is ENFORCED, not assumed
+    (ADVICE r9): a session conf like spark.sql.files.maxRecordsPerFile
+    splits the bucketed stage into multiple files per bucket, which
+    would silently break both the manifest's single-file replacement
+    and register()'s SORTED BY single-file precondition. The stage
+    must fail loudly instead of committing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.bucketed_table import (
+        BucketedIncrementalTable,
+    )
+
+    t = BucketedIncrementalTable(str(tmp_path / "bkt"), ["k"], 2)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("v")
+    )
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try:
+        with _pytest.raises(RuntimeError, match="multiple files per bucket"):
+            t.write_full(spark, df)
+        # nothing committed, no staging debris left behind
+        assert t.current_version() is None
+        import os as _os
+
+        stage_root = str(tmp_path / "bkt" / "_staging")
+        assert not _os.path.exists(
+            _os.path.join(stage_root, "full")
+        ) or not _os.listdir(_os.path.join(stage_root, "full"))
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    # with the conf unset the same write commits cleanly
+    assert t.write_full(spark, df) == 1

@@ -746,3 +746,60 @@ def test_downstream_model_join_on_bucketed_incremental_is_shuffle_free(
     finally:
         for n in ("fact_a", "fact_b"):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_incremental_versioned_cow_pins_updates_plan(spark, tmp_path):
+    """The versioned partition-scoped COW path localCheckpoints the
+    updates plan BEFORE deriving touched partitions (ADVICE r9): a
+    nondeterministic model source could otherwise emit different
+    partition values between the touched-partition scan and the
+    snapshot write, committing a replaced partition whose existing
+    rows were never merged in — silent row loss. The checkpoint makes
+    the plan execute exactly ONCE per refresh (deterministic models
+    stop paying the build twice, too), which this test counts via a
+    task-side marker file."""
+    import os as _os
+
+    marker = str(tmp_path / "exec_count")
+    src = str(tmp_path / "src")
+    _write_src(spark, src, [(1, 1, "a"), (2, 2, "b")])
+
+    def counted_model(s, ev):
+        def bump(batches):
+            with open(marker, "a") as f:
+                f.write("x\n")
+                f.flush()
+                _os.fsync(f.fileno())
+            yield from batches
+
+        return (
+            ev.select("id", "day", "v")
+            .repartition(1)  # one task per plan execution
+            .mapInPandas(bump, "id int, day int, v string")
+        )
+
+    p = Pipeline(warehouse_dir=str(tmp_path / "wh"))
+    p.add_source("ev", lambda s: s.read.parquet(src))
+    p.add_model(
+        "inc",
+        counted_model,
+        deps=("ev",),
+        partition_by=("day",),
+        incremental_keys=("id",),
+        watermark_col="day",
+    )
+    p.run(spark, versioned=True)
+    n_bootstrap = sum(1 for _ in open(marker))
+
+    _write_src(spark, src, [(1, 1, "a"), (2, 2, "b2"), (3, 3, "c")])
+    built = p.run(spark, versioned=True)["inc"]
+    assert sorted(map(tuple, built.collect())) == [
+        (1, 1, "a"),
+        (2, 2, "b2"),
+        (3, 3, "c"),
+    ]
+    n_refresh = sum(1 for _ in open(marker)) - n_bootstrap
+    assert n_refresh == 1, (
+        f"updates plan executed {n_refresh} times in one refresh — "
+        "the COW path must checkpoint before the touched-partition scan"
+    )

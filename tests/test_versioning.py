@@ -718,3 +718,162 @@ def test_read_box_multiplicative_pruning_on_zorder(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one"):
         t.read_box(spark, {})
+
+
+def test_fresh_snapshot_stats_from_manifest_no_footer_sweep(
+    spark, tmp_path, monkeypatch
+):
+    """Post-r10 snapshots carry zone-map stats IN the manifest,
+    collected at commit time from the staged write's own footers
+    (VERDICT r9 item #1): a range read on a fresh snapshot must open
+    ZERO parquet footers beyond the data files it scans, and must not
+    create the legacy vN.stats.json sidecar."""
+    import pyarrow.parquet as pq
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "mstats"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("v")
+    )
+    t.write_version(df.repartitionByRange(4, "k"))
+
+    def boom(*a, **k):
+        raise AssertionError("footer sweep ran on a fresh snapshot")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    got = t.read_range(spark, "k", 100, 150)
+    assert len(got.inputFiles()) == 1  # 3 of 4 range files pruned
+    assert got.count() == 51
+    assert not any(
+        f.endswith(".stats.json") for f in os.listdir(t._versions_dir)
+    )
+
+
+def test_pre_r10_manifest_falls_back_to_sidecar_sweep(spark, tmp_path):
+    """A manifest WITHOUT commit-time stats (pre-r10 snapshot) still
+    answers through the legacy footer sweep + durable sidecar cache —
+    backfill path, same answers."""
+    import json as _json
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "legacy"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("v")
+    )
+    t.write_version(df.repartitionByRange(4, "k"))
+    v = t.current_version()
+    mp = t._manifest_path(v)
+    with open(mp) as f:
+        m = _json.load(f)
+    m.pop("stats"), m.pop("stats_fmt")
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+
+    got = t.read_range(spark, "k", 100, 150)
+    assert len(got.inputFiles()) == 1
+    assert got.count() == 51
+    assert any(f.endswith(".stats.json") for f in os.listdir(t._versions_dir))
+
+
+def test_cow_commit_carries_stats_for_hardlinked_files(spark, tmp_path):
+    """write_version_cow sweeps footers only for the partitions it
+    replaced; hardlinked files carry their manifest stats forward
+    verbatim (same inode, same footer — zero I/O)."""
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "cowstats"))
+    df = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 2, 30), (4, 2, 40)], "id int, day int, v int"
+    )
+    t.write_version(df.repartition("day"), partition_by=("day",))
+    m1 = t.manifest(t.current_version())
+    # touch only day=2
+    merged = spark.createDataFrame(
+        [(3, 2, 33), (4, 2, 40), (5, 2, 50)], "id int, day int, v int"
+    ).repartition("day")
+    t.write_version_cow(merged, "day")
+    m2 = t.manifest(t.current_version())
+    assert m2.get("stats_fmt") == m1["stats_fmt"]
+    day1_files = [f for f in m2["files"] if f.startswith("day=1/")]
+    assert day1_files and all(
+        m2["stats"][f] == m1["stats"][f] for f in day1_files
+    )
+    # and the new snapshot's zone maps prune on v across partitions
+    got = t.read_range(spark, "v", 45, 60)
+    assert {r["id"] for r in got.collect()} == {5}
+
+
+def test_decimal_zone_map_exact_above_2_53(spark, tmp_path):
+    """decimal(18,2) stats above 2^53 in scaled space: the scaled-int
+    encoding (ADVICE r9) keeps boundary comparisons exact — a file
+    whose max equals the bound is kept, a disjoint file is pruned, and
+    off-grid float bounds round conservatively (lo down, hi up)."""
+    from decimal import Decimal
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "dec"))
+    rows = [
+        (1, Decimal("100.00")),
+        (2, Decimal("200.00")),
+        (3, Decimal("90071992547409.91")),  # scaled: 2^53 - 1
+        (4, Decimal("90071992547409.95")),  # scaled: 2^53 + 3
+    ]
+    df = spark.createDataFrame(rows, "k int, amt decimal(18,2)")
+    t.write_version(df.repartitionByRange(2, "amt"))
+    v = t.current_version()
+    stats = t.file_stats(v, ["amt"])
+    assert len(stats) == 2
+    hi_file = max(stats.values(), key=lambda s: s["amt"]["max"])["amt"]
+    # exact scaled ints in the manifest — no float rounding anywhere
+    assert hi_file["scale"] == 2
+    assert hi_file["max"] == 9007199254740995  # 2^53 + 3, exactly
+
+    # boundary point query at the max: the old float path could round
+    # the stat below an exact int bound and prune the matching file
+    point = Decimal("90071992547409.95")
+    got = t.read_range(spark, "amt", point, point)
+    assert len(got.inputFiles()) == 1  # low file pruned, hi file kept
+    assert [r["k"] for r in got.collect()] == [4]
+
+    # disjoint range prunes everything
+    nothing = t.read_range(
+        spark, "amt", Decimal("300.00"), Decimal("400.00")
+    )
+    assert nothing.count() == 0
+
+    # off-grid float bound: conservative rounding keeps the candidate
+    # file (floor the lo), residual filter returns the exact answer
+    assert t.read_range(spark, "amt", 100.005, 100.005).count() == 0
+    assert t.read_range(spark, "amt", 99.999, 100.001).count() == 1
+
+
+def test_zorder_bits_scale_down_with_many_columns(spark, tmp_path):
+    """9+ z-order columns at the default 8 bits would shift past bit
+    63, where JVM shiftleft wraps mod 64 and silently corrupts the
+    Morton key (ADVICE r9): bits now scale down so the key always fits
+    a non-negative signed long; >62 columns raises."""
+    import pytest as _pytest
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    cols = [f"c{i}" for i in range(9)]
+    df = spark.range(500).select(
+        *[(F.col("id") * (i + 1) % 97).alias(c) for i, c in enumerate(cols)]
+    )
+    z = VersionedTable._zvalue_column(df, tuple(cols))
+    mn, mx = df.select(
+        F.min(z).alias("mn"), F.max(z).alias("mx")
+    ).first()
+    assert mn >= 0  # a wrapped shift would set the sign bit
+    assert mx < (1 << 63)
+    # ... and the interleave still discriminates (not all-zero ranks)
+    assert df.select(z.alias("z")).distinct().count() > 1
+
+    with _pytest.raises(ValueError, match="62 columns"):
+        VersionedTable._zvalue_column(
+            df.select("*", *[F.lit(0).alias(f"x{i}") for i in range(60)]),
+            tuple(cols + [f"x{i}" for i in range(60)]),
+        )
