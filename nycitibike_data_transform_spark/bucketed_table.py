@@ -287,13 +287,22 @@ class BucketedIncrementalTable(VersionedTable):
                 f"empty table at {self.root}: bootstrap with write_full"
             )
         m = self.manifest(cur)
+        # additive schema evolution (VERDICT r9 item #2): updates may
+        # APPEND nullable columns — untouched buckets keep their old
+        # files hardlinked and byte-identical, reading NULL for the
+        # added columns under the evolved manifest schema; drops and
+        # re-types raise (full rewrite territory). The evolved schema
+        # is committed-fields-first + added fields in updates order,
+        # so every pre-evolution reader's column layout is a prefix.
+        from nycitibike_data_transform_spark.versioning import (
+            _additive_evolution,
+        )
+
+        added = set(_additive_evolution(m["schema"], updates.schema))
         schema = StructType.fromJson(m["schema"])
-        expected = sorted(f.name for f in schema.fields)
-        if sorted(updates.columns) != expected:
-            raise ValueError(
-                f"schema mismatch: existing={expected} "
-                f"updates={sorted(updates.columns)}"
-            )
+        for f in updates.schema.fields:
+            if f.name in added:
+                schema = schema.add(f.name, f.dataType, nullable=True)
         updates = updates.select(*[f.name for f in schema.fields])
         # checkpoint BEFORE the touched-bucket collect (review finding
         # r9, the flag_contaminated lesson): the collect below and the

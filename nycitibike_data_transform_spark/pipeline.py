@@ -66,7 +66,11 @@ def read_table_for_merge(spark: SparkSession, path: str, schema) -> DataFrame:
     if sorted(on_disk) != sorted(expected):
         raise ValueError(
             f"schema mismatch: existing={sorted(on_disk)} "
-            f"updates={sorted(expected)}"
+            f"updates={sorted(expected)} — plain-parquet incremental "
+            "targets cannot evolve their schema (a mixed-generation "
+            "directory has no manifest to pin the read schema); use "
+            "versioned=True or bucket_by, which support additive "
+            "add-column evolution"
         )
     return spark.read.schema(schema).parquet(path)
 
@@ -293,7 +297,11 @@ def _materialize_incremental(
         else:
             out = df
             if table.current_version() is not None:
-                existing = table.read_current(spark)
+                # read under the BUILT frame's schema: after an
+                # additive evolution the snapshot lacks the new
+                # columns — the pinned read NULL-fills them (and
+                # read_current_as rejects drops/re-types loudly)
+                existing = table.read_current_as(spark, df.schema)
                 out = merge_upsert(
                     existing.select(*df.columns), _updates(existing), keys
                 )

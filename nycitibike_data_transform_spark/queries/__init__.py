@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # freshest driver evidence is older than r7, and every entry stays
     # locally verified via tools/check_oracle.py. ---
     # (a) new or changed this round
+    "schema_evolution",
     "mg_estimates",
     "incremental_bucketed",
     "zonemap_scan",

@@ -697,6 +697,94 @@ def _q_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the versioned COW path under
+    a batch oracle (VERDICT r9 item #2): run 1 bootstraps the model
+    with the EVEN event_ids; run 2 rebuilds it WITH an appended
+    nullable column (``etype_len``) over the full feed and merges the
+    rows at/past the bootstrap's max(ts) watermark, partition-scoped.
+    The converged snapshot MIXES file generations — bootstrap-only
+    rows live in pre-evolution parquet files that lack the new column
+    and must read back NULL under the evolved manifest schema — and
+    the whole thing must hash-match the closed-form SQL oracle below
+    (which states exactly which rows carry a value and which carry
+    NULL). This is the end-to-end proof that add-column evolution
+    costs zero rewrites of old data yet never changes answers.
+
+    Eager by construction (both pipeline runs execute at plan build)
+    — EAGER class in the plan audit, like incremental_model."""
+    import shutil
+    import tempfile
+
+    from nycitibike_data_transform_spark.pipeline import Pipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    feeds = [
+        (ev.filter(F.col("event_id") % 2 == 0), False),  # bootstrap
+        (ev, True),  # full feed, evolved schema
+    ]
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        for feed, evolved in feeds:
+
+            def build(s, events_feed, evolved=evolved):
+                out = events_feed.withColumn(
+                    "shard", F.pmod("user_id", F.lit(8))
+                )
+                if evolved:
+                    # length() of a nullable source column is itself
+                    # nullable — the evolution guard requires that
+                    # (pre-evolution rows read as NULL)
+                    out = out.withColumn(
+                        "etype_len", F.length("event_type").cast("int")
+                    )
+                return out
+
+            p = Pipeline(warehouse_dir=tmp)
+            p.add_source("events_feed", lambda s, f=feed: f)
+            p.add_model(
+                "evo_events",
+                build,
+                deps=("events_feed",),
+                partition_by=("shard",),
+                incremental_keys=("event_id",),
+                watermark_col="ts",
+            )
+            converged = p.run(spark, versioned=True)["evo_events"]
+        return (
+            converged.select(
+                "event_id", "user_id", "ts", "event_type", "etype_len"
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# closed form of the evolved merge: rows at/past the bootstrap
+# watermark (max ts over even event_ids) carry the new column's value;
+# bootstrap rows the merge didn't replace carry NULL
+_SCHEMA_EVOLUTION_SQL = """
+WITH hwm AS (
+  SELECT max(ts) AS h FROM events WHERE event_id % 2 = 0
+),
+upd AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(length(event_type) AS INT) AS etype_len
+  FROM events, hwm
+  WHERE ts >= h
+)
+SELECT event_id, user_id, ts, event_type, etype_len FROM upd
+UNION ALL
+SELECT event_id, user_id, ts, event_type, CAST(NULL AS INT) AS etype_len
+FROM events
+WHERE event_id % 2 = 0
+  AND event_id NOT IN (SELECT event_id FROM upd)
+"""
+
+
 # the batch oracle the streaming view must converge to — latest event
 # per user by (ts DESC, event_id DESC); same SQL as dedup_latest
 _STREAMING_UPSERT_SQL = """
@@ -713,6 +801,7 @@ FROM (
 QUERIES: dict[str, QuerySpec] = {
     "incremental_model": QuerySpec(_q_incremental_model, _INCREMENTAL_MODEL_SQL),
     "incremental_bucketed": QuerySpec(_q_incremental_bucketed, _INCREMENTAL_MODEL_SQL),
+    "schema_evolution": QuerySpec(_q_schema_evolution, _SCHEMA_EVOLUTION_SQL),
     "streaming_upsert_view": QuerySpec(
         _q_streaming_upsert_view, _STREAMING_UPSERT_SQL
     ),

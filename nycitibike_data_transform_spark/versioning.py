@@ -155,6 +155,56 @@ def _decimal_bound(v, scale: int, side: str) -> int:
     )
 
 
+def _additive_evolution(manifest_schema: dict, new_schema) -> list[str]:
+    """Validate that ``new_schema`` (StructType) is an ADDITIVE
+    evolution of a committed manifest schema (jsonValue dict): every
+    committed column still present with an IDENTICAL type; new columns
+    allowed and returned. This is the evolution a 100 TB fact table
+    can afford — add-column costs zero data rewrites, because Spark's
+    parquet reader NULL-fills a column a file doesn't carry when the
+    read schema says it exists (old files stay byte-identical,
+    hardlinked across snapshots as always). Drops, renames, and type
+    changes require a full rewrite and raise here: silently narrowing
+    or re-typing would make old files unreadable or reinterpreted.
+
+    Added columns must be declared NULLABLE: pre-evolution rows READ
+    as NULL, and a non-nullable declaration (e.g. a bare ``F.lit``)
+    would let Catalyst fold ``IsNotNull`` to true over rows that are
+    null — silently wrong filters, the worst failure class. Wrap the
+    default in a nullable cast or apply it at read time instead.
+    """
+    old = {f["name"]: f["type"] for f in manifest_schema["fields"]}
+    new = {f.name: f.dataType.jsonValue() for f in new_schema.fields}
+    dropped = [c for c in old if c not in new]
+    if dropped:
+        raise ValueError(
+            f"schema evolution is additive-only: committed columns "
+            f"{dropped} missing from the new schema (drop/rename needs "
+            "an explicit full rewrite)"
+        )
+    changed = [c for c in old if new[c] != old[c]]
+    if changed:
+        raise ValueError(
+            f"schema evolution is additive-only: columns {changed} "
+            "changed type (old files would be reinterpreted; re-type "
+            "needs an explicit full rewrite)"
+        )
+    added = [f.name for f in new_schema.fields if f.name not in old]
+    not_nullable = [
+        f.name
+        for f in new_schema.fields
+        if f.name not in old and not f.nullable
+    ]
+    if not_nullable:
+        raise ValueError(
+            f"added columns must be nullable, got non-nullable "
+            f"{not_nullable}: pre-evolution rows read as NULL, and a "
+            "non-nullable declaration lets the optimizer fold IsNotNull "
+            "over rows that are null"
+        )
+    return added
+
+
 def _stats_cols(schema) -> list[str]:
     """Top-level columns worth zone-mapping: primitive orderable types
     whose parquet footers carry usable min/max (nested/array/map stats
@@ -385,7 +435,18 @@ class VersionedTable:
             # both so either shape gets this clear error instead of an
             # opaque path-not-found from the parquet reader
             raise ValueError(f"version {version} was vacuumed")
-        return spark.read.parquet(self._data_dir(version))
+        # Read under the MANIFEST's schema, never inference: after an
+        # additive schema evolution a snapshot legitimately mixes file
+        # generations (old hardlinked files lack the added columns),
+        # and without mergeSchema Spark's inference picks one file's
+        # footer at random — the added column would appear or vanish
+        # per run. The manifest schema is the committed truth; Spark's
+        # parquet reader NULL-fills columns a file doesn't carry, and
+        # partition columns resolve from the hive dirs as usual.
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(self.manifest(version)["schema"])
+        return spark.read.schema(schema).parquet(self._data_dir(version))
 
     def read_current(self, spark: SparkSession) -> DataFrame:
         cur = self.current_version()
@@ -618,12 +679,15 @@ class VersionedTable:
             c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
             df_filter = c if df_filter is None else (df_filter & c)
         data_dir = self._data_dir(v)
-        if not keep:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(self.manifest(v)["schema"])
+        # manifest schema, never inference: the kept subset may be all
+        # pre-evolution files that lack an added column the filter
+        # names (schema evolution), or files with divergent footers
+        schema = StructType.fromJson(self.manifest(v)["schema"])
+        if not keep:
             return spark.createDataFrame([], schema).filter(df_filter)
-        reader = spark.read.option("basePath", data_dir)
+        reader = spark.read.schema(schema).option("basePath", data_dir)
         return reader.parquet(
             *[os.path.join(data_dir, f) for f in keep]
         ).filter(df_filter)
@@ -697,6 +761,13 @@ class VersionedTable:
                 f"table is partitioned by {prev_manifest['partition_by']}, "
                 f"cow merge requested on [{partition_col!r}]"
             )
+        # additive schema evolution (VERDICT r9 item #2): a merged
+        # frame may APPEND nullable columns — the hardlinked untouched
+        # partitions keep their old files byte-identical and read
+        # NULL-filled under the new manifest schema (read_version pins
+        # it); drops/re-types raise instead of committing a manifest
+        # the old files can't satisfy
+        _additive_evolution(prev_manifest["schema"], merged.schema)
         version = cur + 1
         data_dir = self._data_dir(version)
         if os.path.exists(data_dir):  # leftover from a crashed attempt
@@ -762,20 +833,16 @@ class VersionedTable:
         partition-type-inference hazard from
         ``pipeline.read_table_for_merge``: a string partition value
         '01' re-infers as int 1, and a merge under the inferred type
-        would re-render it differently). Validates the column SET
-        against the committed manifest first."""
+        would re-render it differently). Validates the requested
+        schema as an ADDITIVE evolution of the committed manifest
+        first (see :func:`_additive_evolution`): requesting extra
+        columns is how an evolving merge reads the pre-evolution
+        snapshot — the new columns read as NULL for every existing
+        row; dropping or re-typing a committed column raises."""
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"empty versioned table at {self.root}")
-        manifest_cols = sorted(
-            f["name"] for f in self.manifest(cur)["schema"]["fields"]
-        )
-        expected = sorted(f.name for f in schema.fields)
-        if manifest_cols != expected:
-            raise ValueError(
-                f"schema mismatch: existing={manifest_cols} "
-                f"requested={expected}"
-            )
+        _additive_evolution(self.manifest(cur)["schema"], schema)
         return spark.read.schema(schema).parquet(self._data_dir(cur))
 
     @staticmethod

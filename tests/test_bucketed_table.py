@@ -169,8 +169,8 @@ def test_contracts(spark, tmp_path):
     upd = spark.createDataFrame([(1, 1, "x")], "k long, v long, s string")
     with pytest.raises(ValueError, match="not merge keys"):
         t.merge(spark, upd, ["v"])  # bucket col k not a key
-    with pytest.raises(ValueError, match="schema mismatch"):
-        t.merge(spark, upd.drop("s"), ["k"])
+    with pytest.raises(ValueError, match="additive-only"):
+        t.merge(spark, upd.drop("s"), ["k"])  # dropped column
     with pytest.raises(TypeError, match="write_full"):
         t.write_version(_facts(spark, 5))
     with pytest.raises(TypeError, match="one file per bucket"):
@@ -324,3 +324,58 @@ def test_stage_rejects_write_splitting_conf(spark, tmp_path):
         spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     # with the conf unset the same write commits cleanly
     assert t.write_full(spark, df) == 1
+
+
+def test_bucketed_merge_schema_evolution_add_column(spark, tmp_path):
+    """Additive evolution through the bucket-granular merge: untouched
+    buckets keep their hardlinked pre-evolution files; the evolved
+    catalog registration reads them NULL-filled; drops/re-types and
+    non-nullable adds raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.bucketed_table import (
+        BucketedIncrementalTable,
+    )
+
+    t = BucketedIncrementalTable(str(tmp_path / "bevo"), ["k"], 4)
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(16)], "k int, v int"
+    )
+    t.write_full(spark, base)
+    m1 = t.manifest(1)
+    inodes1 = {
+        f: os.stat(os.path.join(t._data_dir(1), f)).st_ino
+        for f in m1["files"]
+    }
+
+    upd = spark.createDataFrame(
+        [(1, 111, "fresh"), (99, 990, "new")], "k int, v int, tag string"
+    )
+    touched = t.merge(spark, upd, ["k"])
+    m2 = t.manifest(2)
+    assert [f["name"] for f in m2["schema"]["fields"]] == ["k", "v", "tag"]
+
+    from nycitibike_data_transform_spark.bucketed_table import (
+        bucket_id_of_file,
+    )
+
+    touched_set = set(touched)
+    for f in m2["files"]:
+        ino2 = os.stat(os.path.join(t._data_dir(2), f)).st_ino
+        if bucket_id_of_file(f) in touched_set:
+            assert f not in inodes1 or inodes1[f] != ino2
+        else:
+            assert inodes1[f] == ino2  # untouched bucket: same inode
+
+    t.register(spark, "bevo_tbl")
+    rows = {
+        r["k"]: (r["v"], r["tag"]) for r in spark.table("bevo_tbl").collect()
+    }
+    assert rows[1] == (111, "fresh") and rows[99] == (990, "new")
+    assert rows[2] == (20, None)  # pre-evolution row, NULL-filled
+
+    with _pytest.raises(ValueError, match="additive-only"):
+        t.merge(spark, upd.drop("v"), ["k"])
+    with _pytest.raises(ValueError, match="must be nullable"):
+        t.merge(spark, upd.withColumn("n", F.lit(5)), ["k"])

@@ -442,8 +442,15 @@ def test_read_current_as_schema_validation(spark, tmp_path):
     import pytest as _pytest
 
     bad = StructType.fromDDL("k int, v string")
-    with _pytest.raises(ValueError, match="schema mismatch"):
-        t.read_current_as(spark, bad)
+    with _pytest.raises(ValueError, match="additive-only"):
+        t.read_current_as(spark, bad)  # drops a committed column
+    retyped = StructType.fromDDL("k string, part string, v string")
+    with _pytest.raises(ValueError, match="additive-only"):
+        t.read_current_as(spark, retyped)
+    # additive superset is the evolution read: new column NULL-filled
+    wider = StructType.fromDDL("k int, part string, v string, extra int")
+    row = t.read_current_as(spark, wider).first()
+    assert row["extra"] is None and row["part"] == "01"
 
 
 def test_write_version_cow_adversarial_partition_values(spark, tmp_path):
@@ -972,3 +979,70 @@ def test_live_lock_blocks_and_vacuum_is_locked(spark, tmp_path):
     finally:
         os.unlink(os.path.join(t.root, "_lock"))
     assert t.write_version(_df(spark, [(2, "b")])) == 2
+
+
+def test_versioned_cow_schema_evolution_add_column(spark, tmp_path):
+    """Additive schema evolution on the partition-scoped COW path
+    (VERDICT r9 item #2): a merge that appends a nullable column
+    commits without rewriting untouched partitions — their files stay
+    hardlinked and byte-identical — and the snapshot reads back under
+    the evolved manifest schema with NULL for pre-evolution rows."""
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "evo"))
+    v1 = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")], "id int, day int, v string"
+    )
+    t.write_version(v1.repartition("day"), partition_by=("day",))
+    day1_inodes = {
+        f: os.stat(os.path.join(t._data_dir(1), f)).st_ino
+        for f in t.manifest(1)["files"]
+        if f.startswith("day=1/")
+    }
+
+    # merged slice for day=2 only, with an APPENDED nullable column
+    merged = spark.createDataFrame(
+        [(3, 2, "c2", 30), (4, 2, "d", 40)],
+        "id int, day int, v string, score int",
+    ).repartition("day")
+    t.write_version_cow(merged, "day")
+
+    got = {
+        r["id"]: (r["v"], r["score"]) for r in t.read_current(spark).collect()
+    }
+    assert got == {
+        1: ("a", None),  # pre-evolution rows read NULL for the new col
+        2: ("b", None),
+        3: ("c2", 30),
+        4: ("d", 40),
+    }
+    # untouched partition: same inodes — zero bytes rewritten
+    for f, ino in day1_inodes.items():
+        assert os.stat(os.path.join(t._data_dir(2), f)).st_ino == ino
+    # manifest schema evolved; time travel still reads the OLD schema
+    assert [
+        f["name"] for f in t.manifest(2)["schema"]["fields"]
+    ] == ["id", "day", "v", "score"]
+    # (partition columns surface last in partitioned reads, as always)
+    assert t.read_version(spark, 1).columns == ["id", "v", "day"]
+
+    # zone maps: the added column prunes on the fresh file and
+    # fail-safes on the carried (pre-evolution) files
+    stats = t.file_stats(2, ["score"])
+    fresh = [s["score"] for f, s in stats.items() if f.startswith("day=2/")]
+    assert all(s is not None for s in fresh)
+    carried = [s["score"] for f, s in stats.items() if f.startswith("day=1/")]
+    assert all(s is None for s in carried)
+    assert {r["id"] for r in t.read_range(spark, "score", 35, 50).collect()} == {4}
+
+    # guardrails: drops, re-types, and non-nullable adds all raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="additive-only"):
+        t.write_version_cow(merged.drop("v"), "day")
+    with _pytest.raises(ValueError, match="additive-only"):
+        t.write_version_cow(
+            merged.withColumn("v", merged["v"].cast("int")), "day"
+        )
+    with _pytest.raises(ValueError, match="must be nullable"):
+        t.write_version_cow(merged.withColumn("flag", F.lit(1)), "day")
