@@ -84,6 +84,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # locally verified via tools/check_oracle.py. ---
     # (a) new or changed this round
     "schema_evolution",
+    "streaming_source_mix",
+    "streaming_user_totals",
     "mg_estimates",
     "incremental_bucketed",
     "zonemap_scan",

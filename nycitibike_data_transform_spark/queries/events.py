@@ -785,6 +785,81 @@ WHERE event_id % 2 = 0
 """
 
 
+_STATEFUL_SINK_SEQ = [0]  # unique in-memory sink names across reruns
+
+
+def _q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity verdict for the CUSTOM STATEFUL streaming operator
+    (VERDICT r9 item #4): the events feed is staged into four files
+    and streamed one file per micro-batch through
+    ``stateful.running_user_totals`` — ``applyInPandasWithState`` with
+    per-user (n_events, total_value) state carried across batches,
+    update-mode emissions to a memory sink. A user active in several
+    batches emits several cumulative rows; the FINAL row per user
+    (largest n_events — strictly monotone per emission) must equal the
+    plain batch GROUP BY below. Four micro-batches, not one: the whole
+    point is certifying cross-batch state carry, which a single batch
+    cannot.
+
+    Eager by construction (the stream runs at plan build) — EAGER
+    class in the plan audit, like streaming_upsert_view."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from nycitibike_data_transform_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")["events"].select("user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="stateful_totals_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/feed")
+        _STATEFUL_SINK_SEQ[0] += 1
+        sink = f"user_totals_{os.getpid()}_{_STATEFUL_SINK_SEQ[0]}"
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/feed")
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_user_totals: stream did not converge in 300s"
+            )
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return (
+            spark.table(sink)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "total_value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAMING_USER_TOTALS_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 # the batch oracle the streaming view must converge to — latest event
 # per user by (ts DESC, event_id DESC); same SQL as dedup_latest
 _STREAMING_UPSERT_SQL = """
@@ -802,6 +877,9 @@ QUERIES: dict[str, QuerySpec] = {
     "incremental_model": QuerySpec(_q_incremental_model, _INCREMENTAL_MODEL_SQL),
     "incremental_bucketed": QuerySpec(_q_incremental_bucketed, _INCREMENTAL_MODEL_SQL),
     "schema_evolution": QuerySpec(_q_schema_evolution, _SCHEMA_EVOLUTION_SQL),
+    "streaming_user_totals": QuerySpec(
+        _q_streaming_user_totals, _STREAMING_USER_TOTALS_SQL
+    ),
     "streaming_upsert_view": QuerySpec(
         _q_streaming_upsert_view, _STREAMING_UPSERT_SQL
     ),
