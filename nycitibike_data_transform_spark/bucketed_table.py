@@ -200,7 +200,14 @@ class BucketedIncrementalTable(VersionedTable):
         """Assemble the next snapshot from ``{target_name: source_path}``
         hardlinks, then commit with the inherited manifest + pointer
         ordering (data → manifest → atomic swap)."""
-        version = (self.current_version() or 0) + 1
+        from nycitibike_data_transform_spark.versioning import (
+            _STATS_FMT,
+            _stats_cols,
+            _sweep_footers,
+        )
+
+        cur = self.current_version()
+        version = (cur or 0) + 1
         data_dir = self._data_dir(version)
         if os.path.exists(data_dir):  # leftover from a crashed attempt
             shutil.rmtree(data_dir)
@@ -208,6 +215,21 @@ class BucketedIncrementalTable(VersionedTable):
         for name, src in sorted(links.items()):
             os.link(src, os.path.join(data_dir, name))
         os.makedirs(self._versions_dir, exist_ok=True)
+        # commit-time zone-map stats, same posture as write_version:
+        # hardlinked bucket files carry their entry forward by name
+        # (same inode); only the re-staged buckets get swept — at most
+        # num_buckets tiny footer reads, before the pointer swap
+        prev_stats = {}
+        if cur is not None:
+            pm = self.manifest(cur)
+            if pm.get("stats_fmt") == _STATS_FMT:
+                prev_stats = pm.get("stats", {})
+        carried = {f: prev_stats[f] for f in links if f in prev_stats}
+        fresh = _sweep_footers(
+            data_dir,
+            [f for f in links if f not in carried],
+            _stats_cols(schema),
+        )
         manifest = {
             "version": version,
             "schema": schema.jsonValue(),
@@ -216,6 +238,8 @@ class BucketedIncrementalTable(VersionedTable):
             "bucket_cols": self.bucket_cols,
             "num_buckets": self.num_buckets,
             "sort_cols": self.sort_cols,
+            "stats_fmt": _STATS_FMT,
+            "stats": {**carried, **fresh},
         }
         _durable_write(self._manifest_path(version), json.dumps(manifest))
         _durable_write(self._pointer, str(version))
