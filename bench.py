@@ -53,7 +53,21 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Bench hygiene gate (VERDICT r9 nit #1): numbers recorded under
+    # ambient load are garbage — r9's own notes measured a 27.9×-vs-
+    # 1.78× ratio swing from contention, yet BENCH_r09 was committed at
+    # loadavg 2.71. First give the box a bounded chance to drain (the
+    # 1-min loadavg decays ~e^(-t/60), so a just-finished test suite
+    # clears in a minute or two), then STAMP the payload so a loaded
+    # number can never be mistaken for signal downstream.
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "0.5"))
+    idle_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "120"))
+    waited = 0.0
+    while os.getloadavg()[0] > load_max and waited < idle_wait:
+        time.sleep(5)
+        waited += 5
     load_before = os.getloadavg()
+    contaminated = load_before[0] > load_max
     # Console-progress bars interleave with stdout under the driver's
     # pipe capture and can push the JSON line out of its tail window
     # (BENCH_r05 arrived with "parsed": null for exactly this reason) —
@@ -126,6 +140,8 @@ def main() -> None:
         "registry_families": family_totals,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "contaminated": contaminated,
+        "idle_wait_sec": round(waited, 1),
         "sf": sf,
     }
     detail = dict(compact)

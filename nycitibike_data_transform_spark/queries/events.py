@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.functions.money import fast_money_sum
-from nycitibike_data_transform_spark.queries import QuerySpec, load
+from nycitibike_data_transform_spark.queries import QuerySpec, eager_cached, load
 
 # ------------------------------------------------------ tumbling window agg
 
@@ -874,14 +874,25 @@ FROM (
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "incremental_model": QuerySpec(_q_incremental_model, _INCREMENTAL_MODEL_SQL),
-    "incremental_bucketed": QuerySpec(_q_incremental_bucketed, _INCREMENTAL_MODEL_SQL),
-    "schema_evolution": QuerySpec(_q_schema_evolution, _SCHEMA_EVOLUTION_SQL),
+    "incremental_model": QuerySpec(
+        eager_cached("incremental_model", _q_incremental_model),
+        _INCREMENTAL_MODEL_SQL,
+    ),
+    "incremental_bucketed": QuerySpec(
+        eager_cached("incremental_bucketed", _q_incremental_bucketed),
+        _INCREMENTAL_MODEL_SQL,
+    ),
+    "schema_evolution": QuerySpec(
+        eager_cached("schema_evolution", _q_schema_evolution),
+        _SCHEMA_EVOLUTION_SQL,
+    ),
     "streaming_user_totals": QuerySpec(
-        _q_streaming_user_totals, _STREAMING_USER_TOTALS_SQL
+        eager_cached("streaming_user_totals", _q_streaming_user_totals),
+        _STREAMING_USER_TOTALS_SQL,
     ),
     "streaming_upsert_view": QuerySpec(
-        _q_streaming_upsert_view, _STREAMING_UPSERT_SQL
+        eager_cached("streaming_upsert_view", _q_streaming_upsert_view),
+        _STREAMING_UPSERT_SQL,
     ),
     "user_streaks": QuerySpec(_q_user_streaks, _USER_STREAKS_SQL),
     "events_gapfill": QuerySpec(_q_events_gapfill, _EVENTS_GAPFILL_SQL),

@@ -38,7 +38,7 @@ from nycitibike_data_transform_spark.operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
 )
-from nycitibike_data_transform_spark.queries import QuerySpec, load
+from nycitibike_data_transform_spark.queries import eager_cached, QuerySpec, load
 
 # -------------------------------------------------------------- exact dedup
 
@@ -2604,7 +2604,8 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(_q_stratified_sample, _STRATIFIED_SAMPLE_SQL),
     "source_mix_report": QuerySpec(_q_source_mix_report, _SOURCE_MIX_SQL),
     "streaming_source_mix": QuerySpec(
-        _q_streaming_source_mix, _STREAMING_SOURCE_MIX_SQL
+        eager_cached("streaming_source_mix", _q_streaming_source_mix),
+        _STREAMING_SOURCE_MIX_SQL,
     ),
     "scrub_pii": QuerySpec(_q_scrub_pii, _SCRUB_PII_SQL),
     "chunk_documents": QuerySpec(_q_chunk_documents, _CHUNK_DOCUMENTS_SQL),

@@ -432,29 +432,39 @@ def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_versioning.py; at 100 TB the same read opens
     O(matching files) instead of O(table). Eager by construction
     (snapshot + compaction run at plan build) — EAGER class in the
-    plan audit."""
+    plan audit; re-calls in one session return the cached checkpoint
+    (``eager_once``)."""
     import datetime as dt
     import shutil
     import tempfile
 
+    from nycitibike_data_transform_spark.queries import eager_once
     from nycitibike_data_transform_spark.versioning import VersionedTable
 
-    t = load(spark, sf_dir, "lineitem")
-    li = t["lineitem"].select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-    tmp = tempfile.mkdtemp(prefix="zonemap_")
-    try:
-        table = VersionedTable(f"{tmp}/li")
-        table.write_version(li.repartition(8))
-        table.compact(spark, target_file_mb=1, cluster_by=("l_shipdate",))
-        return (
-            table.read_range(
-                spark, "l_shipdate", dt.datetime(1996, 1, 1), dt.datetime(1996, 3, 31)
-            )
-            .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-            .localCheckpoint(eager=True)
+    def build() -> DataFrame:
+        t = load(spark, sf_dir, "lineitem")
+        li = t["lineitem"].select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
         )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix="zonemap_")
+        try:
+            table = VersionedTable(f"{tmp}/li")
+            table.write_version(li.repartition(8))
+            table.compact(spark, target_file_mb=1, cluster_by=("l_shipdate",))
+            return (
+                table.read_range(
+                    spark,
+                    "l_shipdate",
+                    dt.datetime(1996, 1, 1),
+                    dt.datetime(1996, 3, 31),
+                )
+                .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return eager_once(spark, sf_dir, "zonemap_scan", build)
 
 
 _ZONEMAP_SCAN_SQL = """
@@ -473,30 +483,39 @@ def _q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the plain full-scan filter in DuckDB: the curve layout
     changes I/O, never answers. Per-dimension skip counts and the
     lexicographic contrast are pinned in tests/test_versioning.py.
-    Eager by construction — EAGER class in the plan audit."""
+    Eager by construction — EAGER class in the plan audit; re-calls in
+    one session return the cached checkpoint (``eager_once``)."""
     import shutil
     import tempfile
 
+    from nycitibike_data_transform_spark.queries import eager_once
     from nycitibike_data_transform_spark.versioning import VersionedTable
 
-    t = load(spark, sf_dir, "lineitem")
-    li = t["lineitem"].select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
-    )
-    tmp = tempfile.mkdtemp(prefix="zorder_")
-    try:
-        table = VersionedTable(f"{tmp}/li")
-        table.write_version(li.repartition(8))
-        table.compact(
-            spark, target_file_mb=1, zorder_by=("l_shipdate", "l_extendedprice")
+    def build() -> DataFrame:
+        t = load(spark, sf_dir, "lineitem")
+        li = t["lineitem"].select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
         )
-        return (
-            table.read_range(spark, "l_extendedprice", 900.0, 1500.0)
-            .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix="zorder_")
+        try:
+            table = VersionedTable(f"{tmp}/li")
+            table.write_version(li.repartition(8))
+            table.compact(
+                spark,
+                target_file_mb=1,
+                zorder_by=("l_shipdate", "l_extendedprice"),
+            )
+            return (
+                table.read_range(spark, "l_extendedprice", 900.0, 1500.0)
+                .select(
+                    "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return eager_once(spark, sf_dir, "zorder_scan", build)
 
 
 _ZORDER_SCAN_SQL = """

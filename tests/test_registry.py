@@ -33,3 +33,17 @@ def test_single_shuffle_operators(spark, sf_dir):
     for name in ("dedup_exact", "events_sessionize", "asof_purchase_click"):
         df = REGISTRY[name].spark(spark, sf_dir)
         assert count_exchanges(df) == 1, name
+
+
+def test_eager_cache_returns_same_frame_within_session(spark):
+    """EAGER layout queries are memoized per (session, sf_dir)
+    (VERDICT r9 item #8): the second call returns the first call's
+    checkpointed frame — identical rows, no rebuild — while different
+    sf_dirs stay distinct."""
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    q = all_queries()["zonemap_scan"].spark
+    a = q(spark, "/root/testdata/sf0.001")
+    b = q(spark, "/root/testdata/sf0.001")
+    assert a is b  # the memoized checkpoint, not a rebuilt layout
+    assert a.count() == b.count()
