@@ -110,81 +110,27 @@ def eager_cached(
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r9 rotation (VERDICT r8 item #1: refresh the 38 rows whose
-    # latest green driver row is r6). The 50-entry driver window, in
-    # priority order: (a) queries ADDED or CHANGED this round —
-    # mg_estimates / incremental_bucketed are new; streaming_upsert_view
-    # now runs the versioned COW path; heavy_hitters' sketch got the
-    # >2^53 exactness fix; the three span queries run the Bloom
-    # auto-gate default (new plans); bucketed_join gained scratch
-    # cleanup; incremental_model shares the reworked materializer;
-    # audio_pipeline's decoder gained fmt validation; zonemap_scan and
-    # zorder_scan (late-r9 layout features) complete section (a);
-    # (b) the 38 r6-evidenced rows exactly fill the rest of the
-    # 50-entry window. Past-window: the r7-green remainder (oldest
-    # evidence first), then the r8-green rows — after r9 nothing's
-    # freshest driver evidence is older than r7, and every entry stays
-    # locally verified via tools/check_oracle.py. ---
-    # (a) new or changed this round
+    # --- r10 rotation (VERDICT r9 item #6: refresh the 46 rows whose
+    # latest green driver row is r7). The 50-entry driver window:
+    # (a) the three queries ADDED this round (schema_evolution,
+    # streaming_source_mix, streaming_user_totals) plus zonemap_scan,
+    # whose read path changed the most in r10 (stats now come from the
+    # commit-time manifest, decimals as exact scaled ints);
+    # (b) the 46 r7-evidenced rows — exactly filling the window, so
+    # after r10 nothing's freshest driver evidence is older than r8.
+    # Past-window, ordered by how much r10 touched them: the other
+    # storage-layer queries whose execution paths changed this round
+    # (z-order read, both incremental materializers, the versioned
+    # streaming upsert, the bucketed scratch join — all re-verified by
+    # the full local oracle gate, tools/check_oracle.py), then the
+    # r8-green rows, then the r9-green rows (freshest evidence last).
+    # ---
+    # (a) new in r10 + the most-changed layout read
     "schema_evolution",
     "streaming_source_mix",
     "streaming_user_totals",
-    "mg_estimates",
-    "incremental_bucketed",
     "zonemap_scan",
-    "zorder_scan",
-    "streaming_upsert_view",
-    "heavy_hitters",
-    "span_strip_bloom",
-    "span_strip",
-    "span_dedup",
-    "bucketed_join",
-    "incremental_model",
-    "audio_pipeline",
-    # (b) the 38 r6-evidenced rows
-    "bpe_merges",
-    "bpe_segment",
-    "chunk_documents",
-    "collection_functions",
-    "customer_distribution",
-    "date_functions",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "disjunctive_revenue",
-    "doc_fingerprint",
-    "embedding_norms",
-    "embedding_quantize",
-    "events_gapfill",
-    "idle_rich_customers",
-    "important_parts",
-    "language_id",
-    "large_volume_customers",
-    "multimodal_meta",
-    "pack_sequences",
-    "padded_batches",
-    "profit_by_nation_year",
-    "promo_revenue",
-    "quality_filter",
-    "quantiles",
-    "quantized_topk",
-    "repetition_ratio",
-    "resample_balanced",
-    "small_qty_revenue",
-    "snapshot_diff",
-    "source_mix_report",
-    "stratified_sample",
-    "string_functions",
-    "table_profile",
-    "top_supplier",
-    "user_streaks",
-    "weighted_sample",
-    # ---- past the 50-entry window (the two r7 fillers ceded their
-    # slots to the late-r9 zonemap_scan/zorder_scan): r7-green
-    # remainder, then the 50 r8-green rows (freshest evidence) ----
-    "semi_join",
-    "set_intersect",
+    # (b) the 46 rows whose freshest driver evidence is r7
     "approx_distinct",
     "argmax_orders",
     "collect_sorted",
@@ -215,6 +161,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_logit",
     "returned_items",
     "rollup_qty",
+    "semi_join",
+    "set_intersect",
     "shard_manifest",
     "shipping_priority",
     "simhash",
@@ -229,6 +177,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_topk_orders",
     "window_variants",
     "word_frequencies",
+    # ---- past the 50-entry window: r10-touched storage queries first,
+    # then r8-green, then r9-green ----
+    "zorder_scan",
+    "incremental_bucketed",
+    "incremental_model",
+    "streaming_upsert_view",
+    "bucketed_join",
     "anti_join",
     "asof_purchase_click",
     "aux_econ_by_nta",
@@ -273,6 +228,50 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "video_frames",
     "window_running_qty",
+    "audio_pipeline",
+    "bpe_merges",
+    "bpe_segment",
+    "chunk_documents",
+    "collection_functions",
+    "customer_distribution",
+    "date_functions",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "disjunctive_revenue",
+    "doc_fingerprint",
+    "embedding_norms",
+    "embedding_quantize",
+    "events_gapfill",
+    "heavy_hitters",
+    "idle_rich_customers",
+    "important_parts",
+    "language_id",
+    "large_volume_customers",
+    "mg_estimates",
+    "multimodal_meta",
+    "pack_sequences",
+    "padded_batches",
+    "profit_by_nation_year",
+    "promo_revenue",
+    "quality_filter",
+    "quantiles",
+    "quantized_topk",
+    "repetition_ratio",
+    "resample_balanced",
+    "small_qty_revenue",
+    "snapshot_diff",
+    "source_mix_report",
+    "span_dedup",
+    "span_strip",
+    "span_strip_bloom",
+    "stratified_sample",
+    "string_functions",
+    "table_profile",
+    "top_supplier",
+    "user_streaks",
+    "weighted_sample",
 )
 
 
