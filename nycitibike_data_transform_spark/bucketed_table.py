@@ -220,11 +220,20 @@ class BucketedIncrementalTable(VersionedTable):
         # (same inode); only the re-staged buckets get swept — at most
         # num_buckets tiny footer reads, before the pointer swap
         prev_stats = {}
+        prev_fields: list[str] = []
         if cur is not None:
             pm = self.manifest(cur)
+            prev_fields = [f["name"] for f in pm["schema"]["fields"]]
             if pm.get("stats_fmt") == _STATS_FMT:
                 prev_stats = pm.get("stats", {})
         carried = {f: prev_stats[f] for f in links if f in prev_stats}
+        from nycitibike_data_transform_spark.versioning import (
+            _backfill_added_all_null,
+        )
+
+        # evolution-added columns: hardlinked pre-evolution bucket
+        # files are provably all-null — stamp the prunable marker
+        carried = _backfill_added_all_null(carried, prev_fields, schema)
         fresh = _sweep_footers(
             data_dir,
             [f for f in links if f not in carried],

@@ -205,6 +205,36 @@ def _additive_evolution(manifest_schema: dict, new_schema) -> list[str]:
     return added
 
 
+def _backfill_added_all_null(carried: dict, prev_fields, new_schema) -> dict:
+    """Stamp the all-null zone-map marker into CARRIED (pre-evolution)
+    file stats for columns an additive evolution just appended: those
+    files are PROVABLY all-null for the new columns (Spark NULL-fills
+    a column the file doesn't carry), and BETWEEN never matches NULL —
+    so a range scan on the new column can PRUNE every old file instead
+    of fail-safe reading the whole pre-evolution table. Row counts
+    come from any existing column's entry in the same file; a file
+    with no usable stats at all keeps fail-safe semantics."""
+    added = [c for c in _stats_cols(new_schema) if c not in set(prev_fields)]
+    if not added:
+        return carried
+    out = {}
+    for rel, entry in carried.items():
+        entry = dict(entry)
+        rows = next(
+            (a["rows"] for a in entry.values() if a is not None), None
+        )
+        for c in added:
+            if c not in entry and rows is not None:
+                entry[c] = {
+                    "min": None,
+                    "max": None,
+                    "nulls": rows,
+                    "rows": rows,
+                }
+        out[rel] = entry
+    return out
+
+
 def _stats_cols(schema) -> list[str]:
     """Top-level columns worth zone-mapping: primitive orderable types
     whose parquet footers carry usable min/max (nested/array/map stats
@@ -811,6 +841,13 @@ class VersionedTable:
             else {}
         )
         carried = {rel: prev_stats[rel] for rel in links if rel in prev_stats}
+        # evolution-added columns: old files are provably all-null —
+        # stamp the prunable marker instead of fail-safe None
+        carried = _backfill_added_all_null(
+            carried,
+            (f["name"] for f in prev_manifest["schema"]["fields"]),
+            merged.schema,
+        )
         fresh = _sweep_footers(
             data_dir,
             [rel for rel in links if rel not in carried],

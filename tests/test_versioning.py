@@ -1026,14 +1026,21 @@ def test_versioned_cow_schema_evolution_add_column(spark, tmp_path):
     # (partition columns surface last in partitioned reads, as always)
     assert t.read_version(spark, 1).columns == ["id", "v", "day"]
 
-    # zone maps: the added column prunes on the fresh file and
-    # fail-safes on the carried (pre-evolution) files
+    # zone maps: the added column has real stats on the fresh file and
+    # the PRUNABLE all-null marker on the carried (pre-evolution)
+    # files — a range scan on the new column opens only the evolved
+    # partition's files (BETWEEN can never match NULL)
     stats = t.file_stats(2, ["score"])
     fresh = [s["score"] for f, s in stats.items() if f.startswith("day=2/")]
-    assert all(s is not None for s in fresh)
+    assert all(s is not None and s["min"] is not None for s in fresh)
     carried = [s["score"] for f, s in stats.items() if f.startswith("day=1/")]
-    assert all(s is None for s in carried)
-    assert {r["id"] for r in t.read_range(spark, "score", 35, 50).collect()} == {4}
+    assert all(
+        s is not None and s["min"] is None and s["nulls"] == s["rows"]
+        for s in carried
+    )
+    ranged = t.read_range(spark, "score", 35, 50)
+    assert all("day=2" in f for f in ranged.inputFiles())  # old files pruned
+    assert {r["id"] for r in ranged.collect()} == {4}
 
     # guardrails: drops, re-types, and non-nullable adds all raise
     import pytest as _pytest
