@@ -172,8 +172,15 @@ def build(
 
 
 def time_fresh(spark, sf_dir: str, name: str, runs: int = 1) -> float:
+    from nycitibike_data_transform_spark.queries import _EAGER_CACHE
+
     best = float("inf")
     for _ in range(runs):
+        # "fresh" means FRESH: the EAGER memo (r10) would otherwise
+        # hand back the first run's checkpointed frame and the min-of-2
+        # 1× timing would measure a cache hit — 0.02 s "layouts" and
+        # four-digit phantom ratios (observed live before this clear)
+        _EAGER_CACHE.clear()
         t0 = time.time()
         q = all_queries()[name]
         # construction included: EAGER (training) queries work here
