@@ -205,6 +205,71 @@ def _additive_evolution(manifest_schema: dict, new_schema) -> list[str]:
     return added
 
 
+def _augment_partition_stats(stats: dict, partition_by, schema) -> None:
+    """Partition-column zone maps parsed from the HIVE DIR NAMES, added
+    to commit-time manifest stats in place: a partitioned file's value
+    is exact metadata (min = max = the dir value, nulls = 0), so
+    ``read_box`` can prune on partition columns at the FILE-LIST level
+    — the same information Delta materializes into its log. (Spark's
+    own partition pruning already protects the scan; this removes the
+    pruned files from the listing itself, which is what matters when a
+    10k-file snapshot meets a multi-column rectangle.)
+
+    Correctness over coverage: a parsed value that mismatched Spark's
+    real rendering would WRONGLY prune, so only types with a certain
+    string round-trip participate — integers, strings, and ISO dates.
+    Everything else (floats, timestamps) is left alone → fail-safe
+    read. The hive null sentinel maps to the all-null marker
+    (prunable: BETWEEN never matches NULL) for non-string types; for
+    strings it is skipped, because a GENUINE string equal to the
+    sentinel is indistinguishable from null (the classic hive wart)."""
+    import datetime as _dt
+    from urllib.parse import unquote
+
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    by_name = {f.name: f.dataType for f in schema.fields}
+    sentinel = "__HIVE_DEFAULT_PARTITION__"
+    for rel, entry in stats.items():
+        parts = dict(
+            seg.split("=", 1)
+            for seg in rel.split("/")[:-1]
+            if "=" in seg
+        )
+        for col in partition_by:
+            if col not in parts or col not in by_name:
+                continue
+            raw = unquote(parts[col])
+            rows = next(
+                (a["rows"] for a in entry.values() if a is not None), None
+            )
+            dt_ = by_name[col]
+            if raw == sentinel:
+                if not isinstance(dt_, StringType) and rows is not None:
+                    entry[col] = {"min": None, "max": None,
+                                  "nulls": rows, "rows": rows}
+                continue
+            try:
+                if isinstance(dt_, (ByteType, ShortType, IntegerType, LongType)):
+                    v = int(raw)
+                elif isinstance(dt_, StringType):
+                    v = raw
+                elif isinstance(dt_, DateType):
+                    v = _stats_json(_dt.date.fromisoformat(raw))
+                else:
+                    continue  # no certain round-trip: fail-safe
+            except ValueError:
+                continue
+            entry[col] = {"min": v, "max": v, "nulls": 0, "rows": rows}
+
+
 def _backfill_added_all_null(carried: dict, prev_fields, new_schema) -> dict:
     """Stamp the all-null zone-map marker into CARRIED (pre-evolution)
     file stats for columns an additive evolution just appended: those
@@ -584,6 +649,8 @@ class VersionedTable:
             if f.endswith(".parquet")
         )
         os.makedirs(self._versions_dir, exist_ok=True)
+        stats = _sweep_footers(data_dir, files, _stats_cols(df.schema))
+        _augment_partition_stats(stats, partition_by, df.schema)
         manifest = {
             "version": version,
             "schema": df.schema.jsonValue(),
@@ -596,9 +663,10 @@ class VersionedTable:
             # an object-store port gets from the write tasks — so the
             # READ path never needs a post-hoc footer sweep at all.
             # The vN.stats.json sidecar sweep survives only as
-            # backfill for pre-r10 snapshots.
+            # backfill for pre-r10 snapshots. Partition columns get
+            # exact dir-name stats (_augment_partition_stats).
             "stats_fmt": _STATS_FMT,
-            "stats": _sweep_footers(data_dir, files, _stats_cols(df.schema)),
+            "stats": stats,
         }
         _durable_write(self._manifest_path(version), json.dumps(manifest))
         _durable_write(self._pointer, str(version))  # the commit point
@@ -853,13 +921,18 @@ class VersionedTable:
             [rel for rel in links if rel not in carried],
             _stats_cols(merged.schema),
         )
+        stats = {**carried, **fresh}
+        # exact partition-value stats from the dir names — also
+        # BACKFILLS carried entries from pre-augmentation manifests
+        # (the dir name is the same metadata either way)
+        _augment_partition_stats(stats, [partition_col], merged.schema)
         manifest = {
             "version": version,
             "schema": merged.schema.jsonValue(),
             "partition_by": [partition_col],
             "files": sorted(links),
             "stats_fmt": _STATS_FMT,
-            "stats": {**carried, **fresh},
+            "stats": stats,
         }
         _durable_write(self._manifest_path(version), json.dumps(manifest))
         _durable_write(self._pointer, str(version))  # the commit point

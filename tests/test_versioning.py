@@ -1053,3 +1053,43 @@ def test_versioned_cow_schema_evolution_add_column(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="must be nullable"):
         t.write_version_cow(merged.withColumn("flag", F.lit(1)), "day")
+
+
+def test_partition_column_zone_maps_prune_file_list(spark, tmp_path):
+    """Partition values are exact commit-time metadata (min = max = the
+    hive dir value), so read_box prunes on partition columns at the
+    FILE-LIST level — including combined with a data-column range
+    (multiplicative), with a NULL partition (all-null marker: BETWEEN
+    can never match), and with hive-escaped string values."""
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "pstats"))
+    df = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 2, 30), (4, 2, 40), (5, None, 50)],
+        "id int, day int, v int",
+    )
+    t.write_version(df.repartition("day"), partition_by=("day",))
+
+    # int partition: point query keeps only day=1 files
+    got = t.read_box(spark, {"day": (1, 1)})
+    assert all("day=1" in f for f in got.inputFiles())
+    assert {r["id"] for r in got.collect()} == {1, 2}
+    # the NULL partition is prunable for any range (BETWEEN ≠ NULL)
+    assert not any("HIVE_DEFAULT" in f for f in
+                   t.read_box(spark, {"day": (0, 9)}).inputFiles())
+    # multiplicative with a data column
+    box = t.read_box(spark, {"day": (2, 2), "v": (35, 60)})
+    assert all("day=2" in f for f in box.inputFiles())
+    assert {r["id"] for r in box.collect()} == {4}
+
+    # string partition with a hive-escaped value round-trips exactly
+    t2 = VersionedTable(str(tmp_path / "pstr"))
+    sdf = spark.createDataFrame(
+        [(1, "a/b", 1), (2, "plain", 2)], "id int, part string, v int"
+    )
+    t2.write_version(sdf.repartition("part"), partition_by=("part",))
+    got2 = t2.read_box(spark, {"part": ("a/b", "a/b")})
+    assert {r["id"] for r in got2.collect()} == {1}
+    # one file kept (inputFiles URI-encodes the hive escaping)
+    files2 = got2.inputFiles()
+    assert len(files2) == 1 and "plain" not in files2[0]
