@@ -607,6 +607,22 @@ class VersionedTable:
                 f"could not acquire the commit lock on {self.root} "
                 "(lost two acquisition races)"
             )
+        # hygiene: a reclaimer killed between its rename and unlink
+        # orphans a _lock.reclaim.PID file — sweep dead-pid leftovers
+        # now that we hold the lock (a live reclaimer's file is left
+        # alone; it will unlink its own)
+        for name in os.listdir(self.root):
+            if not name.startswith("_lock.reclaim."):
+                continue
+            try:
+                stale_pid = int(name.rsplit(".", 1)[1])
+            except ValueError:
+                continue
+            if not _pid_alive(stale_pid):
+                try:
+                    os.unlink(os.path.join(self.root, name))
+                except FileNotFoundError:
+                    pass
         try:
             yield
         finally:

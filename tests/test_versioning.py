@@ -1093,3 +1093,22 @@ def test_partition_column_zone_maps_prune_file_list(spark, tmp_path):
     # one file kept (inputFiles URI-encodes the hive escaping)
     files2 = got2.inputFiles()
     assert len(files2) == 1 and "plain" not in files2[0]
+
+
+def test_orphaned_reclaim_file_swept_on_next_acquire(spark, tmp_path):
+    """A reclaimer killed between its rename and unlink orphans a
+    _lock.reclaim.PID file; the next successful acquisition sweeps
+    dead-pid leftovers."""
+    import subprocess
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "reclaim"))
+    os.makedirs(t.root, exist_ok=True)
+    proc = subprocess.Popen(["sleep", "0"])
+    proc.wait()
+    orphan = os.path.join(t.root, f"_lock.reclaim.{proc.pid}")
+    with open(orphan, "w") as f:
+        f.write(str(proc.pid))
+    t.write_version(_df(spark, [(1, "a")]))
+    assert not os.path.exists(orphan)
