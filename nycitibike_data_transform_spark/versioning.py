@@ -968,8 +968,21 @@ class VersionedTable:
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"empty versioned table at {self.root}")
-        _additive_evolution(self.manifest(cur)["schema"], schema)
-        return spark.read.schema(schema).parquet(self._data_dir(cur))
+        return self.read_version_as(spark, cur, schema)
+
+    def read_version_as(self, spark: SparkSession, version: int, schema) -> DataFrame:
+        """Time travel under an explicit (additively evolved) schema —
+        how a pre-evolution snapshot is compared against a
+        post-evolution one: read BOTH under the current schema (the
+        old snapshot NULL-fills the added columns) and diff normally.
+        Same validation as :meth:`read_current_as`."""
+        cur = self.current_version()
+        if cur is None or version > cur or version < 1:
+            raise ValueError(
+                f"version {version} not committed (current={cur})"
+            )
+        _additive_evolution(self.manifest(version)["schema"], schema)
+        return spark.read.schema(schema).parquet(self._data_dir(version))
 
     @staticmethod
     def _zvalue_column(df: DataFrame, cols: tuple[str, ...], bits: int = 8):

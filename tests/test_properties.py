@@ -317,3 +317,74 @@ def test_incremental_model_matches_python_reference(spark, feeds):
             assert sorted(map(tuple, got.collect())) == sorted(table.values())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestDecimalZoneMapBounds:
+    """Property pins for the r10 exact decimal zone-map encoding: the
+    pruning decision computed on the scaled-int grid must NEVER drop a
+    file whose true [min, max] interval intersects the true query
+    interval — for any decimal(18,2) stats (including far above 2^53)
+    and any bound representation (Decimal, int, or float)."""
+
+    from decimal import Decimal as _D
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _cents = st.integers(min_value=-(10**18) + 1, max_value=10**18 - 1)
+
+    @staticmethod
+    def _dec(cents: int):
+        from decimal import Decimal
+
+        return Decimal(cents).scaleb(-2)
+
+    @given(a=_cents, b=_cents, lo=_cents, hi=_cents)
+    @settings(max_examples=500, deadline=None)
+    def test_prune_is_conservative_and_tight(self, a, b, lo, hi):
+        from nycitibike_data_transform_spark.versioning import _decimal_bound
+
+        fmin, fmax = min(a, b), max(a, b)  # file stats, scaled cents
+        qlo, qhi = min(lo, hi), max(lo, hi)
+        lo_j = _decimal_bound(self._dec(qlo), 2, "lo")
+        hi_j = _decimal_bound(self._dec(qhi), 2, "hi")
+        pruned = fmax < lo_j or fmin > hi_j
+        overlaps = not (fmax < qlo or fmin > qhi)  # exact integer math
+        # conservative: never prune an overlapping file; and for
+        # on-grid Decimal bounds the decision is TIGHT (prunes iff
+        # disjoint — no fail-safe slop)
+        assert pruned == (not overlaps)
+
+    @given(cents=_cents, scale_off=st.integers(min_value=0, max_value=4))
+    @settings(max_examples=300, deadline=None)
+    def test_off_grid_bounds_round_conservatively(self, cents, scale_off):
+        from decimal import Decimal
+
+        from nycitibike_data_transform_spark.versioning import _decimal_bound
+
+        # a bound with MORE precision than the column grid (scale 2):
+        # lo floors, hi ceils — the kept interval only ever widens
+        extra = Decimal(cents).scaleb(-2 - scale_off)
+        lo_j = _decimal_bound(extra, 2, "lo")
+        hi_j = _decimal_bound(extra, 2, "hi")
+        true_scaled = extra.scaleb(2)
+        assert Decimal(lo_j) <= true_scaled <= Decimal(hi_j)
+        assert Decimal(hi_j) - Decimal(lo_j) <= 1
+
+    @given(cents=_cents)
+    @settings(max_examples=200, deadline=None)
+    def test_float_bounds_match_user_intent(self, cents):
+        """float bounds go through str(): the user means the printed
+        decimal, and for 2-decimal floats the grid round-trip is exact
+        whenever the float prints back to the same 2-decimal literal
+        (always true for abs(value) < 2^49 cents)."""
+        from decimal import Decimal
+
+        from nycitibike_data_transform_spark.versioning import _decimal_bound
+
+        if abs(cents) >= (1 << 49):
+            return
+        f = float(Decimal(cents).scaleb(-2))
+        if str(f) != format(Decimal(cents).scaleb(-2), "f").rstrip("0").rstrip("."):
+            return  # float repr moved off the 2-decimal literal: out of scope
+        assert _decimal_bound(f, 2, "lo") <= cents <= _decimal_bound(f, 2, "hi")

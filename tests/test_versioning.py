@@ -1112,3 +1112,54 @@ def test_orphaned_reclaim_file_swept_on_next_acquire(spark, tmp_path):
         f.write(str(proc.pid))
     t.write_version(_df(spark, [(1, "a")]))
     assert not os.path.exists(orphan)
+
+
+def test_evolution_lifecycle_compact_and_cross_version_diff(spark, tmp_path):
+    """The realistic post-evolution lifecycle: (a) compact rewrites the
+    mixed-generation snapshot into single-generation files where the
+    added column is PHYSICAL (real footer stats, no more all-null
+    markers); (b) snapshot_diff across the evolution boundary works by
+    reading the pre-evolution version under the evolved schema
+    (read_version_as — NULL-filled added columns)."""
+    from pyspark.sql.types import StructType
+
+    from nycitibike_data_transform_spark.operators.diff import snapshot_diff
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "lifecycle"))
+    t.write_version(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 2, "b")], "id int, day int, v string"
+        ).repartition("day"),
+        partition_by=("day",),
+    )
+    t.write_version_cow(
+        spark.createDataFrame(
+            [(2, 2, "b2", 20), (3, 2, "c", 30)],
+            "id int, day int, v string, score int",
+        ).repartition("day"),
+        "day",
+    )
+
+    # (b) diff across the evolution boundary under the evolved schema
+    evolved = StructType.fromJson(t.manifest(2)["schema"])
+    old = t.read_version_as(spark, 1, evolved)
+    new = t.read_current(spark).select(*[f.name for f in evolved.fields])
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(
+            old.select(*[f.name for f in evolved.fields]), new, "id"
+        ).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "added"}
+
+    # (a) compact materializes the added column physically everywhere
+    t.compact(spark, target_file_mb=64)
+    v3 = t.current_version()
+    stats = t.file_stats(v3, ["score"])
+    assert stats and all(
+        s["score"] is not None and s["score"]["rows"] > 0
+        for s in stats.values()
+    )
+    rows = {r["id"]: r["score"] for r in t.read_current(spark).collect()}
+    assert rows == {1: None, 2: 20, 3: 30}
