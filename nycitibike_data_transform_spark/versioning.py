@@ -759,7 +759,13 @@ class VersionedTable:
         is a bounded rectangle in all z-dimensions and a k-dimensional
         box prunes multiplicatively (each dimension independently cuts
         the file list). Same fail-safe semantics per column as
-        :meth:`read_range`."""
+        :meth:`read_range`.
+
+        Either bound may be ``None`` for a half-open range (``(None,
+        hi)`` = ``col <= hi``, ``(lo, None)`` = ``col >= lo``) — the
+        missing side simply stops pruning in that direction; ``(None,
+        None)`` degenerates to an IS NOT NULL scan (still prunes
+        provably-all-null files)."""
         from pyspark.sql import functions as F
 
         if not ranges:
@@ -775,22 +781,37 @@ class VersionedTable:
                 s = by_col[col]
                 if s is None:
                     continue  # unknown stats — this column can't prune
+                if s["min"] is None:
+                    # provably all-null: no comparison predicate can
+                    # ever match (BETWEEN / >= / <= are NULL-rejecting)
+                    ok = False
+                    break
                 if s.get("scale") is not None:
                     # decimal column: stats are exact scaled ints;
                     # bounds go onto the same grid with conservative
                     # rounding (lo down, hi up) — see _decimal_bound
-                    lo_j = _decimal_bound(lo, s["scale"], "lo")
-                    hi_j = _decimal_bound(hi, s["scale"], "hi")
+                    lo_j = None if lo is None else _decimal_bound(lo, s["scale"], "lo")
+                    hi_j = None if hi is None else _decimal_bound(hi, s["scale"], "hi")
                 else:
-                    lo_j, hi_j = _stats_json(lo), _stats_json(hi)
-                if s["min"] is None or s["max"] < lo_j or s["min"] > hi_j:
+                    lo_j = None if lo is None else _stats_json(lo)
+                    hi_j = None if hi is None else _stats_json(hi)
+                if (lo_j is not None and s["max"] < lo_j) or (
+                    hi_j is not None and s["min"] > hi_j
+                ):
                     ok = False
                     break
             if ok:
                 keep.append(rel)
         df_filter = None
         for col, (lo, hi) in ranges.items():
-            c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+            if lo is None and hi is None:
+                c = F.col(col).isNotNull()
+            elif lo is None:
+                c = F.col(col) <= F.lit(hi)
+            elif hi is None:
+                c = F.col(col) >= F.lit(lo)
+            else:
+                c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
             df_filter = c if df_filter is None else (df_filter & c)
         data_dir = self._data_dir(v)
         from pyspark.sql.types import StructType
@@ -818,7 +839,8 @@ class VersionedTable:
         payoff of that clustering (Delta's data skipping). Fail-safe:
         a file without usable stats for ``col`` is always read (the
         residual filter keeps the answer exact either way). The
-        one-column case of :meth:`read_box`."""
+        one-column case of :meth:`read_box`; either bound may be
+        ``None`` for a half-open scan (``>= lo`` / ``<= hi``)."""
         return self.read_box(spark, {col: (lo, hi)}, version=version)
 
     def write_version_cow(

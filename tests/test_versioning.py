@@ -1163,3 +1163,48 @@ def test_evolution_lifecycle_compact_and_cross_version_diff(spark, tmp_path):
     )
     rows = {r["id"]: r["score"] for r in t.read_current(spark).collect()}
     assert rows == {1: None, 2: 20, 3: 30}
+
+
+def test_read_range_half_open_bounds(spark, tmp_path):
+    """Either bound may be None: pruning still cuts from the bounded
+    side, NULLs never match (comparison semantics), and (None, None)
+    is an IS NOT NULL scan that still prunes all-null files."""
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "half"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("v")
+    )
+    t.write_version(df.repartitionByRange(4, "k"))
+
+    hi_only = t.read_range(spark, "k", None, 99)
+    assert len(hi_only.inputFiles()) == 1  # only the lowest range file
+    assert hi_only.count() == 100
+
+    lo_only = t.read_range(spark, "k", 9_900, None)
+    assert len(lo_only.inputFiles()) == 1  # only the highest range file
+    assert lo_only.count() == 100
+
+    # (None, None): IS NOT NULL over everything, all-null files pruned
+    t2 = VersionedTable(str(tmp_path / "halfnull"))
+    mixed = spark.createDataFrame(
+        [(1, 1), (2, None), (3, None)], "id int, s int"
+    )
+    t2.write_version(mixed.repartitionByRange(3, "id"))
+    got = t2.read_range(spark, "s", None, None)
+    assert [r["id"] for r in got.collect()] == [1]
+    assert len(got.inputFiles()) == 1  # the two all-null files pruned
+
+    # half-open on a decimal column stays exact at the boundary
+    from decimal import Decimal
+
+    t3 = VersionedTable(str(tmp_path / "halfdec"))
+    t3.write_version(
+        spark.createDataFrame(
+            [(1, Decimal("100.00")), (2, Decimal("90071992547409.95"))],
+            "k int, amt decimal(18,2)",
+        ).repartitionByRange(2, "amt")
+    )
+    got3 = t3.read_range(spark, "amt", Decimal("90071992547409.95"), None)
+    assert [r["k"] for r in got3.collect()] == [2]
+    assert len(got3.inputFiles()) == 1
