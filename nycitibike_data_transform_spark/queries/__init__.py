@@ -112,10 +112,10 @@ def eager_cached(
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r10 rotation (VERDICT r9 item #6: refresh the 46 rows whose
     # latest green driver row is r7). The 50-entry driver window:
-    # (a) the three queries ADDED this round (schema_evolution,
-    # streaming_source_mix, streaming_user_totals) plus zonemap_scan,
-    # whose read path changed the most in r10 (stats now come from the
-    # commit-time manifest, decimals as exact scaled ints);
+    # (a) the four queries ADDED this round (schema_evolution,
+    # streaming_source_mix, streaming_user_totals, pointset_scan —
+    # the last certifies the new read_in point-set skipping over the
+    # r10 manifest-stats read path end-to-end);
     # (b) the 46 r7-evidenced rows — exactly filling the window, so
     # after r10 nothing's freshest driver evidence is older than r8.
     # Past-window, ordered by how much r10 touched them: the other
@@ -125,11 +125,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # the full local oracle gate, tools/check_oracle.py), then the
     # r8-green rows, then the r9-green rows (freshest evidence last).
     # ---
-    # (a) new in r10 + the most-changed layout read
+    # (a) new in r10
     "schema_evolution",
     "streaming_source_mix",
     "streaming_user_totals",
-    "zonemap_scan",
+    "pointset_scan",
     # (b) the 46 rows whose freshest driver evidence is r7
     "approx_distinct",
     "argmax_orders",
@@ -179,6 +179,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "word_frequencies",
     # ---- past the 50-entry window: r10-touched storage queries first,
     # then r8-green, then r9-green ----
+    "zonemap_scan",
     "zorder_scan",
     "incremental_bucketed",
     "incremental_model",

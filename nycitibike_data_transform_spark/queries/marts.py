@@ -467,6 +467,57 @@ def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eager_once(spark, sf_dir, "zonemap_scan", build)
 
 
+def _q_pointset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list zone-map skipping under the batch oracle (r10): the
+    same clustered lineitem snapshot as ``zonemap_scan``, read through
+    ``read_in`` with a fixed key list — the point-lookup shape (fetch
+    N keys, open only the files that can hold them; GAP-AWARE, so a
+    file between two requested keys never opens, where the bounding
+    hull would read it — pinned in tests/test_versioning.py). The IN
+    predicate keeps the answer exact regardless of skipping; DuckDB
+    states it directly. Eager by construction — EAGER class in the
+    plan audit; re-calls in one session return the cached checkpoint
+    (``eager_once``)."""
+    import shutil
+    import tempfile
+
+    from nycitibike_data_transform_spark.queries import eager_once
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    def build() -> DataFrame:
+        t = load(spark, sf_dir, "lineitem")
+        li = t["lineitem"].select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+        )
+        tmp = tempfile.mkdtemp(prefix="pointset_")
+        try:
+            table = VersionedTable(f"{tmp}/li")
+            table.write_version(li.repartition(8))
+            table.compact(spark, target_file_mb=1, cluster_by=("l_orderkey",))
+            return (
+                table.read_in(spark, "l_orderkey", _POINTSET_KEYS)
+                .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return eager_once(spark, sf_dir, "pointset_scan", build)
+
+
+# keys spread across the orderkey domain at every SF (lineitem
+# orderkeys are sparse ints ≥ 1; misses are part of the contract — IN
+# simply doesn't match them)
+_POINTSET_KEYS = [1, 32, 33, 676, 4_000, 40_000, 400_000, 4_000_000]
+
+
+_POINTSET_SCAN_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_orderkey IN ({", ".join(str(k) for k in _POINTSET_KEYS)})
+"""
+
+
 _ZONEMAP_SCAN_SQL = """
 SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
 FROM lineitem
@@ -857,6 +908,7 @@ QUERIES: dict[str, QuerySpec] = {
     "shipping_priority": QuerySpec(_q_shipping_priority, _SHIPPING_PRIORITY_SQL),
     "bucketed_join": QuerySpec(_q_bucketed_join, _BUCKETED_JOIN_SQL),
     "zonemap_scan": QuerySpec(_q_zonemap_scan, _ZONEMAP_SCAN_SQL),
+    "pointset_scan": QuerySpec(_q_pointset_scan, _POINTSET_SCAN_SQL),
     "zorder_scan": QuerySpec(_q_zorder_scan, _ZORDER_SCAN_SQL),
     "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
     "volume_shipping": QuerySpec(_q_volume_shipping, _VOLUME_SHIPPING_SQL),

@@ -827,6 +827,80 @@ class VersionedTable:
             *[os.path.join(data_dir, f) for f in keep]
         ).filter(df_filter)
 
+    def read_in(
+        self,
+        spark: SparkSession,
+        col: str,
+        values,
+        version: int | None = None,
+    ) -> DataFrame:
+        """IN-list scan with zone-map skipping: rows where ``col IN
+        (values)``, reading only the files whose [min, max] contains
+        AT LEAST ONE of the values — tighter than a bounding-hull
+        range check, because a file sitting inside the hull but
+        astride a GAP between requested values is pruned too (the
+        key-list point-lookup shape: fetch 100 doc_ids from a
+        clustered snapshot and open only the files that can hold
+        them). Empty ``values`` returns an empty frame (SQL ``IN ()``
+        matches nothing); NULLs in ``values`` are ignored (SQL IN
+        never matches NULL).
+
+        Driver cost: values are canonicalized and sorted ONCE, then
+        each file does one binary search — O(files · log |values|),
+        manifest-class work at any table size. Fail-safe like
+        :meth:`read_range`: a file without usable stats is read."""
+        import bisect
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"empty versioned table at {self.root}")
+        vals = [x for x in values if x is not None]
+        schema = StructType.fromJson(self.manifest(v)["schema"])
+        if not vals:
+            return spark.createDataFrame([], schema)
+        stats = self.file_stats(v, [col])
+        # canonicalize once per encoding: (vlo, vhi) per value, sorted.
+        # For non-decimals vlo == vhi; for decimals the conservative
+        # grid rounding applies (lo floors, hi ceils), so a file hits
+        # iff ∃ value with vhi >= file.min and vlo <= file.max — both
+        # monotone in the value, hence one bisect per file.
+        scales = {
+            by[col]["scale"]
+            for by in stats.values()
+            if by[col] is not None and by[col].get("scale") is not None
+        }
+        if scales:
+            scale = scales.pop()
+            pairs = sorted(
+                (_decimal_bound(x, scale, "lo"), _decimal_bound(x, scale, "hi"))
+                for x in vals
+            )
+        else:
+            pairs = sorted((j, j) for j in (_stats_json(x) for x in vals))
+        vhis = [p[1] for p in pairs]
+        keep = []
+        for rel, by_col in stats.items():
+            s = by_col[col]
+            if s is None:
+                keep.append(rel)  # unknown stats: fail-safe read
+                continue
+            if s["min"] is None:
+                continue  # provably all-null: IN never matches NULL
+            idx = bisect.bisect_left(vhis, s["min"])
+            if idx < len(pairs) and pairs[idx][0] <= s["max"]:
+                keep.append(rel)
+        data_dir = self._data_dir(v)
+        flt = F.col(col).isin(vals)
+        if not keep:
+            return spark.createDataFrame([], schema).filter(flt)
+        reader = spark.read.schema(schema).option("basePath", data_dir)
+        return reader.parquet(
+            *[os.path.join(data_dir, f) for f in keep]
+        ).filter(flt)
+
     def read_range(
         self, spark: SparkSession, col: str, lo, hi, version: int | None = None
     ) -> DataFrame:

@@ -1208,3 +1208,46 @@ def test_read_range_half_open_bounds(spark, tmp_path):
     got3 = t3.read_range(spark, "amt", Decimal("90071992547409.95"), None)
     assert [r["k"] for r in got3.collect()] == [2]
     assert len(got3.inputFiles()) == 1
+
+
+def test_read_in_point_set_skipping(spark, tmp_path):
+    """read_in opens only the files that can hold at least one
+    requested key — and is GAP-AWARE: a file inside the requested
+    hull but between two requested values is pruned, where a plain
+    range scan over the hull would read it."""
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "inlist"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("v")
+    )
+    # 4 disjoint range files: [0,2500), [2500,5000), [5000,7500), rest
+    t.write_version(df.repartitionByRange(4, "k"))
+
+    # two keys far apart: exactly the 2 covering files open — the hull
+    # [100, 9900] spans ALL 4 files, so gap-awareness saves 2 reads
+    got = t.read_in(spark, "k", [100, 9_900])
+    assert len(got.inputFiles()) == 2
+    assert {r["k"] for r in got.collect()} == {100, 9_900}
+    hull = t.read_range(spark, "k", 100, 9_900)
+    assert len(hull.inputFiles()) == 4  # the contrast
+
+    # misses prune everything; NULL keys are ignored; empty list = ∅
+    assert t.read_in(spark, "k", [1_000_000]).count() == 0
+    assert {r["k"] for r in t.read_in(spark, "k", [None, 42]).collect()} == {42}
+    empty = t.read_in(spark, "k", [])
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+    # decimal keys stay exact on the scaled grid past 2^53
+    from decimal import Decimal
+
+    td = VersionedTable(str(tmp_path / "indec"))
+    td.write_version(
+        spark.createDataFrame(
+            [(1, Decimal("100.00")), (2, Decimal("90071992547409.95"))],
+            "k int, amt decimal(18,2)",
+        ).repartitionByRange(2, "amt")
+    )
+    gd = td.read_in(spark, "amt", [Decimal("90071992547409.95")])
+    assert [r["k"] for r in gd.collect()] == [2]
+    assert len(gd.inputFiles()) == 1
