@@ -177,8 +177,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_topk_orders",
     "window_variants",
     "word_frequencies",
-    # ---- past the 50-entry window: r10-touched storage queries first,
+    # ---- past the 50-entry window: topk_scan is NEW in r10 but the
+    # window is exactly 4-new + 46-stale (the freshness bar wins its
+    # slot) — it is locally oracle-verified at both SFs and rotates
+    # into the r11 window; then the other r10-touched storage queries,
     # then r8-green, then r9-green ----
+    "topk_scan",
     "zonemap_scan",
     "zorder_scan",
     "incremental_bucketed",

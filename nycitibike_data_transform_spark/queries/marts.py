@@ -511,6 +511,60 @@ def _q_pointset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POINTSET_KEYS = [1, 32, 33, 676, 4_000, 40_000, 400_000, 4_000_000]
 
 
+def _q_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-assisted TOP-K under the batch oracle (r10): cluster
+    lineitem by price, then ``read_topk`` the 100 most expensive line
+    items — the scan opens only the files that can hold the answer
+    (TakeOrderedAndProject avoids the global sort; the zone maps cut
+    the SCAN itself — file-count pin in tests/test_versioning.py).
+    Unique tiebreak columns make the row SET deterministic at the
+    cutoff; NULLS LAST is pinned on both sides. Eager by construction
+    — EAGER class in the plan audit; memoized per session
+    (``eager_once``)."""
+    import shutil
+    import tempfile
+
+    from nycitibike_data_transform_spark.queries import eager_once
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    def build() -> DataFrame:
+        t = load(spark, sf_dir, "lineitem")
+        li = t["lineitem"].select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+        )
+        tmp = tempfile.mkdtemp(prefix="topk_")
+        try:
+            table = VersionedTable(f"{tmp}/li")
+            table.write_version(li.repartition(8))
+            table.compact(
+                spark, target_file_mb=1, cluster_by=("l_extendedprice",)
+            )
+            return (
+                table.read_topk(
+                    spark,
+                    "l_extendedprice",
+                    100,
+                    tiebreak=("l_orderkey", "l_linenumber"),
+                )
+                .select(
+                    "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return eager_once(spark, sf_dir, "topk_scan", build)
+
+
+_TOPK_SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem
+ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+
 _POINTSET_SCAN_SQL = f"""
 SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
 FROM lineitem
@@ -909,6 +963,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bucketed_join": QuerySpec(_q_bucketed_join, _BUCKETED_JOIN_SQL),
     "zonemap_scan": QuerySpec(_q_zonemap_scan, _ZONEMAP_SCAN_SQL),
     "pointset_scan": QuerySpec(_q_pointset_scan, _POINTSET_SCAN_SQL),
+    "topk_scan": QuerySpec(_q_topk_scan, _TOPK_SCAN_SQL),
     "zorder_scan": QuerySpec(_q_zorder_scan, _ZORDER_SCAN_SQL),
     "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
     "volume_shipping": QuerySpec(_q_volume_shipping, _VOLUME_SHIPPING_SQL),

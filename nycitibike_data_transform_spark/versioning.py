@@ -901,6 +901,99 @@ class VersionedTable:
             *[os.path.join(data_dir, f) for f in keep]
         ).filter(flt)
 
+    def read_topk(
+        self,
+        spark: SparkSession,
+        col: str,
+        k: int,
+        ascending: bool = False,
+        tiebreak: tuple[str, ...] = (),
+        version: int | None = None,
+    ) -> DataFrame:
+        """Zone-map-assisted TOP-K: the ``ORDER BY col [DESC] LIMIT k``
+        answer, SCANNING only the files that can contribute. Spark's
+        TakeOrderedAndProject already avoids a global sort but still
+        reads the whole table; after ``compact(cluster_by=(col,))`` the
+        k extreme rows live in O(k / rows-per-file) files and this
+        prunes the rest.
+
+        Sound cutoff: walk files in descending ``min`` order (for
+        descending top-k), accumulating NON-NULL row counts until ≥ k —
+        every accumulated row is ≥ that prefix's smallest ``min`` = m,
+        so the true k-th value is ≥ m and any file with ``max < m``
+        provably holds no answer row. If the known stats can't account
+        for k non-null rows, NOTHING is pruned (fail-safe — the answer
+        might need null rows or unknown files). Files without usable
+        stats are always read. The residual sort+limit keeps the
+        answer exact regardless of pruning.
+
+        NULL ordering is pinned to NULLS LAST in both directions (and
+        must be stated in any oracle SQL): with ≥ k non-null rows the
+        cutoff proof above also licenses pruning provably-all-null
+        files. ``tiebreak`` columns (always ascending, after ``col``)
+        make the row set deterministic when values tie at the cutoff —
+        without one, ties make ANY top-k nondeterministic, skipping or
+        not."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"empty versioned table at {self.root}")
+        stats = self.file_stats(v, [col])
+        lo_key, hi_key = ("min", "max") if not ascending else ("max", "min")
+
+        def _known(s) -> bool:
+            return s is not None and s["min"] is not None
+
+        # establish the cutoff m from files with usable stats
+        known = [
+            (rel, s[col]) for rel, s in stats.items() if _known(s[col])
+        ]
+        ordered = sorted(
+            known,
+            key=lambda rs: rs[1][lo_key],
+            reverse=not ascending,
+        )
+        m = None
+        cum = 0
+        for _rel, s in ordered:
+            cum += max(0, (s.get("rows") or 0) - (s.get("nulls") or 0))
+            if cum >= k:
+                m = s[lo_key]
+                break
+        if m is None:
+            keep = list(stats)  # can't prove k non-null rows: read all
+        else:
+            keep = []
+            for rel, by_col in stats.items():
+                s = by_col[col]
+                if s is None:
+                    keep.append(rel)  # unknown stats: fail-safe read
+                elif s["min"] is None:
+                    continue  # all-null, and ≥ k non-null rows exist
+                elif (not ascending and s[hi_key] >= m) or (
+                    ascending and s[hi_key] <= m
+                ):
+                    keep.append(rel)
+        order = [
+            F.col(col).asc_nulls_last()
+            if ascending
+            else F.col(col).desc_nulls_last()
+        ] + [F.col(c).asc() for c in tiebreak]
+        data_dir = self._data_dir(v)
+        schema = StructType.fromJson(self.manifest(v)["schema"])
+        if not keep:
+            return spark.createDataFrame([], schema).orderBy(*order).limit(k)
+        reader = spark.read.schema(schema).option("basePath", data_dir)
+        return (
+            reader.parquet(*[os.path.join(data_dir, f) for f in keep])
+            .orderBy(*order)
+            .limit(k)
+        )
+
     def read_range(
         self, spark: SparkSession, col: str, lo, hi, version: int | None = None
     ) -> DataFrame:

@@ -1251,3 +1251,48 @@ def test_read_in_point_set_skipping(spark, tmp_path):
     gd = td.read_in(spark, "amt", [Decimal("90071992547409.95")])
     assert [r["k"] for r in gd.collect()] == [2]
     assert len(gd.inputFiles()) == 1
+
+
+def test_read_topk_prunes_to_extreme_files(spark, tmp_path):
+    """Zone-map-assisted top-k: after cluster-by layout the k extreme
+    rows live in the extreme files — read_topk opens only those, both
+    directions, with exact answers (residual sort+limit) and fail-safe
+    behavior when stats can't prove k non-null rows."""
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "topk"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("v")
+    )
+    t.write_version(df.repartitionByRange(4, "k"))
+
+    top = t.read_topk(spark, "k", 100, tiebreak=("v",))
+    assert len(top.inputFiles()) == 1  # only the highest range file
+    assert [r["k"] for r in top.collect()] == list(range(9_999, 9_899, -1))
+
+    bottom = t.read_topk(spark, "k", 100, ascending=True, tiebreak=("v",))
+    assert len(bottom.inputFiles()) == 1
+    assert [r["k"] for r in bottom.collect()] == list(range(100))
+
+    # k spanning two files: both open, answer exact
+    two = t.read_topk(spark, "k", 3_000, tiebreak=("v",))
+    assert len(two.inputFiles()) == 2
+    assert two.count() == 3_000
+
+    # k larger than the table: everything opens, all rows come back
+    assert t.read_topk(spark, "k", 50_000).count() == 10_000
+
+    # nulls: with k beyond the non-null count, nothing is pruned and
+    # NULLS LAST fills the tail
+    tn = VersionedTable(str(tmp_path / "topkn"))
+    tn.write_version(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, None), (4, None)], "id int, s int"
+        ).repartitionByRange(4, "id")
+    )
+    got = [r["s"] for r in tn.read_topk(spark, "s", 3, tiebreak=("id",)).collect()]
+    assert got == [20, 10, None]
+    # ... while k within the non-null count prunes the all-null files
+    small = tn.read_topk(spark, "s", 2, tiebreak=("id",))
+    assert [r["s"] for r in small.collect()] == [20, 10]
+    assert len(small.inputFiles()) == 2  # the two non-null single-row files
