@@ -988,11 +988,33 @@ class VersionedTable:
         if not keep:
             return spark.createDataFrame([], schema).orderBy(*order).limit(k)
         reader = spark.read.schema(schema).option("basePath", data_dir)
-        return (
-            reader.parquet(*[os.path.join(data_dir, f) for f in keep])
-            .orderBy(*order)
-            .limit(k)
-        )
+        out = reader.parquet(*[os.path.join(data_dir, f) for f in keep])
+        if m is not None:
+            # push the cutoff INTO the scan: rows past it provably
+            # can't be in the answer (same proof as the file cutoff),
+            # so parquet row-group stats skip within the kept files
+            # too. Only for columns whose stats domain IS the column
+            # domain (plain numerics and strings) — temporal/decimal
+            # stats are canonicalized (epoch micros / scaled ints) and
+            # would need an inverse mapping; they keep the file-level
+            # pruning and exact answers either way.
+            from pyspark.sql.types import (
+                DecimalType,
+                NumericType,
+                StringType,
+            )
+
+            dt_ = schema[col].dataType
+            if isinstance(dt_, StringType) or (
+                isinstance(dt_, NumericType)
+                and not isinstance(dt_, DecimalType)
+            ):
+                out = out.filter(
+                    F.col(col) <= F.lit(m)
+                    if ascending
+                    else F.col(col) >= F.lit(m)
+                )
+        return out.orderBy(*order).limit(k)
 
     def read_range(
         self, spark: SparkSession, col: str, lo, hi, version: int | None = None
