@@ -331,7 +331,12 @@ class BucketedIncrementalTable(VersionedTable):
             _additive_evolution,
         )
 
-        added = set(_additive_evolution(m["schema"], updates.schema))
+        # narrowing="widen": the committed schema below is rebuilt
+        # from the manifest, preserving committed nullability — an
+        # updates plan with non-nullable columns never narrows it
+        added = set(
+            _additive_evolution(m["schema"], updates.schema, narrowing="widen")
+        )
         schema = StructType.fromJson(m["schema"])
         for f in updates.schema.fields:
             if f.name in added:

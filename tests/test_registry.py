@@ -47,3 +47,29 @@ def test_eager_cache_returns_same_frame_within_session(spark):
     b = q(spark, "/root/testdata/sf0.001")
     assert a is b  # the memoized checkpoint, not a rebuilt layout
     assert a.count() == b.count()
+
+
+def test_eager_cache_evicts_dead_sessions(spark):
+    """ADVICE r10: entries keyed to an ended SparkSession (whose
+    localCheckpoint blocks are gone) are evicted on the next call
+    instead of leaking DataFrame references forever; same-session
+    entries for other sf_dirs survive."""
+    from nycitibike_data_transform_spark.queries import (
+        _EAGER_CACHE,
+        eager_once,
+    )
+
+    app = spark.sparkContext.applicationId
+    live = eager_once(
+        spark, "/root/testdata/sf0.001", "evict_probe",
+        lambda: spark.range(1),
+    )
+    _EAGER_CACHE[("app-from-a-dead-session", "sf", "k")] = live
+    again = eager_once(
+        spark, "/root/testdata/sf0.001", "evict_probe",
+        lambda: spark.range(2),
+    )
+    assert again is live  # same-session memo intact
+    assert ("app-from-a-dead-session", "sf", "k") not in _EAGER_CACHE
+    assert all(k[0] == app for k in _EAGER_CACHE)
+    del _EAGER_CACHE[(app, "/root/testdata/sf0.001", "evict_probe")]

@@ -1296,3 +1296,165 @@ def test_read_topk_prunes_to_extreme_files(spark, tmp_path):
     small = tn.read_topk(spark, "s", 2, tiebreak=("id",))
     assert [r["s"] for r in small.collect()] == [20, 10]
     assert len(small.inputFiles()) == 2  # the two non-null single-row files
+
+
+def test_nan_stats_are_unusable_never_wrongly_pruned(spark, tmp_path):
+    """ADVICE r10 (generalized): Spark's parquet writer orders doubles
+    with Double.compare, so a row group containing ANY NaN commits
+    max=NaN into the footer (pinned below). Python comparisons against
+    NaN are always False, which flips the fail-safe direction for the
+    KEEP-style conditions in read_in ("∃ value <= max") and read_topk
+    ("max >= m") — before the fix both silently pruned the NaN-bearing
+    file. Now any stat entry touching NaN is UNUSABLE (always read),
+    and usable stats prove a file NaN-free, keeping the top-k cutoff
+    proof sound."""
+    import math
+
+    t = VersionedTable(str(tmp_path / "nan"))
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, 1), (1, 5.0, 2), (1, float("nan"), 3),
+            (2, 10.0, 4), (2, 20.0, 5),
+            (3, 100.0, 6), (3, 200.0, 7),
+        ],
+        "g int, x double, id int",
+    )
+    t.write_version(df.repartition("g"), partition_by=("g",))
+
+    # footer pin: the NaN-bearing partition's stats are unusable; the
+    # clean partitions' are real
+    stats = t.file_stats(1, ["x"])
+    by_g = {f.split("/")[0]: s["x"] for f, s in stats.items()}
+    assert by_g["g=1"] is None  # NaN reached max -> unusable
+    assert by_g["g=2"]["max"] == 20.0 and by_g["g=3"]["min"] == 100.0
+
+    # descending top-2: NaN sorts FIRST (Spark: NaN > every numeric).
+    # The cutoff m=100 comes from g=3 alone; g=1 must still be read
+    # (unusable stats) and its NaN row must survive the pushed
+    # residual filter (Spark comparisons use the same total order).
+    top = t.read_topk(spark, "x", 2, tiebreak=("id",)).collect()
+    assert math.isnan(top[0]["x"]) and top[1]["x"] == 200.0
+    assert any("g=1" in f for f in
+               t.read_topk(spark, "x", 2, tiebreak=("id",)).inputFiles())
+
+    # ascending top-2: the two smallest REAL values (NaN sorts last
+    # among non-nulls); the NaN file is read but its row filtered
+    bottom = t.read_topk(spark, "x", 2, ascending=True, tiebreak=("id",))
+    assert [r["x"] for r in bottom.collect()] == [1.0, 5.0]
+
+    # read_in: value 5.0 lives in the NaN-contaminated file — before
+    # the fix the bisect keep-test compared against max=NaN and pruned
+    got = t.read_in(spark, "x", [5.0]).collect()
+    assert [r["id"] for r in got] == [2]
+
+
+def test_nullability_never_narrows_on_cow_commit(spark, tmp_path):
+    """ADVICE r10: a cow merge whose plan recomputes a committed
+    nullable column as non-nullable (literals, counts) must NOT narrow
+    the committed manifest — hardlinked pre-evolution files may hold
+    NULLs there, and a non-nullable read schema lets Catalyst fold
+    IsNotNull over null rows. The commit preserves the committed
+    nullability; the READ path rejects an explicitly narrowed schema."""
+    from pyspark.sql.types import StructType
+
+    t = VersionedTable(str(tmp_path / "narrow"))
+    v1 = spark.createDataFrame(
+        [(1, 1, None), (2, 1, 10), (3, 2, 30)], "id int, day int, score int"
+    )  # score nullable, holds a real NULL in day=1
+    t.write_version(v1.repartition("day"), partition_by=("day",))
+    assert next(
+        f["nullable"] for f in t.manifest(1)["schema"]["fields"]
+        if f["name"] == "score"
+    )
+
+    # merged slice for day=2 with score recomputed NON-nullable
+    merged = (
+        spark.createDataFrame([(3, 2), (4, 2)], "id int, day int")
+        .withColumn("score", F.lit(99))  # non-nullable literal
+        .select("id", "day", "score")
+    )
+    assert not merged.schema["score"].nullable
+    t.write_version_cow(merged, "day")
+
+    # committed schema did NOT narrow
+    assert next(
+        f["nullable"] for f in t.manifest(2)["schema"]["fields"]
+        if f["name"] == "score"
+    )
+    # the NULL row in the hardlinked day=1 file survives an
+    # IsNotNull-shaped filter (no constant folding over a lie)
+    cur = t.read_current(spark)
+    assert cur.filter(F.col("score").isNull()).count() == 1
+    assert {r["id"] for r in cur.filter(F.col("score").isNotNull()).collect()} \
+        == {2, 3, 4}
+
+    # READ path: requesting a narrowed schema raises instead of
+    # pinning non-nullability over null-bearing files
+    narrowed = StructType.fromJson(t.manifest(2)["schema"])
+    for f in narrowed.fields:
+        if f.name == "score":
+            f.nullable = False
+    with pytest.raises(ValueError, match="narrow nullability"):
+        t.read_current_as(spark, narrowed)
+
+
+def test_read_version_as_vacuumed_raises_explicitly(spark, tmp_path):
+    """ADVICE r10: a vacuumed-but-in-range version must raise the same
+    explicit 'was vacuumed' error read_version gives, not an opaque
+    parquet path-not-found from the reader."""
+    from pyspark.sql.types import StructType
+
+    t = VersionedTable(str(tmp_path / "vac"))
+    t.write_version(_df(spark, [(1, "a")]))
+    t.write_version(_df(spark, [(2, "b")]))
+    t.write_version(_df(spark, [(3, "c")]))
+    t.vacuum(keep=1)
+    schema = StructType.fromJson(t.manifest(3)["schema"])
+    with pytest.raises(ValueError, match="was vacuumed"):
+        t.read_version_as(spark, 1, schema)
+
+
+def test_sidecar_backfill_stamps_all_null_markers(spark, tmp_path):
+    """VERDICT r10 item #7: the post-hoc footer-sweep path (pre-r10
+    manifests without commit-time stats) stamps the SAME prunable
+    all-null marker on pre-evolution files for evolution-added columns
+    that the commit-time path gets from _backfill_added_all_null — a
+    file that doesn't carry the column at all is provably all-null
+    under the manifest-pinned read schema. Partition columns are
+    exempt (their value lives in the dir name, anything but null)."""
+    import json as _json
+
+    t = VersionedTable(str(tmp_path / "backfill"))
+    v1 = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")], "id int, day int, v string"
+    )
+    t.write_version(v1.repartition("day"), partition_by=("day",))
+    merged = spark.createDataFrame(
+        [(3, 2, "c2", 30), (4, 2, "d", 40)],
+        "id int, day int, v string, score int",
+    ).repartition("day")
+    t.write_version_cow(merged, "day")
+
+    # simulate a pre-r10 (fmt-2 era) manifest: strip the commit-time
+    # stats so file_stats must fall back to the sidecar footer sweep
+    mpath = t._manifest_path(2)
+    m = _json.loads(open(mpath).read())
+    m.pop("stats"), m.pop("stats_fmt")
+    with open(mpath, "w") as fh:
+        fh.write(_json.dumps(m))
+
+    stats = t.file_stats(2, ["score", "day"])
+    carried = {f: s for f, s in stats.items() if f.startswith("day=1/")}
+    assert carried  # hardlinked pre-evolution files exist
+    for s in carried.values():
+        # added column: prunable all-null marker from the sweep itself
+        assert s["score"]["min"] is None
+        assert s["score"]["nulls"] == s["score"]["rows"] > 0
+        # partition column: fail-safe None from the sweep (the dir
+        # value is real data, not null)
+        assert s["day"] is None
+    # and the pruning payoff: a range scan on the added column opens
+    # only the evolved partition's files
+    ranged = t.read_range(spark, "score", 35, 50)
+    assert all("day=2" in f for f in ranged.inputFiles())
+    assert {r["id"] for r in ranged.collect()} == {4}
