@@ -82,7 +82,6 @@ from pyspark.sql.types import StructType
 
 from nycitibike_data_transform_spark.versioning import (
     VersionedTable,
-    _durable_write,
     _stats_friendly_writes,
 )
 
@@ -113,8 +112,9 @@ class BucketedIncrementalTable(VersionedTable):
         bucket_cols: list[str] | tuple[str, ...],
         num_buckets: int,
         sort_cols: list[str] | tuple[str, ...] | None = None,
+        backend=None,
     ):
-        super().__init__(root)
+        super().__init__(root, backend=backend)
         if num_buckets < 1:
             raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
         self.bucket_cols = list(bucket_cols)
@@ -214,7 +214,6 @@ class BucketedIncrementalTable(VersionedTable):
         os.makedirs(data_dir)
         for name, src in sorted(links.items()):
             os.link(src, os.path.join(data_dir, name))
-        os.makedirs(self._versions_dir, exist_ok=True)
         # commit-time zone-map stats, same posture as write_version:
         # hardlinked bucket files carry their entry forward by name
         # (same inode); only the re-staged buckets get swept — at most
@@ -250,8 +249,8 @@ class BucketedIncrementalTable(VersionedTable):
             "stats_fmt": _STATS_FMT,
             "stats": {**carried, **fresh},
         }
-        _durable_write(self._manifest_path(version), json.dumps(manifest))
-        _durable_write(self._pointer, str(version))
+        self._backend.put(self._manifest_key(version), json.dumps(manifest))
+        self._commit_pointer(cur, version)
         return version
 
     @staticmethod

@@ -127,12 +127,10 @@ def test_crash_mid_merge_leaves_previous_snapshot(spark, tmp_path, monkeypatch):
     before = _rows(t.read_current(spark))
     upd = spark.createDataFrame([(1, 111, "crash")], "k long, v long, s string")
 
-    import nycitibike_data_transform_spark.bucketed_table as bt
-
-    def boom(path, content):
+    def boom(key, content):
         raise RuntimeError("simulated crash before commit")
 
-    monkeypatch.setattr(bt, "_durable_write", boom)
+    monkeypatch.setattr(t._backend, "put", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         t.merge(spark, upd, ["k"])
     monkeypatch.undo()

@@ -1095,23 +1095,47 @@ def test_partition_column_zone_maps_prune_file_list(spark, tmp_path):
     assert len(files2) == 1 and "plain" not in files2[0]
 
 
-def test_orphaned_reclaim_file_swept_on_next_acquire(spark, tmp_path):
-    """A reclaimer killed between its rename and unlink orphans a
-    _lock.reclaim.PID file; the next successful acquisition sweeps
-    dead-pid leftovers."""
+def test_stale_reclaim_cannot_steal_a_fresh_live_lock(spark, tmp_path):
+    """ADVICE r10 TOCTOU: between observing a dead lease and reclaiming
+    it, another process may complete its own reclaim AND re-acquire a
+    fresh LIVE lock at the same key. The reclaim is now a CONDITIONAL
+    delete of exactly the observed lease — it fails against the fresh
+    lock, and the late reclaimer raises instead of deleting the live
+    writer's lock and proceeding (two concurrent writers, the lost
+    update the single-writer contract exists to prevent)."""
     import subprocess
 
-    from nycitibike_data_transform_spark.versioning import VersionedTable
+    from nycitibike_data_transform_spark.versioning import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
 
-    t = VersionedTable(str(tmp_path / "reclaim"))
+    t = VersionedTable(str(tmp_path / "toctou"))
     os.makedirs(t.root, exist_ok=True)
     proc = subprocess.Popen(["sleep", "0"])
-    proc.wait()
-    orphan = os.path.join(t.root, f"_lock.reclaim.{proc.pid}")
-    with open(orphan, "w") as f:
-        f.write(str(proc.pid))
-    t.write_version(_df(spark, [(1, "a")]))
-    assert not os.path.exists(orphan)
+    proc.wait()  # a real, provably dead pid
+    b = t._backend
+    assert b.create_exclusive("_lock", str(proc.pid))
+
+    # the late reclaimer reads the lock and sees the dead lease...
+    observed = b.get("_lock")
+    assert not b.lease_live(observed)
+
+    # ...but before its delete lands, another reclaimer wins AND a
+    # fresh writer acquires a LIVE lock at the same key
+    assert b.delete_if("_lock", observed)
+    assert b.create_exclusive("_lock", str(os.getpid()))
+
+    # the late reclaimer's conditional delete of the STALE lease must
+    # fail — the content changed — leaving the live lock intact
+    assert not b.delete_if("_lock", observed)
+    assert b.get("_lock") == str(os.getpid())
+
+    # and a full acquisition attempt sees the live lease and raises
+    with pytest.raises(ConcurrentWriteError, match="single-writer"):
+        t.write_version(_df(spark, [(1, "a")]))
+    b.delete_if("_lock", str(os.getpid()))
+    assert t.write_version(_df(spark, [(1, "a")])) == 1
 
 
 def test_evolution_lifecycle_compact_and_cross_version_diff(spark, tmp_path):
