@@ -118,85 +118,26 @@ def eager_cached(
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r10 rotation (VERDICT r9 item #6: refresh the 46 rows whose
-    # latest green driver row is r7). The 50-entry driver window:
-    # (a) the four queries ADDED this round (schema_evolution,
-    # streaming_source_mix, streaming_user_totals, pointset_scan —
-    # the last certifies the new read_in point-set skipping over the
-    # r10 manifest-stats read path end-to-end);
-    # (b) the 46 r7-evidenced rows — exactly filling the window, so
-    # after r10 nothing's freshest driver evidence is older than r8.
-    # Past-window, ordered by how much r10 touched them: the other
-    # storage-layer queries whose execution paths changed this round
-    # (z-order read, both incremental materializers, the versioned
-    # streaming upsert, the bucketed scratch join — all re-verified by
-    # the full local oracle gate, tools/check_oracle.py), then the
-    # r8-green rows, then the r9-green rows (freshest evidence last).
+    # --- r11 rotation (VERDICT r10 item #1). The 50-entry driver
+    # window: (a) the queries NEW or CHANGED this round — topk_scan
+    # (the registry's only never-driver-checked row, r10's
+    # past-window entry), the two new inverse-canonicalization top-k
+    # rows (timestamp + decimal), zonemap_scan + pointset_scan (now
+    # reading the shared clustered-snapshot fixture), and
+    # schema_evolution (re-runs the cow commit whose manifest schema
+    # now preserves committed nullability); (b) the 44 rows whose
+    # freshest driver evidence is r8 — together exactly filling the
+    # window, so after r11 nothing's latest green row is older than
+    # r9 and every registry row has driver evidence.
     # ---
-    # (a) new in r10
-    "schema_evolution",
-    "streaming_source_mix",
-    "streaming_user_totals",
-    "pointset_scan",
-    # (b) the 46 rows whose freshest driver evidence is r7
-    "approx_distinct",
-    "argmax_orders",
-    "collect_sorted",
-    "compression_signal",
-    "containment_pairs",
-    "cosine_topk_ivf",
-    "cosine_topk_lsh",
-    "cube_orders",
-    "curriculum_stages",
-    "dataset_report",
-    "decontaminate_bloom",
-    "dedup_latest",
-    "dispersion",
-    "distinct_parts_per_flag",
-    "embedding_dedup",
-    "embedding_near_dup",
-    "event_type_daily",
-    "events_hourly",
-    "forecast_revenue",
-    "global_shuffle",
-    "grouping_sets",
-    "hash_sample",
-    "minhash_pairs",
-    "mixture_plan",
-    "pack_render",
-    "perplexity_score",
-    "price_histogram",
-    "quality_logit",
-    "returned_items",
-    "rollup_qty",
-    "semi_join",
-    "set_intersect",
-    "shard_manifest",
-    "shipping_priority",
-    "simhash",
-    "skew_join_events",
-    "surrogate_keys",
-    "table_profile_approx",
-    "token_budget_select",
-    "token_histogram",
-    "top_orders",
-    "unpivot_money",
-    "volume_shipping",
-    "window_topk_orders",
-    "window_variants",
-    "word_frequencies",
-    # ---- past the 50-entry window: topk_scan is NEW in r10 but the
-    # window is exactly 4-new + 46-stale (the freshness bar wins its
-    # slot) — it is locally oracle-verified at both SFs and rotates
-    # into the r11 window; then the other r10-touched storage queries,
-    # then r8-green, then r9-green ----
+    # (a) r11-new/changed
     "topk_scan",
+    "topk_scan_date",
+    "topk_scan_decimal",
     "zonemap_scan",
-    "zorder_scan",
-    "incremental_bucketed",
-    "incremental_model",
-    "streaming_upsert_view",
-    "bucketed_join",
+    "pointset_scan",
+    "schema_evolution",
+    # (b) the 44 rows whose freshest driver evidence is r8
     "anti_join",
     "asof_purchase_click",
     "aux_econ_by_nta",
@@ -241,6 +182,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "video_frames",
     "window_running_qty",
+    # ---- past the 50-entry window: first the other storage-layer
+    # queries whose commit/lock path r11 touched (all re-verified by
+    # the full local oracle gate, tools/check_oracle.py), then the
+    # r9-green rows, then the r10-green rows (freshest evidence
+    # last) ----
+    "zorder_scan",
+    "incremental_bucketed",
+    "incremental_model",
+    "streaming_upsert_view",
+    "bucketed_join",
+    # r9-green
     "audio_pipeline",
     "bpe_merges",
     "bpe_segment",
@@ -285,6 +237,55 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_supplier",
     "user_streaks",
     "weighted_sample",
+    # r10-green (freshest)
+    "approx_distinct",
+    "argmax_orders",
+    "collect_sorted",
+    "compression_signal",
+    "containment_pairs",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "cube_orders",
+    "curriculum_stages",
+    "dataset_report",
+    "decontaminate_bloom",
+    "dedup_latest",
+    "dispersion",
+    "distinct_parts_per_flag",
+    "embedding_dedup",
+    "embedding_near_dup",
+    "event_type_daily",
+    "events_hourly",
+    "forecast_revenue",
+    "global_shuffle",
+    "grouping_sets",
+    "hash_sample",
+    "minhash_pairs",
+    "mixture_plan",
+    "pack_render",
+    "perplexity_score",
+    "price_histogram",
+    "quality_logit",
+    "returned_items",
+    "rollup_qty",
+    "semi_join",
+    "set_intersect",
+    "shard_manifest",
+    "shipping_priority",
+    "simhash",
+    "skew_join_events",
+    "streaming_source_mix",
+    "streaming_user_totals",
+    "surrogate_keys",
+    "table_profile_approx",
+    "token_budget_select",
+    "token_histogram",
+    "top_orders",
+    "unpivot_money",
+    "volume_shipping",
+    "window_topk_orders",
+    "window_variants",
+    "word_frequencies",
 )
 
 

@@ -420,49 +420,88 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map FILE SKIPPING under the batch oracle (r9): materialize
-    lineitem as a versioned snapshot, ``compact(cluster_by=
-    (l_shipdate,))`` so each file covers a narrow non-overlapping date
-    range, then ``read_range`` a one-quarter window — the read opens
-    ONLY the files whose footer [min,max] overlaps (Delta data
-    skipping, built from parquet row-group stats cached in a manifest
-    sidecar). Certified against the plain full-scan filter in DuckDB:
-    skipping changes I/O, never answers. The actual file-count cut is
-    pinned in tests/test_versioning.py; at 100 TB the same read opens
-    O(matching files) instead of O(table). Eager by construction
-    (snapshot + compaction run at plan build) — EAGER class in the
-    plan audit; re-calls in one session return the cached checkpoint
-    (``eager_once``)."""
-    import datetime as dt
+#: Shared clustered-snapshot fixture for the EAGER layout scans
+#: (VERDICT r10 item #6): keyed by (applicationId, sf_dir), holding
+#: ONE versioned lineitem table whose committed versions are the
+#: layouts — v1 raw, v2 shipdate-clustered, v3 orderkey-clustered,
+#: v4 price-clustered. Each scan reads ITS version (time travel), so
+#: the registry pays one write + three compactions per session
+#: instead of one write + one compaction PER SCAN. The decimal top-k
+#: also reads v4: l_price_d = CAST(l_extendedprice) is monotone in
+#: the cluster key, so price-clustering gives it equally tight zone
+#: maps for free. Stale-session entries are evicted like
+#: ``_EAGER_CACHE`` (their tmpdirs removed); live tmpdirs are removed
+#: at interpreter exit.
+_LAYOUT_FIXTURES: dict[tuple[str, str], dict] = {}
+
+_LAYOUT_VERSIONS = {"l_shipdate": 2, "l_orderkey": 3, "l_extendedprice": 4}
+
+
+def _clustered_lineitem(spark: SparkSession, sf_dir: str):
+    """The shared fixture's VersionedTable (built on first use per
+    session + sf_dir). Versions per ``_LAYOUT_VERSIONS``; snapshots
+    are data-identical (compaction only changes file geometry), so
+    every reader sees the same rows regardless of version."""
+    import atexit
     import shutil
     import tempfile
 
-    from nycitibike_data_transform_spark.queries import eager_once
     from nycitibike_data_transform_spark.versioning import VersionedTable
 
-    def build() -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _LAYOUT_FIXTURES if k[0] != app]:
+        shutil.rmtree(_LAYOUT_FIXTURES.pop(stale)["tmp"], ignore_errors=True)
+    key = (app, sf_dir)
+    if key not in _LAYOUT_FIXTURES:
         t = load(spark, sf_dir, "lineitem")
         li = t["lineitem"].select(
-            "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            "l_quantity",
+            "l_extendedprice",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("l_price_d"),
         )
-        tmp = tempfile.mkdtemp(prefix="zonemap_")
-        try:
-            table = VersionedTable(f"{tmp}/li")
-            table.write_version(li.repartition(8))
-            table.compact(spark, target_file_mb=1, cluster_by=("l_shipdate",))
-            return (
-                table.read_range(
-                    spark,
-                    "l_shipdate",
-                    dt.datetime(1996, 1, 1),
-                    dt.datetime(1996, 3, 31),
-                )
-                .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-                .localCheckpoint(eager=True)
+        tmp = tempfile.mkdtemp(prefix="layout_fixture_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        table = VersionedTable(f"{tmp}/li")
+        table.write_version(li.repartition(8))  # v1
+        for col in _LAYOUT_VERSIONS:  # v2..v4, insertion-ordered
+            table.compact(spark, target_file_mb=1, cluster_by=(col,))
+        _LAYOUT_FIXTURES[key] = {"tmp": tmp, "table": table}
+    return _LAYOUT_FIXTURES[key]["table"]
+
+
+def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map FILE SKIPPING under the batch oracle (r9): a versioned
+    lineitem snapshot ``compact(cluster_by=(l_shipdate,))`` so each
+    file covers a narrow non-overlapping date range, then
+    ``read_range`` a one-quarter window — the read opens ONLY the
+    files whose committed [min,max] overlaps (Delta data skipping from
+    commit-time manifest stats). Certified against the plain full-scan
+    filter in DuckDB: skipping changes I/O, never answers. The actual
+    file-count cut is pinned in tests/test_versioning.py; at 100 TB
+    the same read opens O(matching files) instead of O(table). Eager
+    by construction — EAGER class in the plan audit; the layout comes
+    from the SHARED per-session fixture (VERDICT r10 item #6) and
+    re-calls return the cached checkpoint (``eager_once``)."""
+    import datetime as dt
+
+    from nycitibike_data_transform_spark.queries import eager_once
+
+    def build() -> DataFrame:
+        table = _clustered_lineitem(spark, sf_dir)
+        return (
+            table.read_range(
+                spark,
+                "l_shipdate",
+                dt.datetime(1996, 1, 1),
+                dt.datetime(1996, 3, 31),
+                version=_LAYOUT_VERSIONS["l_shipdate"],
             )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+            .localCheckpoint(eager=True)
+        )
 
     return eager_once(spark, sf_dir, "zonemap_scan", build)
 
@@ -476,31 +515,23 @@ def _q_pointset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hull would read it — pinned in tests/test_versioning.py). The IN
     predicate keeps the answer exact regardless of skipping; DuckDB
     states it directly. Eager by construction — EAGER class in the
-    plan audit; re-calls in one session return the cached checkpoint
+    plan audit; the layout comes from the SHARED per-session fixture
+    (VERDICT r10 item #6) and re-calls return the cached checkpoint
     (``eager_once``)."""
-    import shutil
-    import tempfile
-
     from nycitibike_data_transform_spark.queries import eager_once
-    from nycitibike_data_transform_spark.versioning import VersionedTable
 
     def build() -> DataFrame:
-        t = load(spark, sf_dir, "lineitem")
-        li = t["lineitem"].select(
-            "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
-        )
-        tmp = tempfile.mkdtemp(prefix="pointset_")
-        try:
-            table = VersionedTable(f"{tmp}/li")
-            table.write_version(li.repartition(8))
-            table.compact(spark, target_file_mb=1, cluster_by=("l_orderkey",))
-            return (
-                table.read_in(spark, "l_orderkey", _POINTSET_KEYS)
-                .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-                .localCheckpoint(eager=True)
+        table = _clustered_lineitem(spark, sf_dir)
+        return (
+            table.read_in(
+                spark,
+                "l_orderkey",
+                _POINTSET_KEYS,
+                version=_LAYOUT_VERSIONS["l_orderkey"],
             )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+            .localCheckpoint(eager=True)
+        )
 
     return eager_once(spark, sf_dir, "pointset_scan", build)
 
@@ -519,42 +550,103 @@ def _q_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SCAN itself — file-count pin in tests/test_versioning.py).
     Unique tiebreak columns make the row SET deterministic at the
     cutoff; NULLS LAST is pinned on both sides. Eager by construction
-    — EAGER class in the plan audit; memoized per session
+    — EAGER class in the plan audit; the layout comes from the SHARED
+    per-session fixture (VERDICT r10 item #6); memoized per session
     (``eager_once``)."""
-    import shutil
-    import tempfile
-
     from nycitibike_data_transform_spark.queries import eager_once
-    from nycitibike_data_transform_spark.versioning import VersionedTable
 
     def build() -> DataFrame:
-        t = load(spark, sf_dir, "lineitem")
-        li = t["lineitem"].select(
-            "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+        table = _clustered_lineitem(spark, sf_dir)
+        return (
+            table.read_topk(
+                spark,
+                "l_extendedprice",
+                100,
+                tiebreak=("l_orderkey", "l_linenumber"),
+                version=_LAYOUT_VERSIONS["l_extendedprice"],
+            )
+            .select(
+                "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+            )
+            .localCheckpoint(eager=True)
         )
-        tmp = tempfile.mkdtemp(prefix="topk_")
-        try:
-            table = VersionedTable(f"{tmp}/li")
-            table.write_version(li.repartition(8))
-            table.compact(
-                spark, target_file_mb=1, cluster_by=("l_extendedprice",)
-            )
-            return (
-                table.read_topk(
-                    spark,
-                    "l_extendedprice",
-                    100,
-                    tiebreak=("l_orderkey", "l_linenumber"),
-                )
-                .select(
-                    "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
-                )
-                .localCheckpoint(eager=True)
-            )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
     return eager_once(spark, sf_dir, "topk_scan", build)
+
+
+def _q_topk_scan_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-assisted top-k on a TIMESTAMP column (r11): the 100
+    most recent shipments from the shipdate-clustered layout — the
+    cutoff is established in canonicalized epoch-micros space and
+    mapped back through ``timestamp_micros`` into the parquet scan
+    (the r10-VERDICT inverse-canonicalization pushdown), so both the
+    file list AND the row groups inside kept files prune on time.
+    Same determinism pins as ``topk_scan``. EAGER; shared fixture;
+    memoized (``eager_once``)."""
+    from nycitibike_data_transform_spark.queries import eager_once
+
+    def build() -> DataFrame:
+        table = _clustered_lineitem(spark, sf_dir)
+        return (
+            table.read_topk(
+                spark,
+                "l_shipdate",
+                100,
+                tiebreak=("l_orderkey", "l_linenumber"),
+                version=_LAYOUT_VERSIONS["l_shipdate"],
+            )
+            .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+            .localCheckpoint(eager=True)
+        )
+
+    return eager_once(spark, sf_dir, "topk_scan_date", build)
+
+
+def _q_topk_scan_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-assisted top-k on a DECIMAL(18,2) column (r11): the
+    cheapest 100 line items by exact decimal price, ASCENDING — the
+    cutoff lives in scaled-int space (the r10 exact-decimal stats) and
+    is mapped back through ``Decimal(m)·10^-scale`` into the scan as a
+    ``l_price_d <= cutoff`` pushed predicate. Reads the
+    price-clustered layout: the decimal column is a monotone cast of
+    the cluster key, so its zone maps are equally tight without a
+    fourth compaction. EAGER; shared fixture; memoized
+    (``eager_once``)."""
+    from nycitibike_data_transform_spark.queries import eager_once
+
+    def build() -> DataFrame:
+        table = _clustered_lineitem(spark, sf_dir)
+        return (
+            table.read_topk(
+                spark,
+                "l_price_d",
+                100,
+                ascending=True,
+                tiebreak=("l_orderkey", "l_linenumber"),
+                version=_LAYOUT_VERSIONS["l_extendedprice"],
+            )
+            .select("l_orderkey", "l_linenumber", "l_price_d", "l_quantity")
+            .localCheckpoint(eager=True)
+        )
+
+    return eager_once(spark, sf_dir, "topk_scan_decimal", build)
+
+
+_TOPK_SCAN_DATE_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+ORDER BY l_shipdate DESC NULLS LAST, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+
+_TOPK_SCAN_DECIMAL_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS l_price_d, l_quantity
+FROM lineitem
+ORDER BY l_price_d ASC NULLS LAST, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
 
 
 _TOPK_SCAN_SQL = """
@@ -964,6 +1056,10 @@ QUERIES: dict[str, QuerySpec] = {
     "zonemap_scan": QuerySpec(_q_zonemap_scan, _ZONEMAP_SCAN_SQL),
     "pointset_scan": QuerySpec(_q_pointset_scan, _POINTSET_SCAN_SQL),
     "topk_scan": QuerySpec(_q_topk_scan, _TOPK_SCAN_SQL),
+    "topk_scan_date": QuerySpec(_q_topk_scan_date, _TOPK_SCAN_DATE_SQL),
+    "topk_scan_decimal": QuerySpec(
+        _q_topk_scan_decimal, _TOPK_SCAN_DECIMAL_SQL
+    ),
     "zorder_scan": QuerySpec(_q_zorder_scan, _ZORDER_SCAN_SQL),
     "forecast_revenue": QuerySpec(_q_forecast_revenue, _FORECAST_REVENUE_SQL),
     "volume_shipping": QuerySpec(_q_volume_shipping, _VOLUME_SHIPPING_SQL),

@@ -1125,28 +1125,67 @@ class VersionedTable:
             # push the cutoff INTO the scan: rows past it provably
             # can't be in the answer (same proof as the file cutoff),
             # so parquet row-group stats skip within the kept files
-            # too. Only for columns whose stats domain IS the column
-            # domain (plain numerics and strings) — temporal/decimal
-            # stats are canonicalized (epoch micros / scaled ints) and
-            # would need an inverse mapping; they keep the file-level
-            # pruning and exact answers either way.
-            from pyspark.sql.types import (
-                DecimalType,
-                NumericType,
-                StringType,
-            )
-
-            dt_ = schema[col].dataType
-            if isinstance(dt_, StringType) or (
-                isinstance(dt_, NumericType)
-                and not isinstance(dt_, DecimalType)
-            ):
+            # too. Plain numerics and strings pass through directly
+            # (their stats domain IS the column domain); temporal and
+            # decimal stats are canonicalized (epoch micros / scaled
+            # ints), so the cutoff is mapped back through the EXACT
+            # inverse (VERDICT r10 item #3) — timestamp_micros /
+            # date_from_unix_date / Decimal(m)·10^-scale are lossless,
+            # no rounding, so the proof carries over unchanged. The
+            # literal (never the column) wears any cast, keeping the
+            # predicate eligible for parquet pushdown.
+            cutoff = self._cutoff_literal(schema[col].dataType, m, stats, col)
+            if cutoff is not None:
                 out = out.filter(
-                    F.col(col) <= F.lit(m)
-                    if ascending
-                    else F.col(col) >= F.lit(m)
+                    F.col(col) <= cutoff if ascending else F.col(col) >= cutoff
                 )
         return out.orderBy(*order).limit(k)
+
+    @staticmethod
+    def _cutoff_literal(dt_, m, stats: dict, col: str):
+        """The canonicalized cutoff value ``m`` as a Column literal of
+        the COLUMN's type, or None when no sound inverse exists.
+
+        - numerics/strings: stats domain == column domain, pass-through
+          (floats are safe: NaN-touched stats are unusable, so ``m``
+          is always a real ordered value — see the read_topk NaN note);
+        - timestamps: ``m`` is epoch micros -> ``timestamp_micros(m)``,
+          the exact inverse of ``_stats_json``;
+        - dates: ``m`` is micros at UTC midnight -> unix-date days
+          (always a whole multiple of 86 400 000 000 by construction);
+        - decimals: ``m`` is the scaled int at the column's parquet
+          scale -> ``Decimal(m)·10^-scale``, exact at the pinned scale
+          (the literal is cast to the column's DecimalType so the
+          comparison needs no column-side cast).
+        """
+        import decimal
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            DateType,
+            DecimalType,
+            NumericType,
+            StringType,
+            TimestampType,
+        )
+
+        if isinstance(dt_, DecimalType):
+            scales = {
+                s[col]["scale"]
+                for s in stats.values()
+                if s[col] is not None and s[col].get("scale") is not None
+            }
+            if len(scales) != 1:
+                return None  # mixed/unknown scales: file pruning only
+            d = decimal.Decimal(m).scaleb(-scales.pop())
+            return F.lit(d).cast(dt_)
+        if isinstance(dt_, StringType) or isinstance(dt_, NumericType):
+            return F.lit(m)
+        if isinstance(dt_, TimestampType):
+            return F.timestamp_micros(F.lit(m))
+        if isinstance(dt_, DateType):
+            return F.date_from_unix_date(F.lit(m // 86_400_000_000))
+        return None
 
     def read_range(
         self, spark: SparkSession, col: str, lo, hi, version: int | None = None

@@ -273,18 +273,23 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     t = BucketedIncrementalTable(str(tmp_path / "t"), ["k"], N_BUCKETS)
     t.write_full(spark, _facts(spark, 200))
     t.register(spark, "bkt_point")
-    # autoBucketedScan (SPARK-32859) swaps the bucketed scan for a
-    # plain one when no operator needs the distribution — which also
-    # drops bucket pruning; pin it off for the point-lookup pattern
-    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    # the public API pins autoBucketedScan (SPARK-32859) off for the
+    # scan and restores it after (VERDICT r10 item #4) — no manual
+    # conf here
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    before = spark.conf.get(key)
     try:
-        q = spark.table("bkt_point").filter(F.col("k") == 42)
-        plan = formatted_plan(q)
-        assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan
-        assert q.first()["v"] == 84
+        with t.bucket_pruned(spark):
+            q = spark.table("bkt_point").filter(F.col("k") == 42)
+            plan = formatted_plan(q)
+            assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan
+            assert q.first()["v"] == 84
+        assert spark.conf.get(key) == before  # restored on exit
+        # and the one-call convenience fetch returns the same rows
+        rows = t.point_lookup(spark, "bkt_point", [42, 7])
+        assert {(r["k"], r["v"]) for r in rows} == {(42, 84), (7, 14)}
+        assert t.point_lookup(spark, "bkt_point", []) == []
     finally:
-        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_point")
 
 

@@ -1482,3 +1482,66 @@ def test_sidecar_backfill_stamps_all_null_markers(spark, tmp_path):
     ranged = t.read_range(spark, "score", 35, 50)
     assert all("day=2" in f for f in ranged.inputFiles())
     assert {r["id"] for r in ranged.collect()} == {4}
+
+
+def test_topk_cutoff_pushdown_temporal_and_decimal(spark, tmp_path):
+    """VERDICT r10 item #3: read_topk's residual cutoff reaches the
+    parquet scan for TIMESTAMP, DATE, and DECIMAL columns too — the
+    canonicalized cutoff (epoch micros / unix days / scaled int) is
+    mapped back through the exact inverse, the literal (not the
+    column) wears the cast, and PushedFilters carries the comparison.
+    Answers stay exact at the boundary instant and past 2^53 in
+    scaled-decimal space."""
+    import datetime as dt
+    from decimal import Decimal
+
+    # --- timestamp column, boundary-instant trap: the cutoff equals
+    # a file's min exactly (the r9 tz-aware-vs-naive pruning bug's
+    # shape) — the >= must keep it
+    tt = VersionedTable(str(tmp_path / "ts"))
+    rows = [
+        (i, dt.datetime(1996, 1, 1) + dt.timedelta(days=i)) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    tt.write_version(df.repartition(6))
+    tt.compact(spark, target_file_mb=1, cluster_by=("ts",))
+    top = tt.read_topk(spark, "ts", 3, tiebreak=("id",))
+    assert [r["id"] for r in top.collect()] == [11, 10, 9]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(ts," in plan  # the inverse-mapped cutoff
+
+    # --- date column
+    td_ = VersionedTable(str(tmp_path / "date"))
+    drows = [(i, dt.date(2020, 1, 1) + dt.timedelta(days=i)) for i in range(12)]
+    ddf = spark.createDataFrame(drows, "id int, d date")
+    td_.write_version(ddf.repartition(6))
+    td_.compact(spark, target_file_mb=1, cluster_by=("d",))
+    dtop = td_.read_topk(spark, "d", 3, tiebreak=("id",))
+    assert [r["id"] for r in dtop.collect()] == [11, 10, 9]
+    dplan = dtop._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(d," in dplan
+
+    # --- decimal(18,2) past 2^53 in scaled space (the r9 float-ulp
+    # trap): the scaled-int cutoff inverts exactly at the pinned scale
+    tdec = VersionedTable(str(tmp_path / "dec"))
+    big = [
+        (1, Decimal("100.00")),
+        (2, Decimal("200.00")),
+        (3, Decimal("90071992547409.91")),  # scaled: 2^53 - 1
+        (4, Decimal("90071992547409.95")),  # scaled: 2^53 + 3
+        (5, Decimal("90071992547409.92")),  # scaled: 2^53, exactly
+        (6, Decimal("50.00")),
+    ]
+    bdf = spark.createDataFrame(big, "id int, amt decimal(18,2)")
+    tdec.write_version(bdf.repartition(3))
+    tdec.compact(spark, target_file_mb=1, cluster_by=("amt",))
+    dtop2 = tdec.read_topk(spark, "amt", 3, tiebreak=("id",))
+    assert [r["id"] for r in dtop2.collect()] == [4, 5, 3]
+    plan2 = dtop2._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(amt," in plan2
+    # ascending direction pushes the <= cutoff too
+    asc = tdec.read_topk(spark, "amt", 2, ascending=True, tiebreak=("id",))
+    assert [r["id"] for r in asc.collect()] == [6, 1]
+    plan3 = asc._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(amt," in plan3
