@@ -53,21 +53,36 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    # Bench hygiene gate (VERDICT r9 nit #1): numbers recorded under
-    # ambient load are garbage — r9's own notes measured a 27.9×-vs-
-    # 1.78× ratio swing from contention, yet BENCH_r09 was committed at
-    # loadavg 2.71. First give the box a bounded chance to drain (the
-    # 1-min loadavg decays ~e^(-t/60), so a just-finished test suite
-    # clears in a minute or two), then STAMP the payload so a loaded
-    # number can never be mistaken for signal downstream.
+    # Bench hygiene gate (VERDICT r9 nit #1; hardened per VERDICT r10
+    # nit #1 from a stamp into a RETRY): numbers recorded under
+    # ambient load are garbage — r9's notes measured a 27.9×-vs-1.78×
+    # ratio swing from contention, and r10's committed payload was
+    # stamped contaminated after a fully-consumed 120 s wait. Now the
+    # drain budget is 600 s by default, the gate also watches the
+    # 5-MINUTE loadavg (r10 lesson: 1-min 0.01 with 5-min 0.6 still
+    # read 13.8 s vs 12.2 s — the slow average is the honest signal
+    # after a long test suite), and the drain is retried in bounded
+    # rounds. If the box never drains, the payload is still emitted
+    # WITH the contamination stamp but the process exits nonzero, so
+    # a contaminated record can't silently pass for a clean one.
     load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "0.5"))
-    idle_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "120"))
+    load5_max = float(os.environ.get("SPARK_GRAFT_LOAD5_MAX", "0.7"))
+    idle_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "600"))
+    retries = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
+
+    def _loaded() -> bool:
+        l1, l5, _ = os.getloadavg()
+        return l1 > load_max or l5 > load5_max
+
     waited = 0.0
-    while os.getloadavg()[0] > load_max and waited < idle_wait:
-        time.sleep(5)
-        waited += 5
+    for _attempt in range(retries):
+        while _loaded() and waited < idle_wait * (_attempt + 1):
+            time.sleep(5)
+            waited += 5
+        if not _loaded():
+            break
     load_before = os.getloadavg()
-    contaminated = load_before[0] > load_max
+    contaminated = _loaded()
     # Console-progress bars interleave with stdout under the driver's
     # pipe capture and can push the JSON line out of its tail window
     # (BENCH_r05 arrived with "parsed": null for exactly this reason) —
@@ -110,9 +125,20 @@ def main() -> None:
     registry_timings: dict[str, float] = {}
     registry_first: dict[str, float] = {}
     family_totals: dict[str, float] = {}
+    from nycitibike_data_transform_spark.queries import _EAGER_CACHE
+
     for name, spec in registry.items():
         runs = []
-        for _ in range(sweep_runs):
+        for rep in range(sweep_runs):
+            if rep:
+                # min-of-N must time FRESH query plans, not memo hits
+                # (ADVICE r10): clear the EAGER verdict memo between
+                # timed repetitions, same as tools/stress_full.py. The
+                # shared clustered-snapshot FIXTURE stays — it is
+                # precomputed table state (a layout on disk), not part
+                # of the query; the re-run times the pruned read path
+                # it exists to serve.
+                _EAGER_CACHE.clear()
             t0 = time.time()
             spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
@@ -157,6 +183,11 @@ def main() -> None:
     sys.stdout.flush()
     print(json.dumps(compact), flush=True)
     spark.stop()
+    if contaminated:
+        # fail loudly (VERDICT r10 nit #1): the stamped payload above
+        # is still recorded, but a box that never drained must not
+        # look like a successful bench run
+        sys.exit(2)
 
 
 if __name__ == "__main__":
