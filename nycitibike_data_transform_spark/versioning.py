@@ -1353,6 +1353,81 @@ class VersionedTable:
         self._commit_pointer(cur, version)  # the commit point
         return version
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY-style audit of the committed, unvacuumed
+        snapshots — from manifests alone (control-plane reads plus
+        local file sizes, no parquet opened): one dict per version
+        with file count, exact row count (summed from the commit-time
+        stats; None when any file lacks usable counts), on-disk bytes,
+        the partition spec, the column names, and whether it is the
+        current pointer. The ops surface Delta's DESCRIBE HISTORY
+        serves — what changed shape between refreshes, what vacuum
+        would reclaim."""
+        cur = self.current_version()
+        out = []
+        for v in self.versions():
+            m = self.manifest(v)
+            rows: int | None = 0
+            if m.get("stats_fmt") == _STATS_FMT:
+                for rel in m["files"]:
+                    counts = [
+                        a["rows"]
+                        for a in m["stats"].get(rel, {}).values()
+                        if a is not None and a.get("rows") is not None
+                    ]
+                    if not counts:
+                        rows = None
+                        break
+                    rows += max(counts)
+            else:
+                rows = None
+            data_dir = self._data_dir(v)
+            out.append(
+                {
+                    "version": v,
+                    "current": v == cur,
+                    "files": len(m["files"]),
+                    "rows": rows,
+                    "bytes": sum(
+                        os.path.getsize(os.path.join(data_dir, f))
+                        for f in m["files"]
+                    ),
+                    "partition_by": list(m["partition_by"]),
+                    "columns": [f["name"] for f in m["schema"]["fields"]],
+                }
+            )
+        return out
+
+    def rewrite_full(
+        self,
+        spark: SparkSession,
+        transform,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> int:
+        """The EXPLICIT full-rewrite path for everything
+        :func:`_additive_evolution` refuses — drop, rename, re-type:
+        reads the current snapshot, applies ``transform`` (DataFrame →
+        DataFrame), and commits the result as the next version under
+        its NEW schema. Every file is rewritten (that is the point —
+        old files cannot satisfy a non-additive schema), but the prior
+        snapshot stays time-travelable under its OWN manifest schema
+        until vacuumed, so a bad migration is one pointer away from
+        rollback. ``partition_by=None`` keeps the current partition
+        spec when its columns survive the transform, else falls back
+        to unpartitioned; pass an explicit tuple to re-partition.
+        Locked for the whole read → transform → commit span."""
+        with self._write_lock():
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(f"empty versioned table at {self.root}")
+            df = transform(self.read_version(spark, cur))
+            if partition_by is None:
+                prev_pb = tuple(self.manifest(cur)["partition_by"])
+                partition_by = (
+                    prev_pb if set(prev_pb) <= set(df.columns) else ()
+                )
+            return self._write_version_locked(df, partition_by=partition_by)
+
     def read_current_as(self, spark: SparkSession, schema) -> DataFrame:
         """Read the current snapshot under an EXPLICIT schema (the
         partition-type-inference hazard from

@@ -1545,3 +1545,135 @@ def test_topk_cutoff_pushdown_temporal_and_decimal(spark, tmp_path):
     assert [r["id"] for r in asc.collect()] == [6, 1]
     plan3 = asc._jdf.queryExecution().executedPlan().toString()
     assert "LessThanOrEqual(amt," in plan3
+
+
+def test_layout_readers_match_plain_scans_on_messy_data(spark, tmp_path):
+    """Seeded randomized cross-check of every zone-map reader against
+    the plain full-scan formulation over deliberately messy doubles
+    (NaN, ±inf, NULLs, heavy duplicate ties) and a decimal column —
+    pruning must change I/O, never answers, for ANY data shape. One
+    table, many probes: cheaper and broader than a hypothesis-per-
+    example table build."""
+    import math
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(11)
+    pool = [
+        lambda: round(rng.uniform(-1000, 1000), 2),
+        lambda: float("nan"),
+        lambda: float("inf"),
+        lambda: float("-inf"),
+        lambda: None,
+        lambda: float(rng.choice([0.0, 42.0, -7.5])),  # heavy ties
+    ]
+    rows = []
+    for i in range(400):
+        x = rng.choices(pool, weights=[70, 6, 3, 3, 10, 8])[0]()
+        d = (
+            None
+            if rng.random() < 0.1
+            else Decimal(rng.randrange(-10**7, 10**7)).scaleb(-2)
+        )
+        rows.append((i, x, d))
+    df = spark.createDataFrame(rows, "id int, x double, amt decimal(18,2)")
+
+    t = VersionedTable(str(tmp_path / "messy"))
+    t.write_version(df.repartition(8))
+    t.compact(spark, target_file_mb=1, cluster_by=("x",))
+
+    full = t.read_current(spark)
+
+    def key(v):
+        # Spark's total order for sort verification: NULLS LAST,
+        # NaN greater than any numeric
+        if v is None:
+            return (2, 0.0)
+        if isinstance(v, float) and math.isnan(v):
+            return (1, 0.0)
+        return (0, float(v))
+
+    for col in ("x", "amt"):
+        vals = [r[col] for r in full.select(col).collect()]
+        for k in (1, 7, 50, 401):
+            for asc in (False, True):
+                got = [
+                    r[col]
+                    for r in t.read_topk(
+                        spark, col, k, ascending=asc, tiebreak=("id",)
+                    ).collect()
+                ]
+                want = sorted(vals, key=key, reverse=not asc)
+                if not asc:  # NULLS LAST both directions
+                    want = [v for v in want if v is not None] + [
+                        v for v in want if v is None
+                    ]
+                want = want[:k]
+                assert list(map(str, got)) == list(map(str, want)), (
+                    col, k, asc,
+                )
+
+    # read_box / read_in on the messy double column
+    import pyspark.sql.functions as F
+
+    got_box = {r["id"] for r in t.read_box(spark, {"x": (-100.0, 100.0)}).collect()}
+    want_box = {
+        r["id"]
+        for r in full.filter((F.col("x") >= -100.0) & (F.col("x") <= 100.0)).collect()
+    }
+    assert got_box == want_box
+    probe_vals = [42.0, -7.5, 123.45, float("inf")]
+    got_in = {r["id"] for r in t.read_in(spark, "x", probe_vals).collect()}
+    want_in = {r["id"] for r in full.filter(F.col("x").isin(probe_vals)).collect()}
+    assert got_in == want_in
+
+
+def test_history_and_explicit_full_rewrite(spark, tmp_path):
+    """history() audits committed snapshots from manifests alone
+    (exact rows from commit-time stats, bytes, partition spec);
+    rewrite_full() is the explicit migration path for the non-additive
+    changes _additive_evolution refuses — rename/re-type/drop — with
+    the prior snapshot still time-travelable under its OWN schema."""
+    t = VersionedTable(str(tmp_path / "hist"))
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")], "id int, day int, v string"
+    )
+    t.write_version(df.repartition("day"), partition_by=("day",))
+    t.write_version(
+        df.unionAll(spark.createDataFrame([(4, 2, "d")], df.schema)).repartition(
+            "day"
+        ),
+        partition_by=("day",),
+    )
+
+    h = t.history()
+    assert [e["version"] for e in h] == [1, 2]
+    assert [e["rows"] for e in h] == [3, 4]  # exact, from manifest stats
+    assert h[1]["current"] and not h[0]["current"]
+    assert all(e["partition_by"] == ["day"] for e in h)
+    assert all(e["bytes"] > 0 and e["files"] >= 2 for e in h)
+    assert h[0]["columns"] == ["id", "day", "v"]
+
+    # a RENAME is additive-refused on the merge path...
+    renamed = t.read_current(spark).withColumnRenamed("v", "label")
+    with pytest.raises(ValueError, match="additive-only"):
+        t.write_version_cow(renamed, "day")
+    # ...and explicit through rewrite_full, keeping the partition spec
+    v3 = t.rewrite_full(spark, lambda cur: cur.withColumnRenamed("v", "label"))
+    assert v3 == 3
+    assert t.manifest(3)["partition_by"] == ["day"]
+    assert {r["label"] for r in t.read_current(spark).collect()} == {
+        "a", "b", "c", "d",
+    }
+    # time travel still reads the OLD schema
+    assert "v" in t.read_version(spark, 2).columns
+
+    # a transform that DROPS the partition column falls back to
+    # unpartitioned instead of failing the write
+    v4 = t.rewrite_full(spark, lambda cur: cur.drop("day"))
+    assert t.manifest(v4)["partition_by"] == []
+    assert t.read_current(spark).count() == 4
+    # history reflects the evolved shapes; vacuumed versions drop out
+    t.vacuum(keep=2)
+    assert [e["version"] for e in t.history()] == [3, 4]
+    assert t.history()[1]["columns"] == ["id", "label"]
