@@ -144,7 +144,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     injected session is left running, an owned one is stopped."""
     ap = argparse.ArgumentParser(prog="python -m nycitibike_data_transform_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "preflight", "test"):
+    for name in ("run", "preflight", "test", "history"):
         p = sub.add_parser(name)
         p.add_argument("--env", default="dev", help="dev|core (table qualification)")
         p.add_argument(
@@ -169,6 +169,30 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 "--skip-tests", action="store_true", help="run without data tests"
             )
     args = ap.parse_args(argv)
+
+    if args.cmd == "history":
+        # snapshot audit of the materialized versioned models — pure
+        # control-plane reads (manifests + local file sizes), no
+        # SparkSession needed, so it answers in milliseconds even
+        # while a refresh is running
+        from nycitibike_data_transform_spark.versioning import VersionedTable
+
+        rc = 0
+        for model in _MODELS:
+            root = f"{args.warehouse}/{model}"
+            if not os.path.isdir(f"{root}/data"):
+                print(f"{model}: not versioned-materialized under {args.warehouse}")
+                rc = 1
+                continue
+            for e in VersionedTable(root).history():
+                star = "*" if e["current"] else " "
+                rows = e["rows"] if e["rows"] is not None else "?"
+                print(
+                    f"{model} v{e['version']}{star} files={e['files']} "
+                    f"rows={rows} bytes={e['bytes']} "
+                    f"partition_by={e['partition_by']}"
+                )
+        return rc
 
     owned = spark is None
     if owned:

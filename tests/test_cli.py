@@ -101,3 +101,22 @@ def test_test_subcommand_fails_cleanly_on_uncommitted_version(spark, tmp_path, c
     assert rc == 1
     err = capsys.readouterr().err
     assert "FAILED:" in err and "no committed version" in err
+
+
+def test_history_subcommand(spark, tmp_path, capsys):
+    """`history` prints the snapshot audit per versioned model from
+    manifests alone (no SparkSession spun up for it), and exits 1
+    when a model was never versioned-materialized."""
+    wh = str(tmp_path / "wh")
+    assert main(["run", "--sf-dir", SF_DIR, "--warehouse", wh], spark=spark) == 0
+    assert main(["run", "--sf-dir", SF_DIR, "--warehouse", wh], spark=spark) == 0
+    capsys.readouterr()
+
+    assert main(["history", "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "stage_rides v1 " in out and "stage_rides v2*" in out
+    assert "partition_by=" in out and "rows=" in out
+
+    # missing warehouse: per-model message + nonzero exit, no traceback
+    assert main(["history", "--warehouse", str(tmp_path / "nope")]) == 1
+    assert "not versioned-materialized" in capsys.readouterr().out
