@@ -68,19 +68,15 @@ def main() -> None:
     load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "0.5"))
     load5_max = float(os.environ.get("SPARK_GRAFT_LOAD5_MAX", "0.7"))
     idle_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "600"))
-    retries = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
 
     def _loaded() -> bool:
         l1, l5, _ = os.getloadavg()
         return l1 > load_max or l5 > load5_max
 
     waited = 0.0
-    for _attempt in range(retries):
-        while _loaded() and waited < idle_wait * (_attempt + 1):
-            time.sleep(5)
-            waited += 5
-        if not _loaded():
-            break
+    while _loaded() and waited < idle_wait:
+        time.sleep(5)
+        waited += 5
     load_before = os.getloadavg()
     contaminated = _loaded()
     # Console-progress bars interleave with stdout under the driver's

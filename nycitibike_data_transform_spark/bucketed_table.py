@@ -210,6 +210,7 @@ class BucketedIncrementalTable(VersionedTable):
         cur = self.current_version()
         version = (cur or 0) + 1
         data_dir = self._data_dir(version)
+        self._ensure_lease()  # zombie fence before the destructive steps
         if os.path.exists(data_dir):  # leftover from a crashed attempt
             shutil.rmtree(data_dir)
         os.makedirs(data_dir)
@@ -250,6 +251,7 @@ class BucketedIncrementalTable(VersionedTable):
             "stats_fmt": _STATS_FMT,
             "stats": {**carried, **fresh},
         }
+        self._ensure_lease()  # see VersionedTable's fence note
         self._backend.put(self._manifest_key(version), json.dumps(manifest))
         self._commit_pointer(cur, version)
         return version
@@ -402,6 +404,25 @@ class BucketedIncrementalTable(VersionedTable):
             "BucketedIncrementalTable snapshots must be written with "
             "write_full()/merge() — write_version() would commit an "
             "unbucketed snapshot"
+        )
+
+    def rewrite_full(
+        self,
+        spark: SparkSession,
+        transform,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> int:
+        """Blocked for the same reason as :meth:`write_version`: the
+        inherited full-rewrite commits plain part-files with no bucket
+        ids and a manifest without the bucket spec — every later
+        bucketed scan and merge would silently break (register() would
+        even emit CLUSTERED BY metadata over unsorted files). Migrate
+        a bucketed table by constructing with the NEW spec and
+        ``write_full(transform(read_current(spark)))``."""
+        raise TypeError(
+            "BucketedIncrementalTable snapshots must be rewritten with "
+            "write_full() under the (possibly new) bucket spec — "
+            "rewrite_full() would commit an unbucketed snapshot"
         )
 
     def compact(self, spark: SparkSession, target_file_mb: int = 128,

@@ -140,6 +140,35 @@ class LocalFSBackend(CommitBackend):
     def _path(self, key: str) -> str:
         return os.path.join(self.root, key)
 
+    @staticmethod
+    def _sweep_dead_tmp(d: str) -> None:
+        """Opportunistically unlink temp litter (``*.ce.PID.hex``,
+        ``*.tmp.PID.hex``) left by writers killed between creating
+        their unique temp file and the link/rename/unlink that
+        consumes it. Dead-pid files only — a live writer's in-flight
+        temp is never touched — so crashed-writer roots don't
+        accumulate garbage across restarts (r11 review; the old
+        rename-claim protocol had an equivalent sweep)."""
+        import re
+
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return
+        for name in names:
+            m = re.search(r"\.(?:ce|tmp)\.(\d+)\.[0-9a-f]{8}$", name)
+            if not m:
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                try:
+                    os.unlink(os.path.join(d, name))
+                except FileNotFoundError:
+                    pass
+            except PermissionError:
+                pass  # pid alive under another user
+
     @contextmanager
     def _mutex(self):
         import fcntl
@@ -171,6 +200,7 @@ class LocalFSBackend(CommitBackend):
 
         path = self._path(key)
         os.makedirs(os.path.dirname(path) or self.root, exist_ok=True)
+        self._sweep_dead_tmp(os.path.dirname(path))
         _durable_write(path, content)
 
     def delete(self, key: str) -> None:
@@ -196,6 +226,7 @@ class LocalFSBackend(CommitBackend):
     def create_exclusive(self, key: str, content: str) -> bool:
         path = self._path(key)
         os.makedirs(os.path.dirname(path) or self.root, exist_ok=True)
+        self._sweep_dead_tmp(os.path.dirname(path))
         tmp = f"{path}.ce.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(content)

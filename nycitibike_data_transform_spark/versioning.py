@@ -532,8 +532,14 @@ def _durable_write(path: str, content: str) -> None:
     """write-temp + fsync + atomic rename + fsync(dir): the rename is
     the commit point and both the bytes and the directory entry are
     on disk before this returns (process-kill safety needs only the
-    rename; power-loss safety needs the fsyncs)."""
-    tmp = path + ".tmp"
+    rename; power-loss safety needs the fsyncs). The temp name is
+    UNIQUE per writer: concurrent readers both backfilling the same
+    stats sidecar (a legal many-readers race) must not share a temp
+    inode — a fixed '.tmp' let one truncate the other's in-flight
+    bytes and commit a torn file (r11 review)."""
+    import uuid as _uuid
+
+    tmp = f"{path}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(content)
         f.flush()
@@ -563,7 +569,7 @@ class VersionedTable:
         self.root = root
         self._backend = backend if backend is not None else LocalFSBackend(root)
         self._versions_dir = os.path.join(root, "_versions")
-        self._pointer = os.path.join(root, "_current")
+        self._held_lease: str | None = None
 
     # ------------------------------------------------------------ paths
 
@@ -571,6 +577,10 @@ class VersionedTable:
         return os.path.join(self.root, "data", f"v{version:08d}")
 
     def _manifest_path(self, version: int) -> str:
+        """LOCAL path of a manifest — valid only under the default
+        LocalFSBackend (tests use it to tamper with manifests on
+        disk); production code must go through ``_manifest_key`` and
+        the backend, or a non-local backend splits the state."""
         return os.path.join(self._versions_dir, f"v{version:08d}.json")
 
     # control-plane KEYS (backend-relative, '/'-separated)
@@ -733,10 +743,37 @@ class VersionedTable:
                 f"could not acquire the commit lock on {self.root} "
                 "(lost repeated acquisition races)"
             )
+        self._held_lease = lease
         try:
             yield
         finally:
+            self._held_lease = None
             b.delete_if("_lock", lease)
+
+    def _ensure_lease(self) -> None:
+        """Zombie-writer fence for lease-expiry backends (r11 review):
+        a writer that outlives its lease (GC pause, long Spark stage)
+        may find the lock reclaimed and another commit in flight — it
+        must re-validate BEFORE every destructive step (pre-clean
+        rmtree of the target slot, manifest put), not only at the
+        final pointer CAS, or it can destroy the winner's committed
+        files/manifest first. This shrinks the zombie window from the
+        whole Spark-write span to the instant between this check and
+        the next syscall; the full close on a real object store is
+        per-mutation conditional requests (DEPLOY.md, fencing note).
+        Free under the local backend: a dead pid cannot resume, so the
+        check can only ever pass."""
+        if self._held_lease is None:
+            raise ConcurrentWriteError(
+                f"mutation outside the commit lock on {self.root}"
+            )
+        if self._backend.get("_lock") != self._held_lease:
+            raise ConcurrentWriteError(
+                f"this writer's commit lease on {self.root} was reclaimed "
+                "(lease expired mid-commit and another writer took over): "
+                "aborting before touching the new owner's files — this "
+                "writer's snapshot is orphaned, not committed"
+            )
 
     def write_version(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> int:
         """Materialize ``df`` as the next version and commit it.
@@ -758,6 +795,7 @@ class VersionedTable:
         cur = prev or 0
         version = cur + 1
         data_dir = self._data_dir(version)
+        self._ensure_lease()  # zombie fence before the destructive steps
         if os.path.exists(data_dir):  # leftover from a crashed attempt
             shutil.rmtree(data_dir)
         writer = df.write.mode("overwrite")
@@ -791,6 +829,11 @@ class VersionedTable:
             "stats_fmt": _STATS_FMT,
             "stats": stats,
         }
+        # the Spark write above is the long span a lease can expire in:
+        # re-validate before overwriting the manifest slot a reclaimed
+        # winner may have committed (the pointer CAS would catch the
+        # zombie too, but only AFTER it clobbered the winner's manifest)
+        self._ensure_lease()
         self._backend.put(self._manifest_key(version), json.dumps(manifest))
         self._commit_pointer(prev, version)  # the commit point
         return version
@@ -1284,6 +1327,7 @@ class VersionedTable:
                 )
         version = cur + 1
         data_dir = self._data_dir(version)
+        self._ensure_lease()  # zombie fence before the destructive steps
         if os.path.exists(data_dir):  # leftover from a crashed attempt
             shutil.rmtree(data_dir)
         stage = os.path.join(self.root, "_staging", "cow")
@@ -1349,6 +1393,7 @@ class VersionedTable:
             "stats_fmt": _STATS_FMT,
             "stats": stats,
         }
+        self._ensure_lease()  # see _write_version_locked's fence note
         self._backend.put(self._manifest_key(version), json.dumps(manifest))
         self._commit_pointer(cur, version)  # the commit point
         return version
@@ -1366,7 +1411,15 @@ class VersionedTable:
         cur = self.current_version()
         out = []
         for v in self.versions():
-            m = self.manifest(v)
+            # tolerate a concurrent vacuum (this is a reader API and
+            # many-readers is the contract): a version whose manifest
+            # or data files vanish mid-listing is simply skipped —
+            # the audit reports the surviving snapshots instead of
+            # dying on a FileNotFoundError race
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
             rows: int | None = 0
             if m.get("stats_fmt") == _STATS_FMT:
                 for rel in m["files"]:
@@ -1382,16 +1435,20 @@ class VersionedTable:
             else:
                 rows = None
             data_dir = self._data_dir(v)
+            try:
+                size = sum(
+                    os.path.getsize(os.path.join(data_dir, f))
+                    for f in m["files"]
+                )
+            except FileNotFoundError:
+                continue  # vacuumed underneath us
             out.append(
                 {
                     "version": v,
                     "current": v == cur,
                     "files": len(m["files"]),
                     "rows": rows,
-                    "bytes": sum(
-                        os.path.getsize(os.path.join(data_dir, f))
-                        for f in m["files"]
-                    ),
+                    "bytes": size,
                     "partition_by": list(m["partition_by"]),
                     "columns": [f["name"] for f in m["schema"]["fields"]],
                 }
@@ -1739,6 +1796,7 @@ class VersionedTable:
             return self._vacuum_locked(keep)
 
     def _vacuum_locked(self, keep: int) -> list[int]:
+        self._ensure_lease()  # zombie fence: vacuum deletes committed data
         committed = self.versions()
         cur = self.current_version() or 0
         drop = committed[:-keep] if len(committed) > keep else []

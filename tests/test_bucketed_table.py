@@ -475,3 +475,13 @@ def test_bucket_point_lookup_plus_sort_column_rowgroup_pruning(spark, tmp_path):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
         spark.sql("DROP TABLE IF EXISTS bkt_comp")
+
+
+def test_rewrite_full_blocked_on_bucketed_table(spark, tmp_path):
+    """r11 review: the inherited full-rewrite would commit plain
+    part-files with no bucket ids — blocked like write_version/compact;
+    migration goes through write_full under the (new) spec."""
+    t = BucketedIncrementalTable(str(tmp_path / "t"), ["k"], N_BUCKETS)
+    t.write_full(spark, _facts(spark, 10))
+    with pytest.raises(TypeError, match="write_full"):
+        t.rewrite_full(spark, lambda df: df.drop("s"))

@@ -186,3 +186,66 @@ def test_pointer_cas_rejects_zombie_commit(spark, tmp_path):
     assert t._backend.cas("_current", "1", "7")
     with pytest.raises(ConcurrentWriteError, match="pointer"):
         t._commit_pointer(1, 2)
+
+
+def test_zombie_writer_aborts_before_touching_winner(spark, tmp_path):
+    """r11 review: a writer whose lease EXPIRES mid-commit (the slow-
+    Spark-write shape) must abort before its destructive steps — the
+    pre-clean rmtree of the shared version slot and the manifest put —
+    not merely fail the final pointer CAS after clobbering the
+    winner's committed manifest. With a fake clock: A acquires, its
+    lease expires, B reclaims and commits version N; A's resumed
+    commit raises ConcurrentWriteError at the lease fence and B's
+    snapshot survives byte-identical."""
+    now = [0.0]
+    b = MemoryBackend(lease_ttl=30.0, clock=lambda: now[0])
+    root = str(tmp_path / "tbl")
+    a, t2 = VersionedTable(root, backend=b), VersionedTable(root, backend=b)
+
+    df_a = spark.createDataFrame([(1, "zombie")], "k int, v string")
+    df_b = spark.createDataFrame([(2, "winner")], "k int, v string")
+
+    cm = a._write_lock()
+    cm.__enter__()  # A holds the lease and starts its long "write"
+    try:
+        now[0] = 31.0  # lease expires mid-write
+        assert t2.write_version(df_b) == 1  # B reclaims and commits v1
+
+        # A resumes: the fence fires BEFORE rmtree/manifest-put
+        with pytest.raises(ConcurrentWriteError, match="reclaimed"):
+            a._write_version_locked(df_a)
+    finally:
+        cm.__exit__(None, None, None)
+
+    # the winner's commit is intact — data, manifest, pointer
+    assert t2.current_version() == 1
+    assert [tuple(r) for r in t2.read_current(spark).collect()] == [
+        (2, "winner")
+    ]
+    # and A can commit normally after re-acquiring a fresh lease
+    assert a.write_version(df_a) == 2
+
+
+def test_dead_writer_tmp_litter_is_swept(tmp_path):
+    """A writer killed between creating its unique temp file and the
+    link/rename that consumes it leaves `*.ce.PID.hex` / `*.tmp.PID.hex`
+    litter; the next conditional op sweeps dead-pid leftovers (live
+    pids untouched)."""
+    import subprocess
+
+    b = LocalFSBackend(str(tmp_path / "ctrl"))
+    os.makedirs(b.root, exist_ok=True)
+    proc = subprocess.Popen(["sleep", "0"])
+    proc.wait()
+    dead = os.path.join(b.root, f"_lock.ce.{proc.pid}.deadbeef")
+    live = os.path.join(b.root, f"_lock.ce.{os.getpid()}.ab12cd34")
+    tmp_dead = os.path.join(b.root, f"_current.tmp.{proc.pid}.00ff00ff")
+    for p in (dead, live, tmp_dead):
+        with open(p, "w") as f:
+            f.write("x")
+
+    assert b.create_exclusive("_lock", "me")
+    assert not os.path.exists(dead)  # dead-pid .ce litter swept
+    assert not os.path.exists(tmp_dead)  # dead-pid .tmp litter swept
+    assert os.path.exists(live)  # live writer's in-flight temp kept
+    os.unlink(live)
