@@ -252,7 +252,7 @@ class BucketedIncrementalTable(VersionedTable):
             "stats": {**carried, **fresh},
         }
         self._ensure_lease()  # see VersionedTable's fence note
-        self._backend.put(self._manifest_key(version), json.dumps(manifest))
+        self._put_manifest(version, json.dumps(manifest))
         self._commit_pointer(cur, version)
         return version
 

@@ -230,13 +230,24 @@ class LocalFSBackend(CommitBackend):
         tmp = f"{path}.ce.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(content)
+            f.flush()
+            os.fsync(f.fileno())  # manifests commit through this path
         try:
             os.link(tmp, path)  # atomic create-with-content
-            return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+        # durability of the directory entry: the pointer CAS that
+        # follows a manifest create fsyncs only ITS OWN file+dir, so
+        # the manifest's entry must be on disk before the pointer can
+        # reference it (power-loss ordering)
+        dir_fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
+        return True
 
     def cas(self, key: str, expected: str | None, content: str) -> bool:
         with self._mutex():

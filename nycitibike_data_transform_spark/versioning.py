@@ -750,6 +750,36 @@ class VersionedTable:
             self._held_lease = None
             b.delete_if("_lock", lease)
 
+    def _put_manifest(self, version: int, content: str) -> None:
+        """CONDITIONAL manifest commit (r11 review follow-up): the
+        manifest slot is created with if-none-match semantics, never
+        overwritten blind. Closes the zombie window `_ensure_lease`
+        alone leaves open — a writer that passes the lease check and
+        THEN stalls (GC pause) long enough for a reclaiming winner to
+        complete a whole commit would, with a plain put, overwrite the
+        winner's committed manifest; with the conditional create it
+        fails and the committed-version check below names the real
+        cause. A manifest that exists while the slot is UNCOMMITTED is
+        an orphan from a crashed attempt — we hold the lock, so no
+        other writer can be mid-flight (any zombie's own lease check
+        fails), and replacing it is safe."""
+        key = self._manifest_key(version)
+        if self._backend.create_exclusive(key, content):
+            return
+        if (self.current_version() or 0) >= version:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.root} was committed by "
+                "another writer (this writer's lease must have been "
+                "reclaimed mid-commit): aborting — the winner's manifest "
+                "stays untouched"
+            )
+        self._backend.delete(key)  # crashed-attempt orphan: replace
+        if not self._backend.create_exclusive(key, content):
+            raise ConcurrentWriteError(
+                f"lost the manifest slot race for version {version} of "
+                f"{self.root}"
+            )
+
     def _ensure_lease(self) -> None:
         """Zombie-writer fence for lease-expiry backends (r11 review):
         a writer that outlives its lease (GC pause, long Spark stage)
@@ -834,7 +864,7 @@ class VersionedTable:
         # winner may have committed (the pointer CAS would catch the
         # zombie too, but only AFTER it clobbered the winner's manifest)
         self._ensure_lease()
-        self._backend.put(self._manifest_key(version), json.dumps(manifest))
+        self._put_manifest(version, json.dumps(manifest))
         self._commit_pointer(prev, version)  # the commit point
         return version
 
@@ -1394,7 +1424,7 @@ class VersionedTable:
             "stats": stats,
         }
         self._ensure_lease()  # see _write_version_locked's fence note
-        self._backend.put(self._manifest_key(version), json.dumps(manifest))
+        self._put_manifest(version, json.dumps(manifest))
         self._commit_pointer(cur, version)  # the commit point
         return version
 

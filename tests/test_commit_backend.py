@@ -249,3 +249,33 @@ def test_dead_writer_tmp_litter_is_swept(tmp_path):
     assert not os.path.exists(tmp_dead)  # dead-pid .tmp litter swept
     assert os.path.exists(live)  # live writer's in-flight temp kept
     os.unlink(live)
+
+
+def test_manifest_commit_is_conditional(spark, tmp_path):
+    """r11 review follow-up: the manifest slot is created with
+    if-none-match semantics. A zombie that stalls AFTER its lease
+    re-check and wakes to find the winner's version committed fails
+    the conditional create (winner's manifest untouched); a manifest
+    orphaned by a CRASHED attempt at an uncommitted slot is replaced
+    under the held lock."""
+    import json as _json
+
+    t = VersionedTable(str(tmp_path / "cond"))
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    t.write_version(df)
+
+    # committed slot: the conditional put refuses to touch it
+    committed = t._backend.get(t._manifest_key(1))
+    with pytest.raises(ConcurrentWriteError, match="committed by"):
+        t._put_manifest(1, "{}")
+    assert t._backend.get(t._manifest_key(1)) == committed  # untouched
+
+    # uncommitted slot with a crashed attempt's orphan: replaced
+    t._backend.put(t._manifest_key(2), '{"orphan": true}')
+    with t._write_lock():
+        t._put_manifest(2, '{"fresh": true}')
+    assert _json.loads(t._backend.get(t._manifest_key(2))) == {"fresh": True}
+    t._backend.delete(t._manifest_key(2))
+
+    # and a normal second commit still works end-to-end
+    assert t.write_version(df) == 2
