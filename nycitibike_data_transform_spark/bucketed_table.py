@@ -209,13 +209,17 @@ class BucketedIncrementalTable(VersionedTable):
 
         cur = self.current_version()
         version = (cur or 0) + 1
+        # assemble in a unique attempt dir, one atomic rename into the
+        # slot (fenced) — nothing ever links into a shared path
+        assembly = self._attempt_dir()
+        try:
+            os.makedirs(assembly)
+            for name, src in sorted(links.items()):
+                os.link(src, os.path.join(assembly, name))
+            self._move_into_slot(assembly, version)
+        finally:
+            shutil.rmtree(assembly, ignore_errors=True)
         data_dir = self._data_dir(version)
-        self._ensure_lease()  # zombie fence before the destructive steps
-        if os.path.exists(data_dir):  # leftover from a crashed attempt
-            shutil.rmtree(data_dir)
-        os.makedirs(data_dir)
-        for name, src in sorted(links.items()):
-            os.link(src, os.path.join(data_dir, name))
         # commit-time zone-map stats, same posture as write_version:
         # hardlinked bucket files carry their entry forward by name
         # (same inode); only the re-staged buckets get swept — at most

@@ -812,35 +812,74 @@ class VersionedTable:
         with self._write_lock():
             return self._write_version_locked(df, partition_by)
 
+    def _attempt_dir(self) -> str:
+        """A UNIQUE per-attempt staging dir under the table root (r11
+        review follow-up): Spark writes and snapshot assembly happen
+        here, never in the shared ``data/vN`` slot, so two attempts —
+        even a zombie racing a reclaiming winner — can never interleave
+        files in one directory. The finished tree moves into its slot
+        with ONE atomic rename (:meth:`_move_into_slot`). Crashed
+        attempts leave orphans under ``_staging``, swept by vacuum."""
+        import uuid as _uuid
+
+        return os.path.join(
+            self.root, "_staging", f"attempt.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+        )
+
+    def _move_into_slot(self, stage: str, version: int) -> None:
+        """Atomically install an assembled snapshot tree into its
+        ``data/vN`` slot. Fenced: lease re-check, then committed-check
+        (a slot at or below the current pointer is the WINNER'S — a
+        zombie aborts instead of clearing it), then the orphan
+        pre-clean (safe: we hold the lock and the slot is uncommitted,
+        so whatever occupies it is a crashed attempt), then one
+        rename."""
+        self._ensure_lease()
+        if (self.current_version() or 0) >= version:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.root} was committed by "
+                "another writer while this one staged: aborting before "
+                "touching the committed slot"
+            )
+        data_dir = self._data_dir(version)
+        if os.path.exists(data_dir):  # crashed attempt's orphan
+            shutil.rmtree(data_dir)
+        os.makedirs(os.path.dirname(data_dir), exist_ok=True)
+        os.rename(stage, data_dir)
+
     def _write_version_locked(
         self, df: DataFrame, partition_by: tuple[str, ...] = ()
     ) -> int:
         """Materialize ``df`` as the next version and commit it.
 
-        Order matters for crash-safety: (1) data into a fresh vN dir
-        (a crash here orphans files but commits nothing), (2) manifest
-        (same), (3) pointer compare-and-swap — the only step with
-        commit semantics, and it is atomic (:meth:`_commit_pointer`)."""
+        Order matters for crash-safety: (1) data into a UNIQUE staging
+        dir (a crash here orphans files but commits nothing; nothing
+        ever writes into the shared slot), (2) one atomic rename into
+        ``data/vN`` (fenced — :meth:`_move_into_slot`), (3) manifest
+        (conditional — :meth:`_put_manifest`), (4) pointer
+        compare-and-swap — the only step with commit semantics
+        (:meth:`_commit_pointer`)."""
         prev = self.current_version()
         cur = prev or 0
         version = cur + 1
-        data_dir = self._data_dir(version)
-        self._ensure_lease()  # zombie fence before the destructive steps
-        if os.path.exists(data_dir):  # leftover from a crashed attempt
-            shutil.rmtree(data_dir)
+        stage = self._attempt_dir()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        with _stats_friendly_writes(df.sparkSession):
-            writer.parquet(data_dir)
+        try:
+            with _stats_friendly_writes(df.sparkSession):
+                writer.parquet(stage)
 
-        files = sorted(
-            os.path.relpath(os.path.join(base, f), data_dir)
-            for base, _, fs in os.walk(data_dir)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-        stats = _sweep_footers(data_dir, files, _stats_cols(df.schema))
+            files = sorted(
+                os.path.relpath(os.path.join(base, f), stage)
+                for base, _, fs in os.walk(stage)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            stats = _sweep_footers(stage, files, _stats_cols(df.schema))
+            self._move_into_slot(stage, version)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         _augment_partition_stats(stats, partition_by, df.schema)
         manifest = {
             "version": version,
@@ -1356,12 +1395,8 @@ class VersionedTable:
                     fld.name, fld.dataType, nullable=True
                 )
         version = cur + 1
-        data_dir = self._data_dir(version)
-        self._ensure_lease()  # zombie fence before the destructive steps
-        if os.path.exists(data_dir):  # leftover from a crashed attempt
-            shutil.rmtree(data_dir)
-        stage = os.path.join(self.root, "_staging", "cow")
-        shutil.rmtree(stage, ignore_errors=True)
+        stage = self._attempt_dir()  # Spark's partitioned merge output
+        assembly = self._attempt_dir()  # the linked snapshot tree
         with _stats_friendly_writes(merged.sparkSession):
             merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
         try:
@@ -1381,11 +1416,14 @@ class VersionedTable:
                         rel = os.path.relpath(os.path.join(base, f), stage)
                         links[rel] = os.path.join(base, f)
             for rel, src in sorted(links.items()):
-                dst = os.path.join(data_dir, rel)
+                dst = os.path.join(assembly, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.link(src, dst)
+            self._move_into_slot(assembly, version)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(assembly, ignore_errors=True)
+        data_dir = self._data_dir(version)
         # commit-time zone-map stats: hardlinked files carry their
         # entry forward from the previous manifest verbatim (same
         # inode, same footer — zero I/O); only the replaced
@@ -1841,6 +1879,9 @@ class VersionedTable:
             self._backend.delete(self._sidecar_key(v))
             shutil.rmtree(self._data_dir(v), ignore_errors=True)
             removed.append(v)
+        # crashed attempts' staging orphans: we hold the writer lock,
+        # so nothing under _staging can belong to a live writer
+        shutil.rmtree(os.path.join(self.root, "_staging"), ignore_errors=True)
         # orphans: data dirs above the committed pointer (crashed
         # writes) and manifest-less dirs below it (a vacuum that
         # crashed between manifest removal and data removal)

@@ -1677,3 +1677,40 @@ def test_history_and_explicit_full_rewrite(spark, tmp_path):
     t.vacuum(keep=2)
     assert [e["version"] for e in t.history()] == [3, 4]
     assert t.history()[1]["columns"] == ["id", "label"]
+
+
+def test_commits_assemble_in_unique_staging_then_rename(spark, tmp_path):
+    """r11 hardening: data is never written into the shared data/vN
+    slot — each attempt assembles under a unique _staging dir and
+    moves in with one atomic rename, fenced by the committed-check
+    (a slot at or below the pointer can never be cleared). Crashed
+    attempts leave only _staging orphans, swept by vacuum."""
+    import os as _os
+
+    from nycitibike_data_transform_spark.versioning import (
+        ConcurrentWriteError,
+    )
+
+    t = VersionedTable(str(tmp_path / "stage"))
+    t.write_version(_df(spark, [(1, "a")]))
+    # no staging debris after a clean commit
+    staging = _os.path.join(t.root, "_staging")
+    assert not _os.path.exists(staging) or not _os.listdir(staging)
+
+    # the fenced mover refuses a COMMITTED slot even under the lock
+    with t._write_lock():
+        victim = t._attempt_dir()
+        _os.makedirs(victim)
+        with pytest.raises(ConcurrentWriteError, match="committed by"):
+            t._move_into_slot(victim, 1)
+    assert t.read_version(spark, 1).count() == 1  # v1 untouched
+
+    # a crashed attempt's staging orphan is swept by vacuum
+    orphan = t._attempt_dir()
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("x")
+    t.write_version(_df(spark, [(2, "b")]))
+    t.vacuum(keep=2)
+    assert not _os.path.exists(staging) or not _os.listdir(staging)
+    assert t.versions() == [1, 2]
