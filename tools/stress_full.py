@@ -172,15 +172,24 @@ def build(
 
 
 def time_fresh(spark, sf_dir: str, name: str, runs: int = 1) -> float:
+    import shutil
+
     from nycitibike_data_transform_spark.queries import _EAGER_CACHE
+    from nycitibike_data_transform_spark.queries.marts import _LAYOUT_FIXTURES
 
     best = float("inf")
     for _ in range(runs):
         # "fresh" means FRESH: the EAGER memo (r10) would otherwise
         # hand back the first run's checkpointed frame and the min-of-2
         # 1× timing would measure a cache hit — 0.02 s "layouts" and
-        # four-digit phantom ratios (observed live before this clear)
+        # four-digit phantom ratios (observed live before this clear).
+        # The shared clustered-snapshot FIXTURE (r11) must clear too,
+        # and SYMMETRICALLY: a fixture pre-built at 1× but not at 10×
+        # turns the first layout query's ratio into
+        # read-vs-build-plus-read — a 35× phantom (observed live)
         _EAGER_CACHE.clear()
+        for k in list(_LAYOUT_FIXTURES):
+            shutil.rmtree(_LAYOUT_FIXTURES.pop(k)["tmp"], ignore_errors=True)
         t0 = time.time()
         q = all_queries()[name]
         # construction included: EAGER (training) queries work here
