@@ -118,84 +118,25 @@ def eager_cached(
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r11 rotation (VERDICT r10 item #1). The 50-entry driver
-    # window: (a) the queries NEW or CHANGED this round — topk_scan
-    # (the registry's only never-driver-checked row, r10's
-    # past-window entry), the two new inverse-canonicalization top-k
-    # rows (timestamp + decimal), zonemap_scan + pointset_scan (now
-    # reading the shared clustered-snapshot fixture), and
-    # schema_evolution (re-runs the cow commit whose manifest schema
-    # now preserves committed nullability); (b) the 44 rows whose
-    # freshest driver evidence is r8 — together exactly filling the
-    # window, so after r11 nothing's latest green row is older than
-    # r9 and every registry row has driver evidence.
+    # --- r12 rotation (VERDICT r11 item #2). The 50-entry driver
+    # window: (a) topk_scan_decimal — the registry's ONLY row with no
+    # green driver evidence ever (r11 hash-red; output now projected
+    # as exact integer cents so the hashed surface is
+    # representation-robust while the decimal read_topk + pushed
+    # Decimal cutoff still decide the row set); (b) the 49 rows whose
+    # freshest driver evidence is r9 — together exactly filling the
+    # window, so after r12 every row is driver-green and nothing's
+    # latest green row is older than r10. Freshness recomputed this
+    # round from the r1-r11 CORRECTNESS union: 49@r9, 48@r10, 49@r11,
+    # topk_scan_decimal never-green.
     # ---
-    # (a) r11-new/changed
-    "topk_scan",
-    "topk_scan_date",
+    # (a) the fix
     "topk_scan_decimal",
-    "zonemap_scan",
-    "pointset_scan",
-    "schema_evolution",
-    # (b) the 44 rows whose freshest driver evidence is r8
-    "anti_join",
-    "asof_purchase_click",
-    "aux_econ_by_nta",
-    "bigram_lm",
-    "bpe_token_count",
-    "cdc_chunks",
-    "correlated_subquery",
-    "cosine_topk",
-    "crossmodal_dup_check",
-    "date_spine",
-    "date_spine_month",
-    "dedup_exact",
-    "dedup_near",
-    "events_json",
-    "events_sessionize",
-    "filter_project",
-    "fuzzy_name_pairs",
-    "generic_tests_audit",
-    "haversine",
-    "image_pipeline",
-    "inspections_by_nta",
-    "lang_confusion",
-    "location_dim",
-    "ngram_jaccard",
-    "novelty_score",
-    "null_semantics",
-    "order_priority_check",
-    "payment_decode",
-    "pivot_macro",
-    "pivot_qty_by_status",
-    "pricing_summary",
-    "range_join_tiers",
-    "retention_cohorts",
-    "revenue_by_nation",
-    "scrub_pii",
-    "set_except",
-    "signup_purchase_funnel",
-    "split_leakage",
-    "stage_rides",
-    "supplier_wait",
-    "text_stats",
-    "tfidf_top_terms",
-    "video_frames",
-    "window_running_qty",
-    # ---- past the 50-entry window: first the other storage-layer
-    # queries whose commit/lock path r11 touched (all re-verified by
-    # the full local oracle gate, tools/check_oracle.py), then the
-    # r9-green rows, then the r10-green rows (freshest evidence
-    # last) ----
-    "zorder_scan",
-    "incremental_bucketed",
-    "incremental_model",
-    "streaming_upsert_view",
-    "bucketed_join",
-    # r9-green
+    # (b) the 49 rows whose freshest driver evidence is r9
     "audio_pipeline",
     "bpe_merges",
     "bpe_segment",
+    "bucketed_join",
     "chunk_documents",
     "collection_functions",
     "customer_distribution",
@@ -212,6 +153,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitters",
     "idle_rich_customers",
     "important_parts",
+    "incremental_bucketed",
+    "incremental_model",
     "language_id",
     "large_volume_customers",
     "mg_estimates",
@@ -232,12 +175,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "span_strip",
     "span_strip_bloom",
     "stratified_sample",
+    "streaming_upsert_view",
     "string_functions",
     "table_profile",
     "top_supplier",
     "user_streaks",
     "weighted_sample",
-    # r10-green (freshest)
+    "zorder_scan",
+    # ---- past the 50-entry window, next-stale first: the 48 rows
+    # whose freshest evidence is r10, then the 49 r11-green rows
+    # (freshest last). All remain runnable and locally verified via
+    # tools/check_oracle.py every round; they just cede the driver
+    # slot this window. ----
+    # r10-green
     "approx_distinct",
     "argmax_orders",
     "collect_sorted",
@@ -286,6 +236,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_topk_orders",
     "window_variants",
     "word_frequencies",
+    # r11-green (freshest)
+    "anti_join",
+    "asof_purchase_click",
+    "aux_econ_by_nta",
+    "bigram_lm",
+    "bpe_token_count",
+    "cdc_chunks",
+    "correlated_subquery",
+    "cosine_topk",
+    "crossmodal_dup_check",
+    "date_spine",
+    "date_spine_month",
+    "dedup_exact",
+    "dedup_near",
+    "events_json",
+    "events_sessionize",
+    "filter_project",
+    "fuzzy_name_pairs",
+    "generic_tests_audit",
+    "haversine",
+    "image_pipeline",
+    "inspections_by_nta",
+    "lang_confusion",
+    "location_dim",
+    "ngram_jaccard",
+    "novelty_score",
+    "null_semantics",
+    "order_priority_check",
+    "payment_decode",
+    "pivot_macro",
+    "pivot_qty_by_status",
+    "pointset_scan",
+    "pricing_summary",
+    "range_join_tiers",
+    "retention_cohorts",
+    "revenue_by_nation",
+    "schema_evolution",
+    "scrub_pii",
+    "set_except",
+    "signup_purchase_funnel",
+    "split_leakage",
+    "stage_rides",
+    "supplier_wait",
+    "text_stats",
+    "tfidf_top_terms",
+    "topk_scan",
+    "topk_scan_date",
+    "video_frames",
+    "window_running_qty",
+    "zonemap_scan",
 )
 
 

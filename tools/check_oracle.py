@@ -74,12 +74,29 @@ _FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "INT128")
 
 def lint_oracle_types(columns: list[str], types: list[str]) -> list[str]:
     """Return lint problems for a DuckDB oracle result schema."""
-    return [
+    problems = [
         f"oracle column {c!r} is {t} (driver cannot hash-match int128; "
         f"CAST it to BIGINT)"
         for c, t in zip(columns, types)
         if str(t).upper() in _FORBIDDEN_DUCK_TYPES
     ]
+    # r11's only driver red (topk_scan_decimal): a DECIMAL output column
+    # derived from a DOUBLE cast hashed differently in the driver's
+    # harness than in ours, despite being value-exact locally ×3 — the
+    # same representation class as the HUGEINT reds above. DECIMAL
+    # digit/canonicalization semantics vary across DuckDB versions, so
+    # ANY DECIMAL output column is hash-hostile: project a scaled
+    # integer (e.g. cents via CAST(ROUND(x*100) AS BIGINT)) or cast the
+    # final value to DOUBLE instead. The decimal machinery can (and
+    # should) still decide the row set internally.
+    problems.extend(
+        f"oracle column {c!r} is {t} (DECIMAL output columns are "
+        f"hash-hostile across DuckDB versions; project a scaled BIGINT "
+        f"or a final DOUBLE instead)"
+        for c, t in zip(columns, types)
+        if str(t).upper().startswith("DECIMAL")
+    )
+    return problems
 
 
 def duck_type_class(dt: str) -> str:
