@@ -468,6 +468,26 @@ class BucketedIncrementalTable(VersionedTable):
         finally:
             spark.conf.set(key, prev)
 
+    def _key_condition(self, vals: list):
+        """The residual row filter for a point lookup: bucket pruning
+        narrows to files, this narrows to rows (a bucket holds many
+        keys)."""
+        if len(self.bucket_cols) == 1:
+            return F.col(self.bucket_cols[0]).isin(vals)
+        cond = None
+        for tup in vals:
+            if len(tup) != len(self.bucket_cols):
+                raise ValueError(
+                    f"each key tuple must have {len(self.bucket_cols)} "
+                    f"values (bucket columns {self.bucket_cols}), got "
+                    f"{tup!r}"
+                )
+            one = F.lit(True)
+            for c, v in zip(self.bucket_cols, tup):
+                one = one & (F.col(c) == F.lit(v))
+            cond = one if cond is None else (cond | one)
+        return cond
+
     def point_lookup(self, spark: SparkSession, table: str, values) -> list:
         """Fetch the rows whose bucket key is in ``values`` from the
         REGISTERED catalog table (:meth:`register`), scanning only the
@@ -480,23 +500,66 @@ class BucketedIncrementalTable(VersionedTable):
         vals = list(values)
         if not vals:
             return []
-        if len(self.bucket_cols) == 1:
-            cond = F.col(self.bucket_cols[0]).isin(vals)
-        else:
-            cond = None
-            for tup in vals:
-                if len(tup) != len(self.bucket_cols):
-                    raise ValueError(
-                        f"each key tuple must have {len(self.bucket_cols)} "
-                        f"values (bucket columns {self.bucket_cols}), got "
-                        f"{tup!r}"
-                    )
-                one = F.lit(True)
-                for c, v in zip(self.bucket_cols, tup):
-                    one = one & (F.col(c) == F.lit(v))
-                cond = one if cond is None else (cond | one)
+        cond = self._key_condition(vals)
         with self.bucket_pruned(spark):
             return spark.table(table).filter(cond).collect()
+
+    def point_lookup_df(self, spark: SparkSession, values,
+                        version: int | None = None) -> DataFrame:
+        """The COMPOSABLE point lookup (r11 VERDICT item #6): the same
+        O(|keys| buckets) pruned scan as :meth:`point_lookup`, returned
+        as a DataFrame safe to feed into joins/aggregations with the
+        pruning intact — no driver-side collect, no context-manager
+        footgun.
+
+        Why not the catalog route: ``autoBucketedScan`` is a PLANNER
+        flag read at action time, so a DataFrame built under
+        :meth:`bucket_pruned` silently loses its pruning when composed
+        into a larger plan executed outside the block. This variant
+        prunes at the FILE level instead — the snapshot keeps exactly
+        one file per bucket, so the keys' bucket ids name the files —
+        and a file list is part of the plan itself: no later
+        re-planning can widen it.
+
+        The keys' bucket ids come from Spark's OWN ``pmod(murmur3, n)``
+        over a 1-job LocalTableScan of the key values cast to the
+        table's exact key schema (hash semantics are type-sensitive:
+        an int and a long hash differently) — never a hand-rolled
+        re-implementation of Spark's hash. Bounded driver work:
+        ≤ |keys| local rows, no table I/O. The residual key filter
+        keeps the answer exact within the kept files."""
+        vals = list(values)
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"empty versioned table at {self.root}")
+        schema = StructType.fromJson(self.manifest(v)["schema"])
+        if not vals:
+            return spark.createDataFrame([], schema)
+        cond = self._key_condition(vals)
+        key_schema = StructType([schema[c] for c in self.bucket_cols])
+        rows = (
+            [(x,) for x in vals]
+            if len(self.bucket_cols) == 1
+            else [tuple(t) for t in vals]
+        )
+        ids = {
+            r["__b"]
+            for r in spark.createDataFrame(rows, key_schema)
+            .select(self._bucket_expr().alias("__b"))
+            .collect()
+        }
+        data_dir = self._data_dir(v)
+        files = [
+            f
+            for f in self._parquet_files(data_dir)
+            if bucket_id_of_file(f) in ids
+        ]
+        if not files:
+            return spark.createDataFrame([], schema).filter(cond)
+        reader = spark.read.schema(schema).option("basePath", data_dir)
+        return reader.parquet(
+            *[os.path.join(data_dir, f) for f in files]
+        ).filter(cond)
 
     def register(self, spark: SparkSession, table: str) -> int:
         """(Re-)create catalog table ``table`` as an external bucketed

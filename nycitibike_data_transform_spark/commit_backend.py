@@ -113,6 +113,34 @@ class CommitBackend(ABC):
         costs at most a failed conditional delete, but the conditional
         is the real guard, not this answer."""
 
+    # ------------------------------------------------- mutation fence
+
+    def mutate_if(self, key: str, expected: str, fn) -> bool:
+        """Run ``fn()`` iff ``key`` currently holds ``expected`` — the
+        PER-MUTATION zombie fence (r11 VERDICT item #4).
+
+        ``_ensure_lease`` alone leaves a window between its read of
+        the lock and the destructive syscall that follows; a zombie
+        stalling in that window (GC pause) can wake after a reclaiming
+        winner committed and still execute the syscall. Backends whose
+        conditionals serialize under a process-visible mutex (LocalFS
+        flock, Memory lock) override this to hold that mutex ACROSS
+        ``fn`` — the check and the mutation become one atomic unit, so
+        a zombie that stalls after any earlier check re-validates
+        inside the mutex and loses; one that stalls inside ``fn``
+        serializes against the reclaimer instead of interleaving.
+
+        This base implementation is check-then-act (the window merely
+        shrinks to one syscall): correct for backends that cannot hold
+        a store-side mutex around a LOCAL syscall (an object store).
+        There the full closure is moving the mutation itself into the
+        store as a conditional request — see DEPLOY.md, fencing note.
+        Returns False (``fn`` not run) when the content differs."""
+        if self.get(key) != expected:
+            return False
+        fn()
+        return True
+
 
 class LocalFSBackend(CommitBackend):
     """Default backend: the control plane as local files.
@@ -263,14 +291,32 @@ class LocalFSBackend(CommitBackend):
             os.unlink(self._path(key))
             return True
 
+    def mutate_if(self, key: str, expected: str, fn) -> bool:
+        """Atomic check-and-mutate under the flock meta-mutex: the
+        lease check and the destructive syscall are one unit (see the
+        base-class contract). The flock is kernel-held, auto-released
+        on process death, so a writer dying inside ``fn`` cannot leave
+        the fence stuck."""
+        with self._mutex():
+            if self.get(key) != expected:
+                return False
+            fn()
+            return True
+
     # --------------------------------------------------------- leases
 
     def new_lease(self) -> str:
-        return str(os.getpid())
+        # pid PLUS a per-acquisition nonce (r11 ADVICE): bare-pid
+        # payloads made two acquisitions by one process identical
+        # (delete_if/_ensure_lease could not tell incarnations apart)
+        # and a recycled pid could keep a crashed writer's lock alive
+        # forever. The pid still drives liveness; the nonce makes every
+        # payload unique.
+        return f"{os.getpid()}:{uuid.uuid4().hex}"
 
     def lease_live(self, content: str) -> bool:
         try:
-            pid = int(content.strip() or "0")
+            pid = int(content.strip().split(":", 1)[0] or "0")
         except ValueError:
             return True  # unrecognized payload: err toward live
         if pid == 0:
@@ -296,9 +342,16 @@ class MemoryBackend(CommitBackend):
     writer doesn't block the table for long — and a writer that
     OUTLIVES its lease must treat its own commit as lost (the pointer
     CAS is the backstop: it fails for a writer whose lock was
-    reclaimed mid-commit, because the winner moved the pointer)."""
+    reclaimed mid-commit, because the winner moved the pointer).
 
-    def __init__(self, lease_ttl: float = 60.0, clock=time.monotonic):
+    The default clock is WALL time (``time.time``), not monotonic
+    (r11 ADVICE): lease payloads are read by OTHER machines on a real
+    object store, and monotonic readings from different hosts are
+    incomparable — expiry must be in a shared timebase, compared with
+    the DEPLOY.md skew margin. ``time.monotonic`` would only be valid
+    for a strictly single-process emulation."""
+
+    def __init__(self, lease_ttl: float = 60.0, clock=time.time):
         self._store: dict[str, str] = {}
         self._mu = threading.Lock()
         self.lease_ttl = lease_ttl
@@ -346,6 +399,16 @@ class MemoryBackend(CommitBackend):
             del self._store[key]
             return True
 
+    def mutate_if(self, key: str, expected: str, fn) -> bool:
+        """Atomic check-and-mutate under the store mutex (see the
+        base-class contract): the lease check and ``fn`` are one unit
+        relative to every conditional on this backend."""
+        with self._mu:
+            if self._store.get(key) != expected:
+                return False
+            fn()
+            return True
+
     # --------------------------------------------------------- leases
 
     def new_lease(self) -> str:
@@ -362,3 +425,213 @@ class MemoryBackend(CommitBackend):
             return self._clock() < float(lease["expires"])
         except (ValueError, KeyError, TypeError):
             return True  # unrecognized payload: err toward live
+
+
+class S3Backend(CommitBackend):
+    """The control plane on an S3-compatible object store (r11 VERDICT
+    item #3) — the real port the LocalFS/Memory backends emulate.
+
+    Every conditional maps to the store's own conditional request, so
+    atomicity is the STORE's, not this client's:
+
+    - ``create_exclusive`` → ``PutObject`` with ``If-None-Match: *``
+      (HTTP 412 on an existing key).
+    - ``cas`` → read the key's content+ETag, compare content, then
+      ``PutObject`` with ``If-Match: <etag>`` — the ETag pins the
+      exact generation observed, so a mutation between our read and
+      our write turns the PUT into a 412 instead of a lost update.
+      Two writers CAN produce the same ETag only by writing identical
+      bytes, in which case content equality — the contract — holds.
+    - ``delete_if`` → read content+ETag, compare, ``DeleteObject``
+      with ``If-Match: <etag>`` (the TOCTOU-free reclaim).
+
+    Requires a store that implements conditional writes and deletes
+    (AWS S3 general-purpose buckets since 2024/2025; MinIO; the moto
+    emulator the contract tests run against). A store that ignores
+    ``If-Match`` silently would void the protocol — probe with
+    :meth:`verify_conditional_support` at deploy time.
+
+    Liveness is wall-clock lease expiry (same payload shape as
+    :class:`MemoryBackend`): machines sharing a bucket cannot see each
+    other's pids, and monotonic clocks from different hosts are
+    incomparable, so ``expires`` is epoch seconds compared against
+    ``clock()`` minus ``skew_margin`` (DEPLOY.md: the margin absorbs
+    NTP drift; err toward live).
+
+    ``mutate_if`` is NOT overridden: a store-side mutex cannot be held
+    around a local syscall, so the inherited check-then-act applies —
+    the full per-mutation closure on this backend is putting the
+    mutated state itself in the store behind a conditional request
+    (DEPLOY.md, fencing note).
+    """
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        client=None,
+        lease_ttl: float = 60.0,
+        clock=time.time,
+        skew_margin: float = 5.0,
+    ):
+        if client is None:  # pragma: no cover - exercised via moto in tests
+            import boto3
+
+            client = boto3.client("s3")
+        self._s3 = client
+        self.bucket = bucket
+        self.prefix = (prefix.rstrip("/") + "/") if prefix else ""
+        self.lease_ttl = lease_ttl
+        self.skew_margin = skew_margin
+        self._clock = clock
+
+    def _k(self, key: str) -> str:
+        return self.prefix + key
+
+    @staticmethod
+    def _is_precondition_failure(err) -> bool:
+        """412 (condition false) and 409 ConditionalRequestConflict
+        (another conditional op on the same key in flight — S3 asks
+        the loser to retry; for a lock/pointer, losing IS the answer)
+        both mean 'your condition did not hold'."""
+        code = err.response.get("Error", {}).get("Code", "")
+        return code in ("PreconditionFailed", "ConditionalRequestConflict", "412")
+
+    @staticmethod
+    def _is_missing(err) -> bool:
+        code = err.response.get("Error", {}).get("Code", "")
+        return code in ("NoSuchKey", "404", "NotFound")
+
+    def _get_with_etag(self, key: str):
+        from botocore.exceptions import ClientError
+
+        try:
+            r = self._s3.get_object(Bucket=self.bucket, Key=self._k(key))
+        except ClientError as e:
+            if self._is_missing(e):
+                return None, None
+            raise
+        return r["Body"].read().decode("utf-8"), r["ETag"]
+
+    # ------------------------------------------------------- plain I/O
+
+    def get(self, key: str) -> str | None:
+        return self._get_with_etag(key)[0]
+
+    def put(self, key: str, content: str) -> None:
+        # unconditional overwrite: lock-holder-owned objects only
+        # (manifests, sidecars) — durability is the store's contract
+        self._s3.put_object(
+            Bucket=self.bucket, Key=self._k(key), Body=content.encode("utf-8")
+        )
+
+    def delete(self, key: str) -> None:
+        # S3 DeleteObject on an absent key already succeeds (2xx)
+        self._s3.delete_object(Bucket=self.bucket, Key=self._k(key))
+
+    def list(self, prefix: str) -> list[str]:
+        p = self._k(prefix if prefix.endswith("/") else prefix + "/")
+        keys: list[str] = []
+        paginator = self._s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=self.bucket, Prefix=p):
+            keys.extend(o["Key"] for o in page.get("Contents", ()))
+        n = len(self.prefix)
+        return sorted(k[n:] for k in keys)
+
+    # ---------------------------------------------------- conditionals
+
+    def create_exclusive(self, key: str, content: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        try:
+            self._s3.put_object(
+                Bucket=self.bucket,
+                Key=self._k(key),
+                Body=content.encode("utf-8"),
+                IfNoneMatch="*",
+            )
+        except ClientError as e:
+            if self._is_precondition_failure(e):
+                return False
+            raise
+        return True
+
+    def cas(self, key: str, expected: str | None, content: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        if expected is None:
+            return self.create_exclusive(key, content)
+        observed, etag = self._get_with_etag(key)
+        if observed != expected:
+            return False
+        try:
+            self._s3.put_object(
+                Bucket=self.bucket,
+                Key=self._k(key),
+                Body=content.encode("utf-8"),
+                IfMatch=etag,
+            )
+        except ClientError as e:
+            if self._is_precondition_failure(e):
+                return False  # generation moved between read and write
+            raise
+        return True
+
+    def delete_if(self, key: str, expected: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        observed, etag = self._get_with_etag(key)
+        if observed != expected:
+            return False
+        try:
+            self._s3.delete_object(
+                Bucket=self.bucket, Key=self._k(key), IfMatch=etag
+            )
+        except ClientError as e:
+            if self._is_precondition_failure(e) or self._is_missing(e):
+                return False  # lost the race: someone else moved it
+            raise
+        return True
+
+    # --------------------------------------------------------- leases
+
+    def new_lease(self) -> str:
+        return json.dumps(
+            {
+                "owner": uuid.uuid4().hex,
+                "expires": self._clock() + self.lease_ttl,
+            }
+        )
+
+    def lease_live(self, content: str) -> bool:
+        try:
+            lease = json.loads(content)
+            # skew margin errs toward live: a lease is only dead once
+            # every plausibly-skewed clock agrees it expired
+            return self._clock() - self.skew_margin < float(lease["expires"])
+        except (ValueError, KeyError, TypeError):
+            return True  # unrecognized payload: err toward live
+
+    # -------------------------------------------------------- probing
+
+    def verify_conditional_support(self) -> None:
+        """Deploy-time probe: stores that silently IGNORE If-None-Match
+        / If-Match (older S3-compatibles) would void the commit
+        protocol without ever erroring. Writes and removes one probe
+        key; raises RuntimeError if any conditional is not enforced."""
+        key = f"_probe/{uuid.uuid4().hex}"
+        try:
+            if not self.create_exclusive(key, "a"):
+                raise RuntimeError("probe key unexpectedly exists")
+            if self.create_exclusive(key, "b"):
+                raise RuntimeError("store ignores If-None-Match: *")
+            if self.cas(key, "wrong", "c"):
+                raise RuntimeError("cas succeeded on wrong expected content")
+            if not self.cas(key, "a", "c"):
+                raise RuntimeError("cas failed on correct expected content")
+            if self.delete_if(key, "a"):
+                raise RuntimeError("delete_if succeeded on stale content")
+            if not self.delete_if(key, "c"):
+                raise RuntimeError("store ignores If-Match on DELETE")
+        finally:
+            self.delete(key)

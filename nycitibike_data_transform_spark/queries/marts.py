@@ -28,6 +28,8 @@ are unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -449,9 +451,25 @@ def _clustered_lineitem(spark: SparkSession, sf_dir: str):
     from nycitibike_data_transform_spark.versioning import VersionedTable
 
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _LAYOUT_FIXTURES if k[0] != app]:
+    # Evict only fixtures whose owning SparkContext is actually STOPPED
+    # (r11 ADVICE #3): keying the sweep on "any other appId" would let
+    # two live sessions in one process rmtree each other's on-disk
+    # fixture mid-use. SparkContext.stop() nulls _jsc, so that is the
+    # liveness signal; a dead context's cached DataFrames are unusable
+    # anyway, so its fixture is pure garbage.
+    for stale in [
+        k
+        for k, fx in _LAYOUT_FIXTURES.items()
+        if k[0] != app and getattr(fx.get("ctx"), "_jsc", None) is None
+    ]:
         shutil.rmtree(_LAYOUT_FIXTURES.pop(stale)["tmp"], ignore_errors=True)
     key = (app, sf_dir)
+    # tolerate rebuild: an externally-removed tmpdir (or an old-policy
+    # eviction) must trigger a rebuild, not a read of a missing path
+    if key in _LAYOUT_FIXTURES and not os.path.isdir(
+        _LAYOUT_FIXTURES[key]["tmp"]
+    ):
+        _LAYOUT_FIXTURES.pop(key)
     if key not in _LAYOUT_FIXTURES:
         t = load(spark, sf_dir, "lineitem")
         li = t["lineitem"].select(
@@ -468,7 +486,11 @@ def _clustered_lineitem(spark: SparkSession, sf_dir: str):
         table.write_version(li.repartition(8))  # v1
         for col in _LAYOUT_VERSIONS:  # v2..v4, insertion-ordered
             table.compact(spark, target_file_mb=1, cluster_by=(col,))
-        _LAYOUT_FIXTURES[key] = {"tmp": tmp, "table": table}
+        _LAYOUT_FIXTURES[key] = {
+            "tmp": tmp,
+            "table": table,
+            "ctx": spark.sparkContext,
+        }
     return _LAYOUT_FIXTURES[key]["table"]
 
 

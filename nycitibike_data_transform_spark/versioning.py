@@ -831,9 +831,16 @@ class VersionedTable:
         ``data/vN`` slot. Fenced: lease re-check, then committed-check
         (a slot at or below the current pointer is the WINNER'S — a
         zombie aborts instead of clearing it), then the orphan
-        pre-clean (safe: we hold the lock and the slot is uncommitted,
-        so whatever occupies it is a crashed attempt), then one
-        rename."""
+        pre-clean + rename UNDER the backend's per-mutation fence
+        (r11 VERDICT item #4): ``mutate_if`` re-validates the lease
+        and runs the destructive syscalls as one atomic unit on
+        mutex-backed backends, so a zombie that stalls AFTER the
+        earlier checks and wakes post-reclaim still loses — the
+        check-to-syscall window `_ensure_lease` left open is closed.
+        The pre-clean inside the fence is safe: the lease check just
+        proved we hold the lock and the committed-check proved the
+        slot is uncommitted, so whatever occupies it is a crashed
+        attempt's orphan."""
         self._ensure_lease()
         if (self.current_version() or 0) >= version:
             raise ConcurrentWriteError(
@@ -842,10 +849,22 @@ class VersionedTable:
                 "touching the committed slot"
             )
         data_dir = self._data_dir(version)
-        if os.path.exists(data_dir):  # crashed attempt's orphan
-            shutil.rmtree(data_dir)
-        os.makedirs(os.path.dirname(data_dir), exist_ok=True)
-        os.rename(stage, data_dir)
+
+        def install() -> None:
+            # pure syscalls only: mutate_if holds the backend mutex,
+            # and backend ops in here would self-deadlock
+            if os.path.exists(data_dir):  # crashed attempt's orphan
+                shutil.rmtree(data_dir)
+            os.makedirs(os.path.dirname(data_dir), exist_ok=True)
+            os.rename(stage, data_dir)
+
+        if not self._backend.mutate_if("_lock", self._held_lease, install):
+            raise ConcurrentWriteError(
+                f"this writer's commit lease on {self.root} was reclaimed "
+                "(per-mutation fence): the slot install was refused "
+                "atomically — the new owner's files are untouched and "
+                "this writer's snapshot stays in staging, orphaned"
+            )
 
     def _write_version_locked(
         self, df: DataFrame, partition_by: tuple[str, ...] = ()
@@ -1103,7 +1122,15 @@ class VersionedTable:
         # _nan_guard), so rows matching a NaN value live only in files
         # the loop below keeps anyway; the residual isin keeps them
         prune_vals = [x for x in vals if not _is_nan(x)]
-        if scales:
+        if len(scales) > 1:
+            # mixed decimal scales across files (r11 ADVICE #4): bounds
+            # canonicalized onto an arbitrary scale would be silently
+            # wrong — mirror _cutoff_literal's fail-safe and skip value
+            # pruning entirely; every file is read and the residual
+            # isin filter below stays the answer
+            keep = sorted(stats)
+            pairs = []
+        elif scales:
             scale = scales.pop()
             pairs = sorted(
                 (_decimal_bound(x, scale, "lo"), _decimal_bound(x, scale, "hi"))
@@ -1112,17 +1139,18 @@ class VersionedTable:
         else:
             pairs = sorted((j, j) for j in (_stats_json(x) for x in prune_vals))
         vhis = [p[1] for p in pairs]
-        keep = []
-        for rel, by_col in stats.items():
-            s = by_col[col]
-            if s is None:
-                keep.append(rel)  # unknown stats: fail-safe read
-                continue
-            if s["min"] is None:
-                continue  # provably all-null: IN never matches NULL
-            idx = bisect.bisect_left(vhis, s["min"])
-            if idx < len(pairs) and pairs[idx][0] <= s["max"]:
-                keep.append(rel)
+        if len(scales) <= 1:
+            keep = []
+            for rel, by_col in stats.items():
+                s = by_col[col]
+                if s is None:
+                    keep.append(rel)  # unknown stats: fail-safe read
+                    continue
+                if s["min"] is None:
+                    continue  # provably all-null: IN never matches NULL
+                idx = bisect.bisect_left(vhis, s["min"])
+                if idx < len(pairs) and pairs[idx][0] <= s["max"]:
+                    keep.append(rel)
         data_dir = self._data_dir(v)
         flt = F.col(col).isin(vals)
         if not keep:

@@ -14,17 +14,50 @@ import pytest
 from nycitibike_data_transform_spark.commit_backend import (
     LocalFSBackend,
     MemoryBackend,
+    S3Backend,
 )
 from nycitibike_data_transform_spark.versioning import (
     ConcurrentWriteError,
     VersionedTable,
 )
 
+try:  # optional: the S3 contract tests need boto3 + the moto emulator
+    import boto3
+    from moto import mock_aws
 
-@pytest.fixture(params=["local", "memory"])
+    _HAVE_MOTO = True
+except ImportError:  # pragma: no cover
+    _HAVE_MOTO = False
+
+_S3_PARAM = pytest.param(
+    "s3", marks=pytest.mark.skipif(not _HAVE_MOTO, reason="boto3/moto absent")
+)
+
+
+@pytest.fixture
+def s3_backend_factory():
+    """An S3Backend against an in-process moto emulator — the same
+    conditional-request semantics (If-None-Match: *, If-Match on PUT
+    and DELETE) AWS S3 enforces, minus the network."""
+    with mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="spark-graft-commit")
+
+        def make(**kw):
+            return S3Backend(
+                "spark-graft-commit", prefix="tbl", client=client, **kw
+            )
+
+        yield make
+
+
+@pytest.fixture(params=["local", "memory", _S3_PARAM])
 def backend(request, tmp_path):
     if request.param == "local":
         return LocalFSBackend(str(tmp_path / "ctrl"))
+    if request.param == "s3":
+        factory = request.getfixturevalue("s3_backend_factory")
+        return factory()
     return MemoryBackend()
 
 
@@ -279,3 +312,221 @@ def test_manifest_commit_is_conditional(spark, tmp_path):
 
     # and a normal second commit still works end-to-end
     assert t.write_version(df) == 2
+
+
+@pytest.mark.skipif(not _HAVE_MOTO, reason="boto3/moto absent")
+def test_s3_lease_expiry_with_skew_margin(s3_backend_factory):
+    """S3 leases are WALL-CLOCK expiry with a skew margin (r11 ADVICE:
+    monotonic readings from different machines are incomparable): a
+    lease reads live through expiry+margin, dead only once every
+    plausibly-skewed clock agrees, and the reclaim is the conditional
+    delete — identical protocol to MemoryBackend."""
+    now = [1_000_000.0]
+    b = s3_backend_factory(
+        lease_ttl=30.0, clock=lambda: now[0], skew_margin=5.0
+    )
+    lease = b.new_lease()
+    assert b.create_exclusive("_lock", lease)
+    assert b.lease_live(lease)
+
+    now[0] += 31.0  # expired, but inside the skew margin: still live
+    assert b.lease_live(b.get("_lock"))
+
+    now[0] += 10.0  # past expiry + margin: dead, conditional reclaim
+    observed = b.get("_lock")
+    assert not b.lease_live(observed)
+    assert b.delete_if("_lock", observed)
+    assert b.create_exclusive("_lock", b.new_lease())
+
+
+@pytest.mark.skipif(not _HAVE_MOTO, reason="boto3/moto absent")
+def test_s3_verify_conditional_support(s3_backend_factory):
+    """The deploy-time probe passes against a store that ENFORCES
+    conditional requests (moto does) and leaves no probe litter."""
+    b = s3_backend_factory()
+    b.verify_conditional_support()
+    assert b.list("_probe/") == []
+
+
+@pytest.mark.skipif(not _HAVE_MOTO, reason="boto3/moto absent")
+def test_s3_cas_detects_interleaved_writer(s3_backend_factory):
+    """The ETag pin makes cas race-free at the STORE: content matches
+    at read time, but a writer slips in between our GET and our PUT —
+    the If-Match PUT 412s and cas reports False instead of losing the
+    interloper's update. (Emulated by mutating through a second handle
+    between the read and the conditional write.)"""
+    b = s3_backend_factory()
+    b.put("_current", "5")
+
+    real_get = b._get_with_etag
+
+    def get_then_lose_race(key):
+        content, etag = real_get(key)
+        # another writer moves the pointer after our read
+        b._s3.put_object(Bucket=b.bucket, Key=b._k(key), Body=b"6")
+        return content, etag
+
+    b._get_with_etag = get_then_lose_race
+    try:
+        assert not b.cas("_current", "5", "7")  # 412, not a lost update
+    finally:
+        b._get_with_etag = real_get
+    assert b.get("_current") == "6"  # the interloper's write survives
+
+
+@pytest.mark.skipif(not _HAVE_MOTO, reason="boto3/moto absent")
+def test_versioned_table_full_lifecycle_on_s3_backend(
+    spark, tmp_path, s3_backend_factory
+):
+    """The third CommitBackend end-to-end (r11 VERDICT item #3): the
+    ENTIRE control plane — lock, pointer, manifests, zone-map sidecar,
+    vacuum bookkeeping — lives in an S3 bucket behind real conditional
+    requests, while Spark's parquet data plane stays on the local fs.
+    Same assertions as the MemoryBackend lifecycle test."""
+    b = s3_backend_factory()
+    root = str(tmp_path / "s3tbl")
+    t = VersionedTable(root, backend=b)
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id int, x double"
+    )
+    assert t.write_version(df.repartition(3, "id")) == 1
+    assert t.write_version(df.withColumn("x", df.x * 2)) == 2
+
+    # metadata is in the bucket, NOT on disk
+    assert not os.path.exists(os.path.join(root, "_current"))
+    assert not os.path.exists(os.path.join(root, "_versions"))
+    assert b.get("_current") == "2"
+    assert b.list("_versions/") == [
+        "_versions/v00000001.json",
+        "_versions/v00000002.json",
+    ]
+
+    assert t.current_version() == 2 and t.versions() == [1, 2]
+    assert {r["x"] for r in t.read_version(spark, 1).collect()} == {
+        10.0, 20.0, 30.0,
+    }
+    got = t.read_range(spark, "x", 35.0, 70.0)
+    assert {r["id"] for r in got.collect()} == {2, 3}
+
+    assert t.vacuum(keep=1) == [1]
+    assert b.list("_versions/") == ["_versions/v00000002.json"]
+    with pytest.raises(ValueError, match="was vacuumed"):
+        t.read_version(spark, 1)
+
+
+def test_mutate_if_is_atomic_on_mutex_backends(tmp_path):
+    """The per-mutation fence primitive: fn runs iff the key holds the
+    expected content, and on mutex-backed backends the check+fn pair
+    excludes every concurrent conditional — a reclaim attempted while
+    fn runs waits for fn to finish rather than interleaving."""
+    for b in (LocalFSBackend(str(tmp_path / "ctrl")), MemoryBackend()):
+        assert b.create_exclusive("_lock", "me")
+        ran = []
+        assert b.mutate_if("_lock", "me", lambda: ran.append(1))
+        assert ran == [1]
+        assert not b.mutate_if("_lock", "not-me", lambda: ran.append(2))
+        assert ran == [1]  # fn NOT run on content mismatch
+
+        # exclusion: a delete_if racing a slow fn serializes behind it
+        inside = threading.Event()
+        release = threading.Event()
+
+        def slow_fn():
+            inside.set()
+            release.wait(timeout=30)
+
+        order = []
+
+        def mutator():
+            b.mutate_if("_lock", "me", slow_fn)
+            order.append("fn-done")
+
+        def reclaimer():
+            inside.wait(timeout=30)
+            b.delete_if("_lock", "me")
+            order.append("reclaimed")
+
+        th_m, th_r = (
+            threading.Thread(target=mutator),
+            threading.Thread(target=reclaimer),
+        )
+        th_m.start()
+        th_r.start()
+        inside.wait(timeout=30)
+        import time as _time
+
+        _time.sleep(0.1)  # give the reclaimer a chance to (wrongly) jump in
+        assert order == []  # it is blocked behind the fence
+        release.set()
+        th_m.join(timeout=30)
+        th_r.join(timeout=30)
+        assert order == ["fn-done", "reclaimed"]
+
+
+def test_zombie_stalling_after_lease_check_still_loses(spark, tmp_path):
+    """r11 VERDICT item #4 done-bar: a zombie that passes
+    `_ensure_lease` and the committed-check, then stalls long enough
+    for the winner to reclaim and commit, must STILL lose — the slot
+    install itself re-validates the lease atomically (mutate_if), so
+    the destructive rmtree/rename never runs. Simulated by disabling
+    the zombie's early checks entirely: only the per-mutation fence
+    stands between its wake-up and the winner's files."""
+    now = [0.0]
+    b = MemoryBackend(lease_ttl=30.0, clock=lambda: now[0])
+    root = str(tmp_path / "tbl")
+    a, w = VersionedTable(root, backend=b), VersionedTable(root, backend=b)
+
+    df_a = spark.createDataFrame([(1, "zombie")], "k int, v string")
+    df_w = spark.createDataFrame([(2, "winner")], "k int, v string")
+
+    cm = a._write_lock()
+    cm.__enter__()
+    try:
+        # A passed its checks for v2 and stalls; meanwhile its lease
+        # expires and the winner reclaims and commits v1
+        now[0] = 31.0
+        assert w.write_version(df_w) == 1
+
+        # A wakes with its early fences disabled (the stall happened
+        # AFTER they passed) and tries to install a staged tree for v2
+        # — above the pointer, so the committed-check would pass too
+        a._ensure_lease = lambda: None
+        stage = a._attempt_dir()
+        os.makedirs(stage)
+        with open(os.path.join(stage, "part-zombie.parquet"), "w") as f:
+            f.write("x")
+        with pytest.raises(ConcurrentWriteError, match="per-mutation fence"):
+            a._move_into_slot(stage, 2)
+
+        # the fence refused atomically: nothing was renamed or cleaned
+        assert os.path.exists(stage)
+        assert not os.path.exists(a._data_dir(2))
+    finally:
+        cm.__exit__(None, None, None)
+
+    # the winner's commit is intact and readable
+    assert w.current_version() == 1
+    assert [tuple(r) for r in w.read_current(spark).collect()] == [
+        (2, "winner")
+    ]
+
+
+def test_local_lease_payloads_are_unique_per_acquisition(tmp_path):
+    """r11 ADVICE: LocalFS leases are pid:nonce, so two acquisitions
+    by one process are distinguishable (delete_if can't confuse
+    incarnations) while liveness still parses the pid."""
+    b = LocalFSBackend(str(tmp_path / "ctrl"))
+    l1, l2 = b.new_lease(), b.new_lease()
+    assert l1 != l2
+    assert l1.split(":")[0] == str(os.getpid())
+    assert b.lease_live(l1)  # our own pid is alive
+    # a dead pid's payload reads dead regardless of the nonce
+    import subprocess
+
+    proc = subprocess.Popen(["sleep", "0"])
+    proc.wait()
+    assert not b.lease_live(f"{proc.pid}:deadbeef")
+    # legacy bare-pid payloads still parse
+    assert not b.lease_live(str(proc.pid))
+    assert b.lease_live("garbage")  # unrecognized: err toward live

@@ -1276,6 +1276,26 @@ def test_read_in_point_set_skipping(spark, tmp_path):
     assert [r["k"] for r in gd.collect()] == [2]
     assert len(gd.inputFiles()) == 1
 
+    # MIXED decimal scales across files (r11 ADVICE #4): bounds can't
+    # be canonicalized onto one grid, so read_in must fail SAFE — no
+    # value pruning, every file read, the residual isin still exact —
+    # mirroring _cutoff_literal's None in read_topk. Injected via a
+    # patched file_stats (no committed snapshot can mix scales today;
+    # the fail-safe guards the invariant anyway).
+    real_stats = td.file_stats(td.current_version(), ["amt"])
+    mixed = {
+        rel: {"amt": dict(by["amt"], scale=3 if i else 2)}
+        for i, (rel, by) in enumerate(sorted(real_stats.items()))
+    }
+    orig = type(td).file_stats
+    try:
+        type(td).file_stats = lambda self, v, cols: mixed
+        gm = td.read_in(spark, "amt", [Decimal("100.00")])
+        assert len(gm.inputFiles()) == 2  # nothing pruned
+        assert [r["k"] for r in gm.collect()] == [1]  # still exact
+    finally:
+        type(td).file_stats = orig
+
 
 def test_read_topk_prunes_to_extreme_files(spark, tmp_path):
     """Zone-map-assisted top-k: after cluster-by layout the k extreme
