@@ -851,19 +851,31 @@ class VersionedTable:
         data_dir = self._data_dir(version)
 
         def install() -> None:
-            # pure syscalls only: mutate_if holds the backend mutex,
-            # and backend ops in here would self-deadlock
             if os.path.exists(data_dir):  # crashed attempt's orphan
                 shutil.rmtree(data_dir)
             os.makedirs(os.path.dirname(data_dir), exist_ok=True)
             os.rename(stage, data_dir)
 
-        if not self._backend.mutate_if("_lock", self._held_lease, install):
+        self._fenced(install)
+
+    def _fenced(self, fn) -> None:
+        """Run a destructive LOCAL mutation under the backend's
+        per-mutation fence (r11 VERDICT item #4): ``mutate_if``
+        re-validates that ``_lock`` still holds OUR lease and executes
+        ``fn`` as one atomic unit on mutex-backed backends, so a
+        zombie that stalls after every earlier check and wakes
+        post-reclaim is refused atomically instead of clobbering the
+        winner. ``fn`` must be pure syscalls — a backend op inside
+        would self-deadlock on the held mutex."""
+        if self._held_lease is None:
+            raise ConcurrentWriteError(
+                f"mutation outside the commit lock on {self.root}"
+            )
+        if not self._backend.mutate_if("_lock", self._held_lease, fn):
             raise ConcurrentWriteError(
                 f"this writer's commit lease on {self.root} was reclaimed "
-                "(per-mutation fence): the slot install was refused "
-                "atomically — the new owner's files are untouched and "
-                "this writer's snapshot stays in staging, orphaned"
+                "(per-mutation fence): the destructive step was refused "
+                "atomically — the new owner's files are untouched"
             )
 
     def _write_version_locked(
@@ -1892,6 +1904,16 @@ class VersionedTable:
             return self._vacuum_locked(keep)
 
     def _vacuum_locked(self, keep: int) -> list[int]:
+        # Fencing posture (r12): every rmtree below runs under the
+        # per-mutation fence (`_fenced`) — a zombie vacuum waking
+        # post-reclaim cannot delete data dirs, the winner's in-flight
+        # _staging attempt, or above-pointer slots. The backend
+        # manifest/sidecar deletes are store-atomic but lease-checked
+        # only here (check-then-act): the residual zombie shape is
+        # bounded to deleting manifests of versions OUTSIDE the keep
+        # window computed from the CURRENT committed state (fresh
+        # reads at wake) — a deletion any legitimate lock holder could
+        # make, never the winner's live data or in-flight commit.
         self._ensure_lease()  # zombie fence: vacuum deletes committed data
         committed = self.versions()
         cur = self.current_version() or 0
@@ -1905,20 +1927,41 @@ class VersionedTable:
             self._backend.delete(self._manifest_key(v))
             # zone-map sidecar, if file_stats ever ran on v
             self._backend.delete(self._sidecar_key(v))
-            shutil.rmtree(self._data_dir(v), ignore_errors=True)
+            # per-mutation fenced (r12): a ZOMBIE vacuum waking
+            # post-reclaim must not rmtree data dirs out from under
+            # the new owner — same fence as the slot install
+            self._fenced(
+                lambda d=self._data_dir(v): shutil.rmtree(d, ignore_errors=True)
+            )
             removed.append(v)
         # crashed attempts' staging orphans: we hold the writer lock,
-        # so nothing under _staging can belong to a live writer
-        shutil.rmtree(os.path.join(self.root, "_staging"), ignore_errors=True)
+        # so nothing under _staging can belong to a live writer —
+        # and the fence makes "we hold the lock" ATOMIC with the
+        # delete: a zombie's stale sweep here would otherwise shred
+        # the reclaiming winner's in-flight attempt dir
+        self._fenced(
+            lambda: shutil.rmtree(
+                os.path.join(self.root, "_staging"), ignore_errors=True
+            )
+        )
         # orphans: data dirs above the committed pointer (crashed
         # writes) and manifest-less dirs below it (a vacuum that
-        # crashed between manifest removal and data removal)
+        # crashed between manifest removal and data removal). Fenced
+        # for the same reason: "above the pointer" is exactly where a
+        # reclaiming winner installs its next slot.
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
+            doomed = []
             for name in os.listdir(data_root):
                 if not name.startswith("v"):
                     continue
                 v = int(name[1:])
                 if v > cur or not self._backend.exists(self._manifest_key(v)):
-                    shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+                    doomed.append(os.path.join(data_root, name))
+
+            def sweep_orphans() -> None:
+                for d in doomed:
+                    shutil.rmtree(d, ignore_errors=True)
+
+            self._fenced(sweep_orphans)
         return removed

@@ -512,6 +512,64 @@ def test_zombie_stalling_after_lease_check_still_loses(spark, tmp_path):
     ]
 
 
+def test_zombie_vacuum_cannot_delete_winners_files(spark, tmp_path):
+    """r12 extension of the fence: vacuum's rmtrees — committed data
+    dirs, the _staging sweep (exactly where a reclaiming winner is
+    staging its next commit), and the above-pointer orphan sweep — run
+    under the per-mutation fence, so a zombie vacuum waking
+    post-reclaim deletes NO files."""
+    now = [0.0]
+    b = MemoryBackend(lease_ttl=30.0, clock=lambda: now[0])
+    root = str(tmp_path / "tbl")
+    a, w = VersionedTable(root, backend=b), VersionedTable(root, backend=b)
+
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    for i in range(3):
+        a.write_version(df)
+
+    cm = a._write_lock()
+    cm.__enter__()  # A starts a vacuum and stalls
+    try:
+        now[0] = 31.0  # lease expires; the winner reclaims the lock
+        wcm = w._write_lock()
+        wcm.__enter__()
+        try:
+            # the winner is mid-commit: an in-flight staging attempt
+            winner_stage = w._attempt_dir()
+            os.makedirs(winner_stage)
+
+            # A wakes with its entry check disabled (the stall came
+            # after it passed) — only the per-mutation fence stands
+            a._ensure_lease = lambda: None
+            with pytest.raises(
+                ConcurrentWriteError, match="per-mutation fence"
+            ):
+                a._vacuum_locked(keep=1)
+
+            # nothing was rmtree'd: all data dirs and the winner's
+            # in-flight staging survive
+            for v in (1, 2, 3):
+                assert os.path.isdir(a._data_dir(v))
+            assert os.path.isdir(winner_stage)
+            # the documented residual: the zombie's pre-fence manifest
+            # delete landed — but only for v1, a version OUTSIDE the
+            # keep window of the CURRENT committed state, i.e. a
+            # deletion any legitimate lock holder could have made
+            assert a._backend.get(a._manifest_key(1)) is None
+            assert a._backend.get(a._manifest_key(2)) is not None
+        finally:
+            wcm.__exit__(None, None, None)
+    finally:
+        cm.__exit__(None, None, None)
+
+    # a legitimate holder vacuums normally afterwards: v2 is dropped
+    # by policy and v1's manifest-less dir goes with the orphan sweep
+    assert w.vacuum(keep=1) == [2]
+    assert not os.path.isdir(w._data_dir(1))
+    assert not os.path.isdir(w._data_dir(2))
+    assert os.path.isdir(w._data_dir(3))
+
+
 def test_local_lease_payloads_are_unique_per_acquisition(tmp_path):
     """r11 ADVICE: LocalFS leases are pid:nonce, so two acquisitions
     by one process are distinguishable (delete_if can't confuse
