@@ -1,8 +1,11 @@
 """CommitBackend — the object-store-shaped control plane of the
-versioned-table commit protocol (VERDICT r10 item #2): conditional
-PUT / compare-and-swap / conditional DELETE, lease-based liveness
-with NO pid assumptions in the emulated backend, and the TOCTOU-free
-reclaim both backends share through ``VersionedTable._write_lock``."""
+versioned-table commit protocol (VERDICT r10 item #2, S3 port r11
+item #3): conditional PUT / compare-and-swap / conditional DELETE,
+lease-based liveness with NO pid assumptions off the local fs, and
+the TOCTOU-free reclaim all three backends (LocalFS, Memory, S3 via
+moto) share through ``VersionedTable._write_lock``. The per-mutation
+fence (``mutate_if``) closes the zombie check-to-syscall window on
+mutex-backed backends."""
 
 from __future__ import annotations
 
@@ -62,8 +65,9 @@ def backend(request, tmp_path):
 
 
 def test_primitive_contract(backend):
-    """The five conditionals behave identically on both backends —
-    that identity IS the portability claim."""
+    """The five conditionals behave identically on all three backends
+    (local fs, in-memory emulation, S3-via-moto) — that identity IS
+    the portability claim."""
     # create_exclusive: first wins, second fails, content intact
     assert backend.create_exclusive("k", "a")
     assert not backend.create_exclusive("k", "b")
