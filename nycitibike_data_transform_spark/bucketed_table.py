@@ -75,6 +75,7 @@ import json
 import os
 import re
 import shutil
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -155,10 +156,18 @@ class BucketedIncrementalTable(VersionedTable):
     def _stage_bucketed(self, spark: SparkSession, df: DataFrame, tag: str) -> str:
         """Write ``df`` through Spark's bucketed writer into a scratch
         dir (catalog entry dropped immediately — the FILES and their
-        bucket-id names are what we keep). Returns the staging dir."""
-        stage = os.path.join(self.root, "_staging", tag)
-        shutil.rmtree(stage, ignore_errors=True)
-        table = f"__bkt_stage_{os.getpid()}_{tag}"
+        bucket-id names are what we keep). Returns the staging dir.
+
+        The dir is UNIQUE per attempt (r12 review): a fixed shared
+        path (the old ``_staging/full``) re-opens for the bucketed
+        writer exactly the zombie-vs-winner window the unique
+        ``_attempt_dir`` + fence closed for ``VersionedTable`` — a
+        stalled writer's ``finally`` rmtree on a shared path would
+        delete a reclaiming winner's in-flight staged files. Unique
+        dirs make every cleanup self-scoped; crashed attempts orphan
+        under ``_staging`` and vacuum's fenced sweep collects them."""
+        stage = f"{self._attempt_dir()}.{tag}"
+        table = f"__bkt_stage_{os.getpid()}_{uuid.uuid4().hex[:8]}"
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
         writer = (
             df.repartition(self.num_buckets, *[F.col(c) for c in self.bucket_cols])
@@ -532,10 +541,10 @@ class BucketedIncrementalTable(VersionedTable):
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"empty versioned table at {self.root}")
-        schema = StructType.fromJson(self.manifest(v)["schema"])
         if not vals:
-            return spark.createDataFrame([], schema)
+            return self._pruned_scan(spark, v, [])
         cond = self._key_condition(vals)
+        schema = StructType.fromJson(self.manifest(v)["schema"])
         key_schema = StructType([schema[c] for c in self.bucket_cols])
         rows = (
             [(x,) for x in vals]
@@ -548,18 +557,12 @@ class BucketedIncrementalTable(VersionedTable):
             .select(self._bucket_expr().alias("__b"))
             .collect()
         }
-        data_dir = self._data_dir(v)
         files = [
             f
-            for f in self._parquet_files(data_dir)
+            for f in self._parquet_files(self._data_dir(v))
             if bucket_id_of_file(f) in ids
         ]
-        if not files:
-            return spark.createDataFrame([], schema).filter(cond)
-        reader = spark.read.schema(schema).option("basePath", data_dir)
-        return reader.parquet(
-            *[os.path.join(data_dir, f) for f in files]
-        ).filter(cond)
+        return self._pruned_scan(spark, v, files).filter(cond)
 
     def register(self, spark: SparkSession, table: str) -> int:
         """(Re-)create catalog table ``table`` as an external bucketed

@@ -618,20 +618,52 @@ class S3Backend(CommitBackend):
         """Deploy-time probe: stores that silently IGNORE If-None-Match
         / If-Match (older S3-compatibles) would void the commit
         protocol without ever erroring. Writes and removes one probe
-        key; raises RuntimeError if any conditional is not enforced."""
+        key; raises RuntimeError if any conditional is not enforced.
+
+        The If-Match legs send RAW conditional requests with a
+        deliberately STALE ETag and require the 412 (r12 review): the
+        public ``cas``/``delete_if`` short-circuit mismatches on the
+        client-side content comparison and their succeeding calls
+        carry a matching ETag, so driving only the public API would
+        never make the store evaluate a FAILING If-Match — exactly the
+        enforcement this probe exists to witness."""
+        from botocore.exceptions import ClientError
+
         key = f"_probe/{uuid.uuid4().hex}"
         try:
             if not self.create_exclusive(key, "a"):
                 raise RuntimeError("probe key unexpectedly exists")
             if self.create_exclusive(key, "b"):
                 raise RuntimeError("store ignores If-None-Match: *")
-            if self.cas(key, "wrong", "c"):
-                raise RuntimeError("cas succeeded on wrong expected content")
+            _, stale_etag = self._get_with_etag(key)
             if not self.cas(key, "a", "c"):
                 raise RuntimeError("cas failed on correct expected content")
-            if self.delete_if(key, "a"):
-                raise RuntimeError("delete_if succeeded on stale content")
-            if not self.delete_if(key, "c"):
+            # the generation moved: the old ETag is now stale, and the
+            # store MUST refuse writes and deletes conditioned on it
+            try:
+                self._s3.put_object(
+                    Bucket=self.bucket,
+                    Key=self._k(key),
+                    Body=b"x",
+                    IfMatch=stale_etag,
+                )
+            except ClientError as e:
+                if not self._is_precondition_failure(e):
+                    raise
+            else:
+                raise RuntimeError("store ignores If-Match on PUT")
+            try:
+                self._s3.delete_object(
+                    Bucket=self.bucket, Key=self._k(key), IfMatch=stale_etag
+                )
+            except ClientError as e:
+                if not self._is_precondition_failure(e):
+                    raise
+            else:
                 raise RuntimeError("store ignores If-Match on DELETE")
+            if self.get(key) != "c":
+                raise RuntimeError("stale conditional request mutated the key")
+            if not self.delete_if(key, "c"):
+                raise RuntimeError("delete_if failed on correct content")
         finally:
             self.delete(key)

@@ -1070,19 +1070,27 @@ class VersionedTable:
             else:
                 c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
             df_filter = c if df_filter is None else (df_filter & c)
-        data_dir = self._data_dir(v)
+        return self._pruned_scan(spark, v, keep).filter(df_filter)
+
+    def _pruned_scan(self, spark: SparkSession, version: int,
+                     keep: list[str]) -> DataFrame:
+        """Schema-pinned scan of a pruned file subset — the one shared
+        tail of every zone-map read (``read_range`` / ``read_in`` /
+        ``read_topk`` / the bucketed ``point_lookup_df``; extracted
+        r12 review so fixes land once). MANIFEST schema, never
+        inference: the kept subset may be all pre-evolution files that
+        lack an added column the caller's filter names (schema
+        evolution), or files with divergent footers. An empty ``keep``
+        returns an empty frame with the same schema, so downstream
+        filters and orderings still resolve."""
         from pyspark.sql.types import StructType
 
-        # manifest schema, never inference: the kept subset may be all
-        # pre-evolution files that lack an added column the filter
-        # names (schema evolution), or files with divergent footers
-        schema = StructType.fromJson(self.manifest(v)["schema"])
+        schema = StructType.fromJson(self.manifest(version)["schema"])
         if not keep:
-            return spark.createDataFrame([], schema).filter(df_filter)
+            return spark.createDataFrame([], schema)
+        data_dir = self._data_dir(version)
         reader = spark.read.schema(schema).option("basePath", data_dir)
-        return reader.parquet(
-            *[os.path.join(data_dir, f) for f in keep]
-        ).filter(df_filter)
+        return reader.parquet(*[os.path.join(data_dir, f) for f in keep])
 
     def read_in(
         self,
@@ -1141,17 +1149,16 @@ class VersionedTable:
             # pruning entirely; every file is read and the residual
             # isin filter below stays the answer
             keep = sorted(stats)
-            pairs = []
-        elif scales:
-            scale = scales.pop()
-            pairs = sorted(
-                (_decimal_bound(x, scale, "lo"), _decimal_bound(x, scale, "hi"))
-                for x in prune_vals
-            )
         else:
-            pairs = sorted((j, j) for j in (_stats_json(x) for x in prune_vals))
-        vhis = [p[1] for p in pairs]
-        if len(scales) <= 1:
+            if scales:
+                scale = next(iter(scales))
+                pairs = sorted(
+                    (_decimal_bound(x, scale, "lo"), _decimal_bound(x, scale, "hi"))
+                    for x in prune_vals
+                )
+            else:
+                pairs = sorted((j, j) for j in (_stats_json(x) for x in prune_vals))
+            vhis = [p[1] for p in pairs]
             keep = []
             for rel, by_col in stats.items():
                 s = by_col[col]
@@ -1163,14 +1170,7 @@ class VersionedTable:
                 idx = bisect.bisect_left(vhis, s["min"])
                 if idx < len(pairs) and pairs[idx][0] <= s["max"]:
                     keep.append(rel)
-        data_dir = self._data_dir(v)
-        flt = F.col(col).isin(vals)
-        if not keep:
-            return spark.createDataFrame([], schema).filter(flt)
-        reader = spark.read.schema(schema).option("basePath", data_dir)
-        return reader.parquet(
-            *[os.path.join(data_dir, f) for f in keep]
-        ).filter(flt)
+        return self._pruned_scan(spark, v, keep).filter(F.col(col).isin(vals))
 
     def read_topk(
         self,
@@ -1219,7 +1219,6 @@ class VersionedTable:
         sort first) and the ascending ``col <= m`` correctly excludes
         them (≥ k non-NaN values ≤ m exist whenever m is set)."""
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
 
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
@@ -1267,13 +1266,9 @@ class VersionedTable:
             if ascending
             else F.col(col).desc_nulls_last()
         ] + [F.col(c).asc() for c in tiebreak]
-        data_dir = self._data_dir(v)
-        schema = StructType.fromJson(self.manifest(v)["schema"])
-        if not keep:
-            return spark.createDataFrame([], schema).orderBy(*order).limit(k)
-        reader = spark.read.schema(schema).option("basePath", data_dir)
-        out = reader.parquet(*[os.path.join(data_dir, f) for f in keep])
-        if m is not None:
+        out = self._pruned_scan(spark, v, keep)
+        schema = out.schema
+        if keep and m is not None:
             # push the cutoff INTO the scan: rows past it provably
             # can't be in the answer (same proof as the file cutoff),
             # so parquet row-group stats skip within the kept files

@@ -333,6 +333,32 @@ def test_point_lookup_df_composes_with_pruning_intact(spark, tmp_path):
     assert len(got_m.inputFiles()) <= 2 < N_BUCKETS
 
 
+def test_bucketed_staging_is_unique_per_attempt(spark, tmp_path):
+    """r12 review: the old fixed shared staging dirs (_staging/full,
+    _staging/merge) re-opened for the bucketed writer the zombie
+    window the unique-attempt-dir + fence design closed for
+    VersionedTable — a stalled writer's `finally` rmtree on the shared
+    path would delete a reclaiming winner's in-flight staged files.
+    Staging is now a unique per-attempt dir, so every cleanup is
+    self-scoped."""
+    import shutil
+
+    t = BucketedIncrementalTable(str(tmp_path / "t"), ["k"], N_BUCKETS)
+    df = _facts(spark, 20)
+    s1 = t._stage_bucketed(spark, df, "full")
+    s2 = t._stage_bucketed(spark, df, "full")  # a racing second attempt
+    try:
+        assert s1 != s2
+        # both attempts' files coexist — neither clobbered the other
+        assert t._parquet_files(s1) and t._parquet_files(s2)
+        assert os.path.basename(s1).startswith("attempt.")
+        # one attempt's cleanup leaves the other's staging intact
+        shutil.rmtree(s1, ignore_errors=True)
+        assert t._parquet_files(s2)
+    finally:
+        shutil.rmtree(s2, ignore_errors=True)
+
+
 def test_stage_rejects_write_splitting_conf(spark, tmp_path):
     """The one-file-per-bucket invariant is ENFORCED, not assumed
     (ADVICE r9): a session conf like spark.sql.files.maxRecordsPerFile
