@@ -592,3 +592,183 @@ def test_local_lease_payloads_are_unique_per_acquisition(tmp_path):
     # legacy bare-pid payloads still parse
     assert not b.lease_live(str(proc.pid))
     assert b.lease_live("garbage")  # unrecognized: err toward live
+
+
+_PROC_WORKER = r"""
+import sys, time
+sys.path.insert(0, sys.argv[1])
+from nycitibike_data_transform_spark.commit_backend import LocalFSBackend
+
+root, wid, n, log = sys.argv[2], sys.argv[3], int(sys.argv[4]), sys.argv[5]
+b = LocalFSBackend(root)
+wins = []
+i = 0
+deadline = time.time() + 20.0
+while i < n and time.time() < deadline:
+    observed = b.get("ptr")
+    new = f"{wid}:{i}"
+    if b.cas("ptr", observed, new):
+        wins.append(f"{observed}|{new}")
+        i += 1
+# create_exclusive race: every worker tries the same key once
+ce = b.create_exclusive("exclusive", wid)
+with open(log, "w") as f:
+    f.write("\n".join(wins + [f"CE={int(ce)}"]))
+"""
+
+
+def test_local_cas_linearizes_across_real_processes(tmp_path):
+    """Every prior race test emulates concurrency (threads, fake
+    clocks, monkeypatched stalls). This one runs real OS processes
+    hammering ONE LocalFSBackend key with content-CAS — the commit
+    protocol's pointer-swap primitive — and proves linearizability
+    from the workers' own logs: the successful (observed -> new)
+    transitions form a single unforked chain from the seed value to
+    the final content. A fork (two winners from one observed value)
+    or a lost update (final content outside the chain) means the
+    flock'd read-compare-write is not atomic ACROSS PROCESSES, which
+    no in-process test can establish. Also races create_exclusive on
+    one key from every process: exactly one may win."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "store")
+    from nycitibike_data_transform_spark.commit_backend import LocalFSBackend
+
+    LocalFSBackend(root).put("ptr", "seed")
+
+    n_workers, n_wins = 8, 25
+    procs, logs = [], []
+    for w in range(n_workers):
+        log = str(tmp_path / f"log{w}")
+        logs.append(log)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _PROC_WORKER, repo, root,
+                 f"w{w}", str(n_wins), log],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        )
+    for p in procs:
+        assert p.wait(timeout=60) == 0
+
+    transitions: list[tuple[str, str]] = []
+    ce_wins = 0
+    for log in logs:
+        with open(log) as f:
+            for line in f.read().splitlines():
+                if line.startswith("CE="):
+                    ce_wins += int(line[3:])
+                elif line:
+                    obs, new = line.split("|")
+                    transitions.append((obs, new))
+
+    assert len(transitions) >= n_workers  # real contention happened
+    preds = [t[0] for t in transitions]
+    succs = [t[1] for t in transitions]
+    # atomicity: no observed value ever produced two winners, and
+    # every written value is unique
+    assert len(set(preds)) == len(preds), "forked chain: CAS not atomic"
+    assert len(set(succs)) == len(succs)
+    # the transitions chain exactly from the seed to the final content
+    final = LocalFSBackend(root).get("ptr")
+    assert set(preds) - set(succs) == {"seed"}
+    assert set(succs) - set(preds) == {final}
+    # create_exclusive: one winner across eight real processes
+    assert ce_wins == 1
+
+
+_SPARK_WRITER = r"""
+import random, sys, time
+sys.path.insert(0, sys.argv[1])
+from pyspark.sql import SparkSession, functions as F
+from nycitibike_data_transform_spark.versioning import (
+    ConcurrentWriteError, VersionedTable,
+)
+
+repo, root, wid, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"race-{wid}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+table = VersionedTable(root)
+rng = random.Random(wid)
+done = 0
+deadline = time.time() + 120
+while done < n and time.time() < deadline:
+    df = spark.range(50).select(
+        F.col("id"), F.lit(f"{wid}:{done}").alias("marker")
+    )
+    try:
+        table.write_version(df)
+        done += 1
+    except ConcurrentWriteError:
+        time.sleep(rng.uniform(0.02, 0.15))
+sys.exit(0 if done == n else 3)
+"""
+
+
+def test_two_real_spark_writers_interleave_without_lost_updates(spark, tmp_path):
+    """Capstone cross-process integration: TWO separate JVMs (each its
+    own SparkSession in its own OS process) alternate real
+    write_version commits against ONE table root, retrying on
+    ConcurrentWriteError — the documented multi-writer pattern. The
+    single-writer lease plus pointer CAS must yield a strictly linear
+    history with every commit present exactly once and every snapshot
+    internally unmixed (a version's rows carry exactly one writer's
+    marker — a torn commit would mix two). Thread-based tests cannot
+    prove this: flock exclusion and crash-scoped cleanup only show up
+    across real process boundaries."""
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "warehouse" / "race_table")
+    n_each = 4
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SPARK_WRITER, repo, root, w, str(n_each)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for w in ("alpha", "beta")
+    ]
+    codes = [p.wait(timeout=240) for p in procs]
+    assert codes == [0, 0], f"writer exit codes {codes}"
+
+    # verify from a THIRD process's view (the test session)
+    table = VersionedTable(root)
+    versions = table.versions()
+    assert versions == list(range(1, 2 * n_each + 1)), versions
+    hist = table.history()
+    assert [h["version"] for h in hist] == versions
+    markers = []
+    for v in versions:
+        got = (
+            table.read_version(spark, v)
+            .select(F.countDistinct("marker").alias("d"),
+                    F.min("marker").alias("m"),
+                    F.count("*").alias("n"))
+            .collect()[0]
+        )
+        assert (got["d"], got["n"]) == (1, 50), f"torn snapshot at v{v}"
+        markers.append(got["m"])
+    # every commit from both writers present exactly once, in
+    # per-writer monotone order (each writer's own commits are serial)
+    assert sorted(markers) == sorted(
+        f"{w}:{i}" for w in ("alpha", "beta") for i in range(n_each)
+    )
+    for w in ("alpha", "beta"):
+        seq = [m for m in markers if m.startswith(w)]
+        assert seq == [f"{w}:{i}" for i in range(n_each)]
