@@ -426,17 +426,23 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (VERDICT r10 item #6): keyed by (applicationId, sf_dir), holding
 #: ONE versioned lineitem table whose committed versions are the
 #: layouts — v1 raw, v2 shipdate-clustered, v3 orderkey-clustered,
-#: v4 price-clustered. Each scan reads ITS version (time travel), so
-#: the registry pays one write + three compactions per session
-#: instead of one write + one compaction PER SCAN. The decimal top-k
-#: also reads v4: l_price_d = CAST(l_extendedprice) is monotone in
-#: the cluster key, so price-clustering gives it equally tight zone
-#: maps for free. Stale-session entries are evicted like
-#: ``_EAGER_CACHE`` (their tmpdirs removed); live tmpdirs are removed
-#: at interpreter exit.
+#: v4 price-clustered, v5 Morton z-ordered on (shipdate, price). Each
+#: scan reads ITS version (time travel), so the registry pays one
+#: write + four compactions per session instead of one write + one
+#: compaction PER SCAN. The decimal top-k also reads v4: l_price_d =
+#: CAST(l_extendedprice) is monotone in the cluster key, so
+#: price-clustering gives it equally tight zone maps for free.
+#: Stale-session entries are evicted like ``_EAGER_CACHE`` (their
+#: tmpdirs removed); live tmpdirs are removed at interpreter exit.
 _LAYOUT_FIXTURES: dict[tuple[str, str], dict] = {}
 
 _LAYOUT_VERSIONS = {"l_shipdate": 2, "l_orderkey": 3, "l_extendedprice": 4}
+
+#: v5 — Morton (z-order) layout over BOTH dimensions; ``zorder_scan``
+#: reads this version. Kept out of ``_LAYOUT_VERSIONS`` because that
+#: dict doubles as the cluster_by compaction plan.
+_ZORDER_VERSION = 5
+_ZORDER_COLS = ("l_shipdate", "l_extendedprice")
 
 
 def _clustered_lineitem(spark: SparkSession, sf_dir: str):
@@ -486,6 +492,9 @@ def _clustered_lineitem(spark: SparkSession, sf_dir: str):
         table.write_version(li.repartition(8))  # v1
         for col in _LAYOUT_VERSIONS:  # v2..v4, insertion-ordered
             table.compact(spark, target_file_mb=1, cluster_by=(col,))
+        table.compact(  # v5 (_ZORDER_VERSION)
+            spark, target_file_mb=1, zorder_by=_ZORDER_COLS
+        )
         _LAYOUT_FIXTURES[key] = {
             "tmp": tmp,
             "table": table,
@@ -719,37 +728,28 @@ def _q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the plain full-scan filter in DuckDB: the curve layout
     changes I/O, never answers. Per-dimension skip counts and the
     lexicographic contrast are pinned in tests/test_versioning.py.
-    Eager by construction — EAGER class in the plan audit; re-calls in
-    one session return the cached checkpoint (``eager_once``)."""
-    import shutil
-    import tempfile
-
+    Eager by construction — EAGER class in the plan audit; the Morton
+    layout is v5 of the SHARED per-session fixture (the same snapshot
+    chain as the clustered scans — compaction never changes rows, so
+    every version answers identically) and re-calls return the cached
+    checkpoint (``eager_once``)."""
     from nycitibike_data_transform_spark.queries import eager_once
-    from nycitibike_data_transform_spark.versioning import VersionedTable
 
     def build() -> DataFrame:
-        t = load(spark, sf_dir, "lineitem")
-        li = t["lineitem"].select(
-            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
-        )
-        tmp = tempfile.mkdtemp(prefix="zorder_")
-        try:
-            table = VersionedTable(f"{tmp}/li")
-            table.write_version(li.repartition(8))
-            table.compact(
+        table = _clustered_lineitem(spark, sf_dir)
+        return (
+            table.read_range(
                 spark,
-                target_file_mb=1,
-                zorder_by=("l_shipdate", "l_extendedprice"),
+                "l_extendedprice",
+                900.0,
+                1500.0,
+                version=_ZORDER_VERSION,
             )
-            return (
-                table.read_range(spark, "l_extendedprice", 900.0, 1500.0)
-                .select(
-                    "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
-                )
-                .localCheckpoint(eager=True)
+            .select(
+                "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
             )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            .localCheckpoint(eager=True)
+        )
 
     return eager_once(spark, sf_dir, "zorder_scan", build)
 

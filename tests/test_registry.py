@@ -73,3 +73,36 @@ def test_eager_cache_evicts_dead_sessions(spark):
     assert ("app-from-a-dead-session", "sf", "k") not in _EAGER_CACHE
     assert all(k[0] == app for k in _EAGER_CACHE)
     del _EAGER_CACHE[(app, "/root/testdata/sf0.001", "evict_probe")]
+
+
+def test_layout_fixture_serves_zorder_as_v5(spark):
+    """r12: the Morton layout joined the SHARED clustered-lineitem
+    fixture as v5 — zorder_scan reads it via time travel instead of
+    paying its own write + compaction per session. Pins: the fixture's
+    snapshot chain ends at v5, v1 and v5 are row-identical multisets
+    (compaction only moves rows between files), and the v5 price-range
+    read answers exactly the plain filter."""
+    from pyspark.sql import functions as F
+
+    from nycitibike_data_transform_spark.queries.marts import (
+        _ZORDER_VERSION,
+        _clustered_lineitem,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    table = _clustered_lineitem(spark, sf)
+    assert table.current_version() == _ZORDER_VERSION == 5
+
+    raw = table.read_version(spark, 1)
+    z = table.read_version(spark, _ZORDER_VERSION)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(raw.collect()) == key(z.collect())
+
+    got = table.read_range(
+        spark, "l_extendedprice", 900.0, 1500.0, version=_ZORDER_VERSION
+    )
+    want = z.filter(
+        (F.col("l_extendedprice") >= 900.0)
+        & (F.col("l_extendedprice") <= 1500.0)
+    )
+    assert key(got.collect()) == key(want.collect())
