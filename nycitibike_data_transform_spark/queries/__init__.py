@@ -187,6 +187,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (freshest last). All remain runnable and locally verified via
     # tools/check_oracle.py every round; they just cede the driver
     # slot this window. ----
+    # never-driver-checked (added mid-r12, after the window was
+    # fixed): most-stale by definition, so first in line for r13
+    "repetition_strip",
     # r10-green
     "approx_distinct",
     "argmax_orders",

@@ -493,6 +493,58 @@ def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPSTRIP_WINDOW = 2  # token-window width; 2 is where the synthetic
+# corpus has a real intra-doc repeat rate (~1.8% of windows at
+# sf0.01) — wider windows make the pass a no-op on word-soup text
+
+
+def _q_repetition_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition removal (r12): drop every
+    ``_REPSTRIP_WINDOW``-token window whose exact text already
+    appeared earlier in the SAME document, keep-first, reassemble —
+    the within-doc counterpart of ``span_strip`` (cross-corpus) and
+    the surgical sibling of ``repetition_ratio`` (measure-only).
+    Output counts make the cut auditable: windows_in - windows_kept
+    is the removed-window total."""
+    from nycitibike_data_transform_spark.operators.spans import (
+        strip_repeated_windows,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return strip_repeated_windows(
+        t["documents"], "text", "doc_id", window=_REPSTRIP_WINDOW
+    )
+
+
+_REPETITION_STRIP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, w[i] AS tok, i
+  FROM toks, unnest(generate_series(1, len(w))) AS t(i)
+),
+wins AS (
+  SELECT doc_id,
+         CAST(floor((i - 1) / {_REPSTRIP_WINDOW}) AS BIGINT) AS wid,
+         string_agg(tok, ' ' ORDER BY i) AS wtext
+  FROM tok GROUP BY 1, 2
+),
+firsts AS (
+  SELECT doc_id, wtext, min(wid) AS wid, count(*) AS occ
+  FROM wins GROUP BY 1, 2
+)
+SELECT doc_id,
+       string_agg(wtext, ' ' ORDER BY wid) AS clean_text,
+       CAST(sum(occ) AS BIGINT) AS windows_in,
+       count(*) AS windows_kept
+FROM firsts
+GROUP BY doc_id
+"""
+
+
 _REPETITION_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -2611,6 +2663,7 @@ QUERIES: dict[str, QuerySpec] = {
     "chunk_documents": QuerySpec(_q_chunk_documents, _CHUNK_DOCUMENTS_SQL),
     "tfidf_top_terms": QuerySpec(_q_tfidf_top_terms, _TFIDF_SQL),
     "repetition_ratio": QuerySpec(_q_repetition_ratio, _REPETITION_SQL),
+    "repetition_strip": QuerySpec(_q_repetition_strip, _REPETITION_STRIP_SQL),
     "text_stats": QuerySpec(_q_text_stats, _TEXT_STATS_SQL),
     "language_id": QuerySpec(_q_language_id, _LANGUAGE_ID_SQL),
     "lang_confusion": QuerySpec(_q_lang_confusion, _LANG_CONFUSION_SQL),

@@ -436,3 +436,44 @@ def test_span_bloom_invalid_mode_rejected(spark):
 
     with _pytest.raises(ValueError, match="bloom_prefilter"):
         duplicate_span_stats(docs, width=2, bloom_prefilter="yes").collect()
+
+
+def test_strip_repeated_windows_keeps_first_occurrence(spark):
+    """Hand-checkable intra-doc repetition surgery: with window=2,
+    'a b c d a b x y' chunks to ['a b', 'c d', 'a b', 'x y'] — the
+    second 'a b' is dropped, order is preserved, counts audit the
+    cut. A doc with no repeats passes through identically; a partial
+    trailing window participates like any other."""
+    from nycitibike_data_transform_spark.operators.spans import (
+        strip_repeated_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b x y"),   # repeat in the middle
+            (2, "p q p q p q"),       # all-repeat after the first
+            (3, "u v w"),             # partial trailing window, no repeats
+            (4, "a b a"),             # trailing 'a' != window 'a b'
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["windows_in"], r["windows_kept"])
+        for r in strip_repeated_windows(docs, window=2).collect()
+    }
+    assert got[1] == ("a b c d x y", 4, 3)
+    assert got[2] == ("p q", 3, 1)
+    assert got[3] == ("u v w", 2, 2)
+    assert got[4] == ("a b a", 2, 2)
+
+
+def test_strip_repeated_windows_validates_window(spark):
+    import pytest as _pytest
+
+    from nycitibike_data_transform_spark.operators.spans import (
+        strip_repeated_windows,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        strip_repeated_windows(docs, window=0)
