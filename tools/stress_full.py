@@ -127,9 +127,16 @@ def _organic_documents(df, factor: int, rate_pct: int):
 def _organic_embeddings(df, factor: int, rate_pct: int):
     copies = [df]
     for i in range(1, factor):
+        # rotate by i MOD dim: a literal i blows up once factor
+        # exceeds the embedding dimension (slice length goes
+        # negative — found live at the first K=100 organic build).
+        # r % dim == 0 degrades to the identity rotation for that
+        # copy, which is fine: the near/distinct semantics come from
+        # the coin, the rotation only decorrelates distinct copies.
         rot = F.expr(
-            f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
-            f"slice(embedding, 1, {i}))"
+            f"concat(slice(embedding, pmod({i}, size(embedding)) + 1, "
+            f"size(embedding) - pmod({i}, size(embedding))), "
+            f"slice(embedding, 1, pmod({i}, size(embedding))))"
         )
         copies.append(
             df.withColumn(
