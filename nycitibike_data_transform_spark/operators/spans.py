@@ -408,48 +408,45 @@ def strip_repeated_windows(
     across pages, and repetition-heavy documents are the classic
     LM-training poison the Gopher quality filters cut on.
 
-    Returns one row per input document: ``(id_col, clean_text,
-    windows_in, windows_kept)`` — the counts make the cut rate
-    auditable without diffing texts.
+    Returns EXACTLY one row per input document: ``(id_col,
+    clean_text, windows_in, windows_kept)`` — the counts make the cut
+    rate auditable without diffing texts. Token-less documents
+    (NULL/blank text) pass through as ``('', 0, 0)`` instead of
+    silently vanishing (r12 review finding: the first grouped
+    implementation dropped them, diverging from the oracle).
 
-    Scale shape (100 TB posture): three shuffles, all on keys with
-    per-document cardinality — (doc, window-id) for window assembly,
-    (doc, window-text) for first-occurrence election, then doc for
-    reassembly — so partial aggregation applies at every hop and no
-    key exceeds one document's windows. Everything is built-in
-    Column expressions inside whole-stage codegen; no UDFs, no
-    driver-side state, no global sort (ordering is array_sort over
-    one document's windows, bounded by document length).
+    Scale shape (100 TB posture): ZERO shuffles — a narrow per-row
+    projection built entirely from higher-order Column functions
+    (sequence/slice for window assembly, an indexed filter against
+    the prefix for first-occurrence election), the same pattern as
+    ``operators.dedup.shingles``. The prefix scan is O(windows²)
+    comparisons per document, the right trade for bounded-length
+    documents (a 100-token doc is ~50 windows → ~1.2k comparisons);
+    a corpus of book-length single documents would want the grouped
+    (doc, window-text) shuffle formulation instead — at that point
+    the documents themselves need chunking first
+    (``operators/chunking.py``).
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    toks = df.withColumn("tokens", token_array(text_col)).select(
-        id_col, F.posexplode("tokens").alias("pos", "tok")
+    toks = token_array(text_col)
+    n_wins = F.when(
+        F.size(toks) > 0,
+        F.ceil(F.size(toks) / F.lit(window)).cast("int"),
+    ).otherwise(F.lit(0))
+    idx = F.when(n_wins > 0, F.sequence(F.lit(0), n_wins - 1)).otherwise(
+        F.array().cast("array<int>")
     )
-    wins = (
-        toks.withColumn("wid", F.floor(F.col("pos") / window))
-        .groupBy(id_col, "wid")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("wtext")
-        )
+    texts = F.transform(
+        idx, lambda k: F.array_join(F.slice(toks, k * window + 1, window), " ")
     )
-    firsts = wins.groupBy(id_col, "wtext").agg(
-        F.min("wid").alias("wid"), F.count(F.lit(1)).alias("occ")
+    kept = F.filter(
+        texts,
+        lambda x, k: ~F.array_contains(F.slice(texts, F.lit(1), k), x),
     )
-    return firsts.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("wid", "wtext"))),
-                lambda s: s["wtext"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.sum("occ").alias("windows_in"),
-        F.count(F.lit(1)).alias("windows_kept"),
+    return df.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(texts).cast("long").alias("windows_in"),
+        F.size(kept).cast("long").alias("windows_kept"),
     )

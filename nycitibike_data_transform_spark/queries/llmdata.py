@@ -518,8 +518,15 @@ def _q_repetition_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REPETITION_STRIP_SQL = rf"""
 WITH toks AS (
+  -- token-less docs (NULL/blank text) get an EMPTY token list, not
+  -- [''], so they flow through as ('', 0, 0) like the engine side
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         CASE
+           WHEN nullif(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '')
+                IS NULL THEN CAST([] AS VARCHAR[])
+           ELSE string_split(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+         END AS w
   FROM documents
 ),
 tok AS (
@@ -535,13 +542,20 @@ wins AS (
 firsts AS (
   SELECT doc_id, wtext, min(wid) AS wid, count(*) AS occ
   FROM wins GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(wtext, ' ' ORDER BY wid) AS clean_text,
+         CAST(sum(occ) AS BIGINT) AS windows_in,
+         count(*) AS windows_kept
+  FROM firsts
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       string_agg(wtext, ' ' ORDER BY wid) AS clean_text,
-       CAST(sum(occ) AS BIGINT) AS windows_in,
-       count(*) AS windows_kept
-FROM firsts
-GROUP BY doc_id
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.windows_in, 0) AS BIGINT) AS windows_in,
+       CAST(coalesce(a.windows_kept, 0) AS BIGINT) AS windows_kept
+FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -454,17 +454,23 @@ def test_strip_repeated_windows_keeps_first_occurrence(spark):
             (2, "p q p q p q"),       # all-repeat after the first
             (3, "u v w"),             # partial trailing window, no repeats
             (4, "a b a"),             # trailing 'a' != window 'a b'
+            (5, ""),                  # blank: one row, ('', 0, 0)
+            (6, None),                # NULL text: same as blank
+            (7, "   "),               # whitespace-only: same as blank
         ],
         "doc_id bigint, text string",
     )
+    out = strip_repeated_windows(docs, window=2).collect()
+    assert len(out) == docs.count()  # EXACTLY one row per input doc
     got = {
         r["doc_id"]: (r["clean_text"], r["windows_in"], r["windows_kept"])
-        for r in strip_repeated_windows(docs, window=2).collect()
+        for r in out
     }
     assert got[1] == ("a b c d x y", 4, 3)
     assert got[2] == ("p q", 3, 1)
     assert got[3] == ("u v w", 2, 2)
     assert got[4] == ("a b a", 2, 2)
+    assert got[5] == got[6] == got[7] == ("", 0, 0)
 
 
 def test_strip_repeated_windows_validates_window(spark):

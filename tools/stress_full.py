@@ -38,8 +38,10 @@ the span Bloom auto-gate (ROUND8_NOTES). With ``--organic``, each
 
 ``embeddings`` copies mirror the same per-(id, copy) coin so
 document↔embedding dup status stays aligned: near copies keep the
-vector exactly (cosine 1), distinct copies rotate it by ``copy``
-positions (near-zero expected cosine for these random-ish vectors).
+vector exactly (cosine 1), distinct copies rotate it by ``copy mod
+dim`` and sign-flip under a per-copy hash mask (near-zero expected
+cosine for these random-ish vectors; the mask keeps copies past the
+vector dimension decorrelated too).
 ``n_chars`` is recomputed from the transformed text. Everything else
 (id shifts, other tables) matches the plain replica. Determinism: all
 coins are hash(id, copy) — no RNG, rebuilds are bit-identical.
@@ -127,16 +129,21 @@ def _organic_documents(df, factor: int, rate_pct: int):
 def _organic_embeddings(df, factor: int, rate_pct: int):
     copies = [df]
     for i in range(1, factor):
-        # rotate by i MOD dim: a literal i blows up once factor
-        # exceeds the embedding dimension (slice length goes
-        # negative — found live at the first K=100 organic build).
-        # r % dim == 0 degrades to the identity rotation for that
-        # copy, which is fine: the near/distinct semantics come from
-        # the coin, the rotation only decorrelates distinct copies.
+        # decorrelate DISTINCT copies: rotate by i mod dim, then flip
+        # signs under a per-copy hash mask. Rotation alone is wrong
+        # twice over for factor > dim (both found at the first K=100
+        # organic build): a literal i makes the slice length negative
+        # (crash), and i mod dim alone makes copies i and i+dim carry
+        # IDENTICAL vectors — whole "distinct" copies become exact
+        # dup cliques and the measured cut rate lies. The hash mask
+        # is keyed by (element index, copy), so any two copies agree
+        # on ~half the signs and their expected cosine is ~0.
         rot = F.expr(
-            f"concat(slice(embedding, pmod({i}, size(embedding)) + 1, "
-            f"size(embedding) - pmod({i}, size(embedding))), "
-            f"slice(embedding, 1, pmod({i}, size(embedding))))"
+            f"transform("
+            f"  concat(slice(embedding, pmod({i}, size(embedding)) + 1, "
+            f"         size(embedding) - pmod({i}, size(embedding))), "
+            f"         slice(embedding, 1, pmod({i}, size(embedding)))), "
+            f"  (x, j) -> IF(pmod(hash(j, {i}), 2) = 0, x, -x))"
         )
         copies.append(
             df.withColumn(

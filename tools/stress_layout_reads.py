@@ -52,71 +52,50 @@ def main() -> None:
         table = _clustered_lineitem(spark, sf_dir)
         build_sec = round(time.time() - t0, 2)
 
-        reads = {
-            "zonemap_range": lambda: table.read_range(
-                spark,
-                "l_shipdate",
-                dt.datetime(1996, 1, 1),
-                dt.datetime(1996, 3, 31),
-                version=_LAYOUT_VERSIONS["l_shipdate"],
-            ),
-            "pointset_in": lambda: table.read_in(
-                spark,
-                "l_orderkey",
-                _POINTSET_KEYS,
-                version=_LAYOUT_VERSIONS["l_orderkey"],
-            ),
-            "topk_price": lambda: table.read_topk(
-                spark,
-                "l_extendedprice",
-                100,
-                tiebreak=("l_orderkey", "l_linenumber"),
-                version=_LAYOUT_VERSIONS["l_extendedprice"],
-            ),
-            "topk_date": lambda: table.read_topk(
-                spark,
-                "l_shipdate",
-                100,
-                tiebreak=("l_orderkey", "l_linenumber"),
-                version=_LAYOUT_VERSIONS["l_shipdate"],
-            ),
-            "topk_decimal": lambda: table.read_topk(
-                spark,
-                "l_price_d",
-                100,
-                ascending=True,
-                tiebreak=("l_orderkey", "l_linenumber"),
-                version=_LAYOUT_VERSIONS["l_extendedprice"],
-            ),
-            "zorder_range": lambda: table.read_range(
-                spark,
-                "l_extendedprice",
-                900.0,
-                1500.0,
-                version=_ZORDER_VERSION,
-            ),
-        }
-        versions = {
-            "zonemap_range": _LAYOUT_VERSIONS["l_shipdate"],
-            "pointset_in": _LAYOUT_VERSIONS["l_orderkey"],
-            "topk_price": _LAYOUT_VERSIONS["l_extendedprice"],
-            "topk_date": _LAYOUT_VERSIONS["l_shipdate"],
-            "topk_decimal": _LAYOUT_VERSIONS["l_extendedprice"],
-            "zorder_range": _ZORDER_VERSION,
-        }
+        # one (name, version, thunk) row per read: the version drives
+        # BOTH the thunk and the files_total denominator, so the two
+        # can never drift apart (r12 review finding)
+        def reads(v):
+            return [
+                ("zonemap_range", v["l_shipdate"], lambda: table.read_range(
+                    spark, "l_shipdate",
+                    dt.datetime(1996, 1, 1), dt.datetime(1996, 3, 31),
+                    version=v["l_shipdate"])),
+                ("pointset_in", v["l_orderkey"], lambda: table.read_in(
+                    spark, "l_orderkey", _POINTSET_KEYS,
+                    version=v["l_orderkey"])),
+                ("topk_price", v["l_extendedprice"], lambda: table.read_topk(
+                    spark, "l_extendedprice", 100,
+                    tiebreak=("l_orderkey", "l_linenumber"),
+                    version=v["l_extendedprice"])),
+                ("topk_date", v["l_shipdate"], lambda: table.read_topk(
+                    spark, "l_shipdate", 100,
+                    tiebreak=("l_orderkey", "l_linenumber"),
+                    version=v["l_shipdate"])),
+                ("topk_decimal", v["l_extendedprice"], lambda: table.read_topk(
+                    spark, "l_price_d", 100, ascending=True,
+                    tiebreak=("l_orderkey", "l_linenumber"),
+                    version=v["l_extendedprice"])),
+                ("zorder_range", v["zorder"], lambda: table.read_range(
+                    spark, "l_extendedprice", 900.0, 1500.0,
+                    version=v["zorder"])),
+            ]
 
         out: dict[str, dict] = {}
-        for name, mk in reads.items():
+        versions = dict(_LAYOUT_VERSIONS, zorder=_ZORDER_VERSION)
+        for name, version, mk in reads(versions):
             runs = []
-            opened = rows = 0
             for _ in range(3):
                 t0 = time.time()
                 df = mk()
                 df.write.mode("overwrite").format("noop").save()
                 runs.append(time.time() - t0)
-                opened = len(df.inputFiles())
-                rows = df.count()
-            total = len(table.manifest(versions[name])["files"])
+            # file/row audit OUTSIDE the timing loop: one extra
+            # execution total, not one per timed run (r12 review)
+            df = mk()
+            opened = len(df.inputFiles())
+            rows = df.count()
+            total = len(table.manifest(version)["files"])
             out[name] = {
                 "cold_sec": round(runs[0], 3),
                 "min_sec": round(min(runs), 3),
