@@ -415,21 +415,28 @@ def strip_repeated_windows(
     silently vanishing (r12 review finding: the first grouped
     implementation dropped them, diverging from the oracle).
 
-    Scale shape (100 TB posture): ZERO shuffles — a narrow per-row
-    projection built entirely from higher-order Column functions
-    (sequence/slice for window assembly, an indexed filter against
-    the prefix for first-occurrence election), the same pattern as
-    ``operators.dedup.shingles``. The prefix scan is O(windows²)
-    comparisons per document, the right trade for bounded-length
-    documents (a 100-token doc is ~50 windows → ~1.2k comparisons);
-    a corpus of book-length single documents would want the grouped
-    (doc, window-text) shuffle formulation instead — at that point
-    the documents themselves need chunking first
-    (``operators/chunking.py``).
+    Scale shape (100 TB posture): window ASSEMBLY is a narrow per-row
+    higher-order projection (sequence/slice, the
+    ``operators.dedup.shingles`` pattern — the window array is
+    evaluated once per row and exploded); first-occurrence ELECTION
+    and reassembly are two shuffles on per-document-bounded keys
+    ((doc, window-text), then doc), so partial aggregation applies
+    and no key exceeds one document's windows. A zero-shuffle variant
+    electing with an indexed prefix-filter was tried and reverted
+    (r12): Catalyst re-inlines the window-array expression inside the
+    lambda — no CSE across lambda scopes — turning the election into
+    O(windows²)·(window build) per document, a measured 70× slowdown
+    at sf0.1. No UDFs, no driver-side state, no global sort.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    toks = token_array(text_col)
+    # materialize the token array ONCE as an attribute: the lambda
+    # below references it per window element, and Catalyst inlines
+    # (not CSEs) expression-valued references into lambda scopes —
+    # with the regex-heavy tokenizer inlined, assembly re-tokenized
+    # the document per window (measured 3× on the sweep entry)
+    base = df.select(id_col, token_array(text_col).alias("_srw_toks"))
+    toks = F.col("_srw_toks")
     n_wins = F.when(
         F.size(toks) > 0,
         F.ceil(F.size(toks) / F.lit(window)).cast("int"),
@@ -437,16 +444,38 @@ def strip_repeated_windows(
     idx = F.when(n_wins > 0, F.sequence(F.lit(0), n_wins - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    texts = F.transform(
-        idx, lambda k: F.array_join(F.slice(toks, k * window + 1, window), " ")
+    wins_arr = F.transform(
+        idx,
+        lambda k: F.struct(
+            k.cast("bigint").alias("wid"),
+            F.array_join(F.slice(toks, k * window + 1, window), " ").alias(
+                "wtext"
+            ),
+        ),
     )
-    kept = F.filter(
-        texts,
-        lambda x, k: ~F.array_contains(F.slice(texts, F.lit(1), k), x),
+    exploded = base.select(id_col, F.explode(wins_arr).alias("w")).select(
+        id_col, F.col("w.wid").alias("wid"), F.col("w.wtext").alias("wtext")
     )
-    return df.select(
+    firsts = exploded.groupBy(id_col, "wtext").agg(
+        F.min("wid").alias("wid"), F.count(F.lit(1)).alias("occ")
+    )
+    agg = firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wid", "wtext"))),
+                lambda s: s["wtext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum("occ").cast("long").alias("windows_in"),
+        F.count(F.lit(1)).cast("long").alias("windows_kept"),
+    )
+    # token-less docs never reach the explode — re-attach them so the
+    # one-row-per-doc contract holds (('', 0, 0), matching the oracle)
+    empties = base.where(F.size(toks) == 0).select(
         id_col,
-        F.array_join(kept, " ").alias("clean_text"),
-        F.size(texts).cast("long").alias("windows_in"),
-        F.size(kept).cast("long").alias("windows_kept"),
+        F.lit("").alias("clean_text"),
+        F.lit(0).cast("long").alias("windows_in"),
+        F.lit(0).cast("long").alias("windows_kept"),
     )
+    return agg.unionByName(empties)
