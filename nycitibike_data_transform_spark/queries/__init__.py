@@ -118,79 +118,16 @@ def eager_cached(
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r12 rotation (VERDICT r11 item #2). The 50-entry driver
-    # window: (a) topk_scan_decimal — the registry's ONLY row with no
-    # green driver evidence ever (r11 hash-red; output now projected
-    # as exact integer cents so the hashed surface is
-    # representation-robust while the decimal read_topk + pushed
-    # Decimal cutoff still decide the row set); (b) the 49 rows whose
-    # freshest driver evidence is r9 — together exactly filling the
-    # window, so after r12 every row is driver-green and nothing's
-    # latest green row is older than r10. Freshness recomputed this
-    # round from the r1-r11 CORRECTNESS union: 49@r9, 48@r10, 49@r11,
-    # topk_scan_decimal never-green.
-    # ---
-    # (a) the fix
-    "topk_scan_decimal",
-    # (b) the 49 rows whose freshest driver evidence is r9
-    "audio_pipeline",
-    "bpe_merges",
-    "bpe_segment",
-    "bucketed_join",
-    "chunk_documents",
-    "collection_functions",
-    "customer_distribution",
-    "date_functions",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "disjunctive_revenue",
-    "doc_fingerprint",
-    "embedding_norms",
-    "embedding_quantize",
-    "events_gapfill",
-    "heavy_hitters",
-    "idle_rich_customers",
-    "important_parts",
-    "incremental_bucketed",
-    "incremental_model",
-    "language_id",
-    "large_volume_customers",
-    "mg_estimates",
-    "multimodal_meta",
-    "pack_sequences",
-    "padded_batches",
-    "profit_by_nation_year",
-    "promo_revenue",
-    "quality_filter",
-    "quantiles",
-    "quantized_topk",
-    "repetition_ratio",
-    "resample_balanced",
-    "small_qty_revenue",
-    "snapshot_diff",
-    "source_mix_report",
-    "span_dedup",
-    "span_strip",
-    "span_strip_bloom",
-    "stratified_sample",
-    "streaming_upsert_view",
-    "string_functions",
-    "table_profile",
-    "top_supplier",
-    "user_streaks",
-    "weighted_sample",
-    "zorder_scan",
-    # ---- past the 50-entry window, next-stale first: the 48 rows
-    # whose freshest evidence is r10, then the 49 r11-green rows
-    # (freshest last). All remain runnable and locally verified via
-    # tools/check_oracle.py every round; they just cede the driver
-    # slot this window. ----
-    # never-driver-checked (added mid-r12, after the window was
-    # fixed): most-stale by definition, so first in line for r13
+    # --- r13 rotation — GENERATED by ``python tools/rotate.py --emit``
+    # (VERDICT r12 item 6: the window is now computed from the
+    # CORRECTNESS_r*.json union, never hand-transcribed; a sync test
+    # asserts this literal equals the tool output).  Ranking:
+    # never-driver-green first, then stalest-first, ties alphabetical.
+    # r13 window = repetition_strip (the only never-checked row, added
+    # mid-r12 after that window was committed) + the 48 rows whose
+    # freshest driver evidence is r10 + anti_join (first r11 row
+    # alphabetically).  After r13: nothing older than r11.
     "repetition_strip",
-    # r10-green
     "approx_distinct",
     "argmax_orders",
     "collect_sorted",
@@ -239,8 +176,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_topk_orders",
     "window_variants",
     "word_frequencies",
-    # r11-green (freshest)
     "anti_join",
+    # ---- past the 50-entry driver window ----
     "asof_purchase_click",
     "aux_econ_by_nta",
     "bigram_lm",
@@ -289,6 +226,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "video_frames",
     "window_running_qty",
     "zonemap_scan",
+    "audio_pipeline",
+    "bpe_merges",
+    "bpe_segment",
+    "bucketed_join",
+    "chunk_documents",
+    "collection_functions",
+    "customer_distribution",
+    "date_functions",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "disjunctive_revenue",
+    "doc_fingerprint",
+    "embedding_norms",
+    "embedding_quantize",
+    "events_gapfill",
+    "heavy_hitters",
+    "idle_rich_customers",
+    "important_parts",
+    "incremental_bucketed",
+    "incremental_model",
+    "language_id",
+    "large_volume_customers",
+    "mg_estimates",
+    "multimodal_meta",
+    "pack_sequences",
+    "padded_batches",
+    "profit_by_nation_year",
+    "promo_revenue",
+    "quality_filter",
+    "quantiles",
+    "quantized_topk",
+    "repetition_ratio",
+    "resample_balanced",
+    "small_qty_revenue",
+    "snapshot_diff",
+    "source_mix_report",
+    "span_dedup",
+    "span_strip",
+    "span_strip_bloom",
+    "stratified_sample",
+    "streaming_upsert_view",
+    "string_functions",
+    "table_profile",
+    "top_supplier",
+    "topk_scan_decimal",
+    "user_streaks",
+    "weighted_sample",
+    "zorder_scan",
 )
 
 

@@ -1,0 +1,122 @@
+"""Compute the driver-window rotation for ``_DRIVER_PRIORITY`` from evidence.
+
+The external driver's correctness gate checks only the FIRST 50 entries of
+``queries()`` each round, so the order of ``_DRIVER_PRIORITY``
+(``nycitibike_data_transform_spark/queries/__init__.py``) decides which
+queries accumulate driver evidence.  Through round 12 that window was
+hand-transcribed each round from the CORRECTNESS_r*.json union — the last
+hand-maintained correctness-critical list in the repo (VERDICT r12 item 6).
+
+This tool makes the rotation mechanical and testable:
+
+- ``latest_green()`` folds every ``CORRECTNESS_r*.json`` at the repo root
+  into ``{query_name: latest_round_with_a_green_row}``.  A row is *green*
+  when ``rows_match`` and ``schema_match`` are true, ``err`` is null, and
+  ``hash_match`` is not false (rows-only checks record ``hash_match: null``
+  for queries without an ``oracle_sql()`` entry — the driver's documented
+  weaker gate, still its best available evidence).
+- ``rotation()`` ranks the full registry **never-driver-green first, then
+  stalest-first** (ties alphabetical, so the order is deterministic), and
+  returns the whole ranked tuple.  The first ``window`` entries are the
+  next driver window; the tail keeps the same next-stale-first order so a
+  driver that checks more than 50 rows still sees the most useful order.
+- The CLI prints the ranked names one per line (``--window`` limits to the
+  window) or, with ``--emit``, a ready-to-paste Python tuple body.
+
+``tests/test_registry.py::test_driver_priority_matches_rotation_tool``
+asserts ``_DRIVER_PRIORITY`` equals this tool's output exactly, so the
+committed order can never drift from the evidence files again.
+
+Usage::
+
+    python tools/rotate.py            # ranked names, one per line
+    python tools/rotate.py --window   # just the next 50-row window
+    python tools/rotate.py --emit     # tuple body for queries/__init__.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+
+WINDOW_SIZE = 50
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_green(root: str = _ROOT) -> dict[str, int]:
+    """Fold CORRECTNESS_r*.json into {query: latest round with a green row}.
+
+    Green = rows_match and schema_match, no err, and hash_match is not
+    False (None means a rows-only check — the driver's weaker gate for
+    queries with no oracle_sql entry — which still counts as evidence).
+    """
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            green = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def registry_names() -> tuple[str, ...]:
+    """All registry query names (unordered source of truth: the modules)."""
+    import sys
+
+    if _ROOT not in sys.path:
+        sys.path.insert(0, _ROOT)
+    from nycitibike_data_transform_spark.queries import all_queries
+
+    return tuple(all_queries().keys())
+
+
+def rotation(
+    names: tuple[str, ...] | None = None,
+    evidence: dict[str, int] | None = None,
+) -> tuple[str, ...]:
+    """Rank the registry never-green first, then stalest-first (ties alpha)."""
+    if names is None:
+        names = registry_names()
+    if evidence is None:
+        evidence = latest_green()
+    return tuple(sorted(names, key=lambda n: (evidence.get(n, 0), n)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--window", action="store_true", help="print only the next window")
+    ap.add_argument("--emit", action="store_true", help="print as a Python tuple body")
+    ap.add_argument("--size", type=int, default=WINDOW_SIZE)
+    args = ap.parse_args()
+
+    evidence = latest_green()
+    ranked = rotation(evidence=evidence)
+    shown = ranked[: args.size] if args.window else ranked
+    if args.emit:
+        for i, name in enumerate(shown):
+            if i == args.size:
+                print(f"    # ---- past the {args.size}-entry driver window ----")
+            print(f'    "{name}",')
+    else:
+        for name in shown:
+            rnd = evidence.get(name, 0)
+            print(f"{'never' if rnd == 0 else f'r{rnd:02d}':>5}  {name}")
+
+
+if __name__ == "__main__":
+    main()
