@@ -38,6 +38,57 @@ HEADLINE = [
 ]
 
 
+def _foreign_cpu_jiffies() -> float:
+    """Sum utime+stime jiffies of every LIVE process that is neither in
+    this bench's own process tree (python driver + Spark JVM + py4j
+    workers) nor a kernel thread (kthreadd's subtree — kworkers doing
+    page-cache I/O on the bench's behalf must not read as a co-tenant).
+
+    This is the direct signal the loadavg gates kept missing (VERDICT
+    r12 item 2): a load-10 co-tenant inflated every r12 headline query
+    ~1.4× uniformly yet passed the static ``own_load_max`` ceiling,
+    because mid-sweep the bench's OWN load is legitimately 10-30.
+    Co-tenant CPU consumption, measured as a before/after delta over
+    the sweep, separates cleanly: a clean box's non-kernel daemons burn
+    a few CPU-seconds over a 10-minute sweep; the r12 co-tenant would
+    have burned thousands.  Short-lived foreign processes that exit
+    between samples are missed — acceptable, because only a persistent
+    co-tenant can uniformly inflate a multi-minute sweep.
+    """
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    cpu: dict[int, float] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat", "rb") as fh:
+                raw = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced with exit
+        # comm can contain spaces/parens — fields start after the last ')'
+        fields = raw[raw.rindex(")") + 2 :].split()
+        pid = int(entry)
+        ppid[pid] = int(fields[1])  # field 4 overall
+        cpu[pid] = float(fields[11]) + float(fields[12])  # utime+stime
+    total = 0.0
+    for pid in cpu:
+        # walk ancestry: skip our own tree (root = this pid) and kernel
+        # threads (root = pid 2); everything else is foreign
+        seen = set()
+        cur = pid
+        while cur > 0 and cur not in seen:
+            if cur == me:
+                break
+            seen.add(cur)
+            cur = ppid.get(cur, 0)
+        else:
+            if 2 not in seen and pid != 2:
+                total += cpu[pid]
+            continue
+    return total
+
+
 def query_families(registry) -> dict[str, str]:
     """Map every registry query name to its source module (family) —
     derived from the callables themselves so a new query module can
@@ -85,6 +136,8 @@ def main() -> None:
     # keep the bench session's stderr silent.
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     registry = all_queries()
+    foreign_before = _foreign_cpu_jiffies()
+    wall_start = time.time()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
@@ -99,8 +152,6 @@ def main() -> None:
         runs.sort()
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
-
-    total = round(sum(timings.values()), 3)
 
     # Full-registry sweep (VERDICT r4 item #8): every query once, so
     # regressions in non-headline queries (rollup/cube, llmdata tail)
@@ -153,6 +204,26 @@ def main() -> None:
         family_totals[fam] = family_totals.get(fam, 0.0) + dt
     registry_total = round(sum(registry_timings.values()), 3)
     family_totals = {k: round(v, 3) for k, v in sorted(family_totals.items())}
+
+    # Second headline window (VERDICT r12 item 2a): re-run the headline
+    # block AFTER the ~3-minute registry sweep and fold per-query mins
+    # across both windows. A transient co-tenant contending with the
+    # first block cannot own the graded number unless it also spans the
+    # second window minutes later — and a co-tenant persistent enough
+    # to span both is what the foreign-CPU gate below measures directly.
+    timings_early = dict(timings)
+    timings_late: dict[str, float] = {}
+    for name in HEADLINE:
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            registry[name].spark(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.time() - t0)
+        timings_late[name] = round(min(runs), 3)
+        timings[name] = min(timings[name], timings_late[name])
+    total = round(sum(timings.values()), 3)
     # loadavg before/after: a contaminated run (driver machine busy with
     # other work) shows up as high ambient load and median >> min —
     # VERDICT r2 graded BENCH_r02's 38 s as exactly this.
@@ -175,6 +246,22 @@ def main() -> None:
     )
     load_after = os.getloadavg()
     contaminated = contaminated or load_after[0] > own_load_max
+    # Foreign-CPU gate (VERDICT r12 item 2b): the static ceiling above
+    # is sized for the bench's own load and is blind to a moderate
+    # co-tenant (r12: load ~10 inflated every headline query ~1.4× and
+    # passed as clean). Measure the co-tenant DIRECTLY: CPU-seconds
+    # burned during the sweep by live processes outside this bench's
+    # own tree and outside the kernel. Clean-box daemons burn a few
+    # CPU-seconds over a 10-minute sweep; the r12 co-tenant would have
+    # burned thousands. Threshold: 5% of the box for the sweep's wall
+    # time (floor 60 CPU-s so short sf0.01 runs don't flag on noise).
+    wall = time.time() - wall_start
+    clk = os.sysconf("SC_CLK_TCK") or 100
+    foreign_cpu_sec = max(0.0, (_foreign_cpu_jiffies() - foreign_before) / clk)
+    ncpu = os.cpu_count() or 1
+    foreign_frac = float(os.environ.get("SPARK_GRAFT_FOREIGN_CPU_FRAC", "0.05"))
+    foreign_budget = max(60.0, foreign_frac * ncpu * wall)
+    contaminated = contaminated or foreign_cpu_sec > foreign_budget
     compact = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -185,10 +272,14 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "contaminated": contaminated,
+        "foreign_cpu_sec": round(foreign_cpu_sec, 1),
         "idle_wait_sec": round(waited, 1),
         "sf": sf,
     }
     detail = dict(compact)
+    detail["foreign_cpu_budget_sec"] = round(foreign_budget, 1)
+    detail["queries_early"] = timings_early
+    detail["queries_late"] = timings_late
     detail["queries_median"] = medians
     detail["registry_queries"] = registry_timings
     detail["registry_load1"] = registry_load1
