@@ -667,3 +667,271 @@ class S3Backend(CommitBackend):
                 raise RuntimeError("delete_if failed on correct content")
         finally:
             self.delete(key)
+
+
+class GCSBackend(CommitBackend):
+    """The control plane on Google Cloud Storage via its JSON API
+    (VERDICT r12 item #4): the SECOND real conditional-write dialect,
+    proving the :class:`CommitBackend` interface is store-shaped and
+    not an S3-ism.
+
+    GCS conditions on **generation numbers**, not ETags — every write
+    to an object mints a new generation, so a condition pins the exact
+    WRITE observed, not the content:
+
+    - ``create_exclusive`` → upload with ``ifGenerationMatch=0``
+      ("only if no live object exists"; HTTP 412 otherwise).
+    - ``cas`` → read content + generation, compare content, upload
+      with ``ifGenerationMatch=<generation>``. STRONGER than the S3
+      ETag leg: rewriting identical bytes still moves the generation,
+      so even a byte-identical ABA between our read and write turns
+      the upload into a 412 (with ETags, identical bytes re-match).
+    - ``delete_if`` → read content + generation, compare, DELETE with
+      ``ifGenerationMatch=<generation>`` (the TOCTOU-free reclaim).
+
+    Speaks the REST surface directly over ``urllib`` — no SDK
+    dependency — so the contract tests can drive it against any
+    endpoint implementing the documented JSON-API semantics
+    (``tests/fake_gcs.py`` hosts a strict in-repo emulator over real
+    HTTP; point ``endpoint`` at ``https://storage.googleapis.com``
+    with a ``token`` for the real service). Retryable transport
+    faults (429/5xx) are raised to the caller: the commit protocol's
+    own retry loop (ConcurrentWriteError backoff) is the right place
+    to re-drive a commit, not a hidden transport retry that could
+    double-apply a non-idempotent conditional.
+
+    Liveness is wall-clock lease expiry with a skew margin, exactly
+    the :class:`S3Backend` semantics (machines sharing a bucket have
+    no pid visibility; DEPLOY.md documents the margin). ``mutate_if``
+    is likewise NOT overridden — same reasoning as S3.
+    """
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        endpoint: str = "https://storage.googleapis.com",
+        token: str | None = None,
+        lease_ttl: float = 60.0,
+        clock=time.time,
+        skew_margin: float = 5.0,
+        timeout: float = 30.0,
+    ):
+        self.bucket = bucket
+        self.prefix = (prefix.rstrip("/") + "/") if prefix else ""
+        self.endpoint = endpoint.rstrip("/")
+        self._token = token
+        self.lease_ttl = lease_ttl
+        self.skew_margin = skew_margin
+        self._clock = clock
+        self._timeout = timeout
+
+    # ------------------------------------------------------ transport
+
+    def _request(
+        self, method: str, url: str, body: bytes | None = None
+    ) -> tuple[int, dict, bytes]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, method=method)
+        if self._token:
+            req.add_header("Authorization", f"Bearer {self._token}")
+        if body is not None:
+            req.add_header("Content-Type", "application/octet-stream")
+        try:
+            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers), e.read()
+
+    def _quote(self, key: str) -> str:
+        from urllib.parse import quote
+
+        return quote(self.prefix + key, safe="")
+
+    def _object_url(self, key: str, **params: str) -> str:
+        from urllib.parse import urlencode
+
+        url = f"{self.endpoint}/storage/v1/b/{self.bucket}/o/{self._quote(key)}"
+        return url + ("?" + urlencode(params) if params else "")
+
+    def _upload_url(self, key: str, **params: str) -> str:
+        from urllib.parse import urlencode
+
+        q = {"uploadType": "media", "name": self.prefix + key, **params}
+        return (
+            f"{self.endpoint}/upload/storage/v1/b/{self.bucket}/o?"
+            + urlencode(q)
+        )
+
+    @staticmethod
+    def _raise_unexpected(status: int, op: str, body: bytes) -> None:
+        raise RuntimeError(
+            f"GCS {op}: unexpected HTTP {status}: {body[:200].decode('utf-8', 'replace')}"
+        )
+
+    def _get_with_generation(self, key: str) -> tuple[str | None, int | None]:
+        status, headers, body = self._request(
+            "GET", self._object_url(key, alt="media")
+        )
+        if status == 404:
+            return None, None
+        if status != 200:
+            self._raise_unexpected(status, "get", body)
+        gen = headers.get("x-goog-generation") or headers.get(
+            "X-Goog-Generation"
+        )
+        if gen is None:
+            raise RuntimeError(
+                "GCS get: endpoint returned no x-goog-generation header — "
+                "conditional writes cannot be pinned against it"
+            )
+        return body.decode("utf-8"), int(gen)
+
+    # ------------------------------------------------------- plain I/O
+
+    def get(self, key: str) -> str | None:
+        return self._get_with_generation(key)[0]
+
+    def put(self, key: str, content: str) -> None:
+        status, _, body = self._request(
+            "POST", self._upload_url(key), content.encode("utf-8")
+        )
+        if status != 200:
+            self._raise_unexpected(status, "put", body)
+
+    def delete(self, key: str) -> None:
+        status, _, body = self._request("DELETE", self._object_url(key))
+        if status not in (204, 404):
+            self._raise_unexpected(status, "delete", body)
+
+    def list(self, prefix: str) -> list[str]:
+        from urllib.parse import urlencode
+
+        p = self.prefix + (prefix if prefix.endswith("/") else prefix + "/")
+        keys: list[str] = []
+        page_token = None
+        while True:
+            q = {"prefix": p, "fields": "items/name,nextPageToken"}
+            if page_token:
+                q["pageToken"] = page_token
+            status, _, body = self._request(
+                "GET",
+                f"{self.endpoint}/storage/v1/b/{self.bucket}/o?" + urlencode(q),
+            )
+            if status != 200:
+                self._raise_unexpected(status, "list", body)
+            payload = json.loads(body or b"{}")
+            keys.extend(o["name"] for o in payload.get("items", ()))
+            page_token = payload.get("nextPageToken")
+            if not page_token:
+                break
+        n = len(self.prefix)
+        return sorted(k[n:] for k in keys)
+
+    # ---------------------------------------------------- conditionals
+
+    def create_exclusive(self, key: str, content: str) -> bool:
+        status, _, body = self._request(
+            "POST",
+            self._upload_url(key, ifGenerationMatch="0"),
+            content.encode("utf-8"),
+        )
+        if status == 412:
+            return False
+        if status != 200:
+            self._raise_unexpected(status, "create_exclusive", body)
+        return True
+
+    def cas(self, key: str, expected: str | None, content: str) -> bool:
+        if expected is None:
+            return self.create_exclusive(key, content)
+        observed, gen = self._get_with_generation(key)
+        if observed != expected:
+            return False
+        status, _, body = self._request(
+            "POST",
+            self._upload_url(key, ifGenerationMatch=str(gen)),
+            content.encode("utf-8"),
+        )
+        if status == 412:
+            return False  # generation moved between read and write
+        if status != 200:
+            self._raise_unexpected(status, "cas", body)
+        return True
+
+    def delete_if(self, key: str, expected: str) -> bool:
+        observed, gen = self._get_with_generation(key)
+        if observed != expected:
+            return False
+        status, _, body = self._request(
+            "DELETE", self._object_url(key, ifGenerationMatch=str(gen))
+        )
+        if status in (412, 404):
+            return False  # lost the race: someone else moved it
+        if status != 204:
+            self._raise_unexpected(status, "delete_if", body)
+        return True
+
+    # --------------------------------------------------------- leases
+
+    def new_lease(self) -> str:
+        return json.dumps(
+            {
+                "owner": uuid.uuid4().hex,
+                "expires": self._clock() + self.lease_ttl,
+            }
+        )
+
+    def lease_live(self, content: str) -> bool:
+        try:
+            lease = json.loads(content)
+            return self._clock() - self.skew_margin < float(lease["expires"])
+        except (ValueError, KeyError, TypeError):
+            return True  # unrecognized payload: err toward live
+
+    # -------------------------------------------------------- probing
+
+    def verify_conditional_support(self) -> None:
+        """Deploy-time probe with teeth (the S3 probe's GCS analogue):
+        after a successful cas moves the generation, raw requests
+        conditioned on the STALE generation must 412 on both upload
+        and delete — an endpoint that ignores ``ifGenerationMatch``
+        (or recycles generations) voids the commit protocol without
+        ever erroring through the public API, because the succeeding
+        public calls always carry a matching generation."""
+        key = f"_probe/{uuid.uuid4().hex}"
+        try:
+            if not self.create_exclusive(key, "a"):
+                raise RuntimeError("probe key unexpectedly exists")
+            if self.create_exclusive(key, "b"):
+                raise RuntimeError("endpoint ignores ifGenerationMatch=0")
+            _, stale_gen = self._get_with_generation(key)
+            if not self.cas(key, "a", "c"):
+                raise RuntimeError("cas failed on correct expected content")
+            _, fresh_gen = self._get_with_generation(key)
+            if fresh_gen == stale_gen:
+                raise RuntimeError(
+                    "endpoint recycled a generation across a rewrite"
+                )
+            status, _, _ = self._request(
+                "POST",
+                self._upload_url(key, ifGenerationMatch=str(stale_gen)),
+                b"x",
+            )
+            if status != 412:
+                raise RuntimeError("endpoint ignores ifGenerationMatch on PUT")
+            status, _, _ = self._request(
+                "DELETE", self._object_url(key, ifGenerationMatch=str(stale_gen))
+            )
+            if status != 412:
+                raise RuntimeError(
+                    "endpoint ignores ifGenerationMatch on DELETE"
+                )
+            if self.get(key) != "c":
+                raise RuntimeError("stale conditional request mutated the key")
+            if not self.delete_if(key, "c"):
+                raise RuntimeError("delete_if failed on correct content")
+        finally:
+            self.delete(key)

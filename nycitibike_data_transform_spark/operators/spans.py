@@ -396,6 +396,7 @@ def strip_repeated_windows(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 2,
+    max_windows: int = 1_000_000,
 ) -> DataFrame:
     """INTRA-document repetition removal: chunk each document's token
     stream into consecutive ``window``-token windows, drop every
@@ -408,12 +409,30 @@ def strip_repeated_windows(
     across pages, and repetition-heavy documents are the classic
     LM-training poison the Gopher quality filters cut on.
 
-    Returns EXACTLY one row per input document: ``(id_col,
+    Returns one row per DISTINCT ``id_col`` value: ``(id_col,
     clean_text, windows_in, windows_kept)`` — the counts make the cut
     rate auditable without diffing texts. Token-less documents
     (NULL/blank text) pass through as ``('', 0, 0)`` instead of
     silently vanishing (r12 review finding: the first grouped
-    implementation dropped them, diverging from the oracle).
+    implementation dropped them, diverging from the oracle). If the
+    same ``id_col`` value appears on multiple input rows, their
+    windows are POOLED into one output row (both groupBy stages key
+    on ``id_col``; the SQL oracle does the same) — callers with
+    non-unique ids that want per-row semantics must pre-assign a
+    surrogate id (ADVICE r12: the old docstring over-promised
+    "exactly one row per input document").
+
+    ``max_windows`` bounds the per-document aggregation state: the
+    reassembly stage collects one (wid, wtext) struct per surviving
+    window into a single aggregation buffer, so the documented
+    "per-document-bounded" claim is only real if a bound is ENFORCED
+    (VERDICT r12 item 5). A document chunking into more than
+    ``max_windows`` windows fails the job at execution with a
+    ``raise_error`` naming the document — loud refusal, never a
+    silent truncation that would diverge from the SQL oracle. The
+    default (1M windows = 2M tokens at window=2) clears any
+    book-length document while capping the buffer at ~tens of MB;
+    pass a smaller bound for stricter memory budgets.
 
     Scale shape (100 TB posture): window ASSEMBLY is a narrow per-row
     higher-order projection (sequence/slice, the
@@ -430,6 +449,8 @@ def strip_repeated_windows(
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if max_windows < 1:
+        raise ValueError(f"max_windows must be >= 1, got {max_windows}")
     # materialize the token array ONCE as an attribute: the lambda
     # below references it per window element, and Catalyst inlines
     # (not CSEs) expression-valued references into lambda scopes —
@@ -437,10 +458,28 @@ def strip_repeated_windows(
     # the document per window (measured 3× on the sweep entry)
     base = df.select(id_col, token_array(text_col).alias("_srw_toks"))
     toks = F.col("_srw_toks")
-    n_wins = F.when(
+    n_wins_raw = F.when(
         F.size(toks) > 0,
         F.ceil(F.size(toks) / F.lit(window)).cast("int"),
     ).otherwise(F.lit(0))
+    # bounded-document contract (VERDICT r12 item 5): refuse, at
+    # execution time and naming the offender, any document whose
+    # window count would exceed the reassembly buffer bound —
+    # raise_error is a built-in, so the guard rides the same
+    # whole-stage-codegen projection as the window assembly
+    n_wins = F.when(
+        n_wins_raw > F.lit(max_windows),
+        F.raise_error(
+            F.concat(
+                F.lit("strip_repeated_windows: document "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" exceeds max_windows={max_windows} "
+                    f"(window={window}); raise max_windows or pre-split"
+                ),
+            )
+        ).cast("int"),
+    ).otherwise(n_wins_raw)
     idx = F.when(n_wins > 0, F.sequence(F.lit(0), n_wins - 1)).otherwise(
         F.array().cast("array<int>")
     )
@@ -453,29 +492,42 @@ def strip_repeated_windows(
             ),
         ),
     )
-    exploded = base.select(id_col, F.explode(wins_arr).alias("w")).select(
+    # explode_OUTER: token-less docs survive the unnest as one row with
+    # a NULL window and are folded back to ('', 0, 0) by the aggregates
+    # below — ONE pass over the corpus, where the first implementation
+    # re-scanned and re-tokenized everything just to find the empties
+    # (ADVICE r12: that second scan doubled the most expensive narrow
+    # stage at the 100 TB posture)
+    exploded = base.select(id_col, F.explode_outer(wins_arr).alias("w")).select(
         id_col, F.col("w.wid").alias("wid"), F.col("w.wtext").alias("wtext")
     )
+    # real windows never have NULL wtext (array_join of a non-empty
+    # slice is always a string; token_array maps NULL/blank text to an
+    # empty array) — NULL wtext is exactly the empty-doc marker, and it
+    # groups as a single per-doc row through the election shuffle
     firsts = exploded.groupBy(id_col, "wtext").agg(
         F.min("wid").alias("wid"), F.count(F.lit(1)).alias("occ")
     )
-    agg = firsts.groupBy(id_col).agg(
+    return firsts.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("wid", "wtext"))),
+                F.array_sort(
+                    F.collect_list(  # collect_list drops NULL entries,
+                        # so the empty-doc marker contributes nothing
+                        F.when(
+                            F.col("wtext").isNotNull(),
+                            F.struct("wid", "wtext"),
+                        )
+                    )
+                ),
                 lambda s: s["wtext"],
             ),
             " ",
         ).alias("clean_text"),
-        F.sum("occ").cast("long").alias("windows_in"),
-        F.count(F.lit(1)).cast("long").alias("windows_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("wtext").isNotNull(), F.col("occ"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("windows_in"),
+        F.count(F.col("wtext")).cast("long").alias("windows_kept"),
     )
-    # token-less docs never reach the explode — re-attach them so the
-    # one-row-per-doc contract holds (('', 0, 0), matching the oracle)
-    empties = base.where(F.size(toks) == 0).select(
-        id_col,
-        F.lit("").alias("clean_text"),
-        F.lit(0).cast("long").alias("windows_in"),
-        F.lit(0).cast("long").alias("windows_kept"),
-    )
-    return agg.unionByName(empties)

