@@ -245,7 +245,13 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_OWN_LOAD_MAX", str(default_parallelism() + 8))
     )
     load_after = os.getloadavg()
-    contaminated = contaminated or load_after[0] > own_load_max
+    # record WHICH gate fired (VERDICT r12 nit: an adjudicator reading
+    # the payload should not have to reverse-engineer the verdict)
+    reasons: list[str] = []
+    if contaminated:
+        reasons.append("pre_run_load")
+    if load_after[0] > own_load_max:
+        reasons.append("post_run_load")
     # Foreign-CPU gate (VERDICT r12 item 2b): the static ceiling above
     # is sized for the bench's own load and is blind to a moderate
     # co-tenant (r12: load ~10 inflated every headline query ~1.4× and
@@ -261,7 +267,9 @@ def main() -> None:
     ncpu = os.cpu_count() or 1
     foreign_frac = float(os.environ.get("SPARK_GRAFT_FOREIGN_CPU_FRAC", "0.05"))
     foreign_budget = max(60.0, foreign_frac * ncpu * wall)
-    contaminated = contaminated or foreign_cpu_sec > foreign_budget
+    if foreign_cpu_sec > foreign_budget:
+        reasons.append("foreign_cpu")
+    contaminated = bool(reasons)
     compact = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -272,11 +280,17 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "contaminated": contaminated,
+        "contamination_reasons": reasons,
         "foreign_cpu_sec": round(foreign_cpu_sec, 1),
         "idle_wait_sec": round(waited, 1),
         "sf": sf,
     }
     detail = dict(compact)
+    # provenance (VERDICT r12 nit: the working-tree copy is overwritten
+    # by every run — driver's, judge's, builder's — and its origin was
+    # only discoverable via git)
+    detail["generated_unix"] = round(time.time(), 1)
+    detail["sf_dir"] = sf_dir
     detail["foreign_cpu_budget_sec"] = round(foreign_budget, 1)
     detail["queries_early"] = timings_early
     detail["queries_late"] = timings_late
