@@ -38,8 +38,9 @@ HEADLINE = [
 ]
 
 
-def _foreign_cpu_jiffies() -> float:
-    """Sum utime+stime jiffies of every LIVE process that is neither in
+def _foreign_cpu_samples() -> dict[tuple[int, int], float]:
+    """Per-process cumulative utime+stime jiffies, keyed by
+    ``(pid, starttime)``, for every LIVE process that is neither in
     this bench's own process tree (python driver + Spark JVM + py4j
     workers) nor a kernel thread (kthreadd's subtree — kworkers doing
     page-cache I/O on the bench's behalf must not read as a co-tenant).
@@ -48,16 +49,30 @@ def _foreign_cpu_jiffies() -> float:
     r12 item 2): a load-10 co-tenant inflated every r12 headline query
     ~1.4× uniformly yet passed the static ``own_load_max`` ceiling,
     because mid-sweep the bench's OWN load is legitimately 10-30.
-    Co-tenant CPU consumption, measured as a before/after delta over
-    the sweep, separates cleanly: a clean box's non-kernel daemons burn
-    a few CPU-seconds over a 10-minute sweep; the r12 co-tenant would
-    have burned thousands.  Short-lived foreign processes that exit
-    between samples are missed — acceptable, because only a persistent
+    Co-tenant CPU consumption over the sweep separates cleanly: a
+    clean box's non-kernel daemons burn a few CPU-seconds over a
+    10-minute sweep; the r12 co-tenant would have burned thousands.
+
+    Two identification details matter (r13 self-review findings):
+
+    - the key is ``(pid, starttime)``, and the delta is summed PER
+      PROCESS — an aggregate-sum difference would let any long-lived
+      daemon that exits mid-sweep subtract its boot-to-date CPU from
+      the delta and silently mask a real co-tenant (and a recycled
+      pid would be mis-credited with its predecessor's CPU);
+    - the kernel subtree is exempted only when pid 2 actually IS
+      ``kthreadd`` — inside a PID namespace, pid 2 can be an
+      arbitrary userland process (possibly the co-tenant itself).
+
+    Foreign processes that both start AND exit between the two
+    samples are missed — acceptable, because only a persistent
     co-tenant can uniformly inflate a multi-minute sweep.
     """
     me = os.getpid()
     ppid: dict[int, int] = {}
     cpu: dict[int, float] = {}
+    start: dict[int, int] = {}
+    kthreadd_pid: int | None = None
     for entry in os.listdir("/proc"):
         if not entry.isdigit():
             continue
@@ -66,27 +81,43 @@ def _foreign_cpu_jiffies() -> float:
                 raw = fh.read().decode("ascii", "replace")
         except OSError:
             continue  # raced with exit
-        # comm can contain spaces/parens — fields start after the last ')'
+        # comm is parenthesized and can itself contain spaces/parens —
+        # fields start after the LAST ')'
+        comm = raw[raw.index("(") + 1 : raw.rindex(")")]
         fields = raw[raw.rindex(")") + 2 :].split()
         pid = int(entry)
         ppid[pid] = int(fields[1])  # field 4 overall
         cpu[pid] = float(fields[11]) + float(fields[12])  # utime+stime
-    total = 0.0
+        start[pid] = int(fields[19])  # starttime: pins the pid's identity
+        if pid == 2 and comm == "kthreadd" and int(fields[1]) == 0:
+            kthreadd_pid = 2
+    samples: dict[tuple[int, int], float] = {}
     for pid in cpu:
-        # walk ancestry: skip our own tree (root = this pid) and kernel
-        # threads (root = pid 2); everything else is foreign
         seen = set()
         cur = pid
         while cur > 0 and cur not in seen:
-            if cur == me:
-                break
             seen.add(cur)
             cur = ppid.get(cur, 0)
-        else:
-            if 2 not in seen and pid != 2:
-                total += cpu[pid]
-            continue
-    return total
+        if me in seen:
+            continue  # our own tree (the walk started at or below us)
+        if kthreadd_pid is not None and kthreadd_pid in seen:
+            continue  # genuine kernel thread
+        samples[(pid, start[pid])] = cpu[pid]
+    return samples
+
+
+def _foreign_cpu_delta_jiffies(
+    before: dict[tuple[int, int], float], after: dict[tuple[int, int], float]
+) -> float:
+    """Per-process CPU consumed between the two samples. Processes new
+    since ``before`` contribute their full accumulated CPU (they
+    started inside the window); processes that exited contribute
+    nothing (their identity key is absent from ``after``) — they can
+    UNDERCOUNT a co-tenant but can never mask one."""
+    return sum(
+        max(0.0, jiffies - before.get(key, 0.0))
+        for key, jiffies in after.items()
+    )
 
 
 def query_families(registry) -> dict[str, str]:
@@ -136,7 +167,7 @@ def main() -> None:
     # keep the bench session's stderr silent.
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     registry = all_queries()
-    foreign_before = _foreign_cpu_jiffies()
+    foreign_before = _foreign_cpu_samples()
     wall_start = time.time()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -263,7 +294,9 @@ def main() -> None:
     # time (floor 60 CPU-s so short sf0.01 runs don't flag on noise).
     wall = time.time() - wall_start
     clk = os.sysconf("SC_CLK_TCK") or 100
-    foreign_cpu_sec = max(0.0, (_foreign_cpu_jiffies() - foreign_before) / clk)
+    foreign_cpu_sec = (
+        _foreign_cpu_delta_jiffies(foreign_before, _foreign_cpu_samples()) / clk
+    )
     ncpu = os.cpu_count() or 1
     foreign_frac = float(os.environ.get("SPARK_GRAFT_FOREIGN_CPU_FRAC", "0.05"))
     foreign_budget = max(60.0, foreign_frac * ncpu * wall)

@@ -520,7 +520,12 @@ _REPETITION_STRIP_SQL = rf"""
 WITH toks AS (
   -- token-less docs (NULL/blank text) get an EMPTY token list, not
   -- [''], so they flow through as ('', 0, 0) like the engine side
-  SELECT doc_id,
+  -- rid distinguishes INPUT ROWS sharing a doc_id: each row windows
+  -- its own token stream independently (matching the engine's per-row
+  -- window assembly), then all of a doc_id's windows share ONE
+  -- first-occurrence election (r13 review: grouping wins by position
+  -- alone interleaved duplicate-id rows' tokens inside one window)
+  SELECT doc_id, row_number() OVER () AS rid,
          CASE
            WHEN nullif(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '')
                 IS NULL THEN CAST([] AS VARCHAR[])
@@ -530,14 +535,14 @@ WITH toks AS (
   FROM documents
 ),
 tok AS (
-  SELECT doc_id, w[i] AS tok, i
+  SELECT doc_id, rid, w[i] AS tok, i
   FROM toks, unnest(generate_series(1, len(w))) AS t(i)
 ),
 wins AS (
   SELECT doc_id,
          CAST(floor((i - 1) / {_REPSTRIP_WINDOW}) AS BIGINT) AS wid,
          string_agg(tok, ' ' ORDER BY i) AS wtext
-  FROM tok GROUP BY 1, 2
+  FROM tok GROUP BY doc_id, rid, wid
 ),
 firsts AS (
   SELECT doc_id, wtext, min(wid) AS wid, count(*) AS occ
@@ -545,7 +550,10 @@ firsts AS (
 ),
 agg AS (
   SELECT doc_id,
-         string_agg(wtext, ' ' ORDER BY wid) AS clean_text,
+         -- wid, wtext: the engine reassembles via array_sort over
+         -- (wid, wtext) structs, so elected windows tying on wid
+         -- (possible only under pooled duplicate ids) order by text
+         string_agg(wtext, ' ' ORDER BY wid, wtext) AS clean_text,
          CAST(sum(occ) AS BIGINT) AS windows_in,
          count(*) AS windows_kept
   FROM firsts
@@ -555,7 +563,11 @@ SELECT t.doc_id,
        coalesce(a.clean_text, '') AS clean_text,
        CAST(coalesce(a.windows_in, 0) AS BIGINT) AS windows_in,
        CAST(coalesce(a.windows_kept, 0) AS BIGINT) AS windows_kept
-FROM toks t LEFT JOIN agg a USING (doc_id)
+-- DISTINCT doc_id (r13 review): the engine POOLS duplicate doc_ids
+-- into one output row (both groupBys key on doc_id); joining from raw
+-- toks would emit one row per INPUT row and diverge on any corpus
+-- with repeated ids, even though both sides agree on the values
+FROM (SELECT DISTINCT doc_id FROM toks) t LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -86,3 +86,22 @@ def test_quantized_topk_parity_on_malformed_vectors(spark, tmp_path):
     )
     engine, oracle = _both(spark, tmp_path, "embeddings", emb, "quantized_topk")
     assert engine == oracle and len(engine) > 0
+
+
+def test_repetition_strip_parity_on_duplicate_doc_ids(spark, tmp_path):
+    """Duplicate doc_ids POOL into one output row on both engines (r13
+    review: the oracle's final SELECT joined from raw per-row tokens
+    and would have emitted one row per INPUT row — green on the
+    unique-id driver corpus, red on any corpus with repeated ids)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "w", 7),
+            (1, "a b x y", "en", "w", 7),  # same id, second row
+            (2, None, "en", "w", 0),
+            (2, "", "en", "w", 0),  # duplicate token-less id
+            (3, "p q p q", "en", "w", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    engine, oracle = _both(spark, tmp_path, "documents", docs, "repetition_strip")
+    assert engine == oracle and len(engine) == 3

@@ -3,12 +3,16 @@
 r12's driver bench recorded 13.9 s ``contaminated: false`` while clean
 re-runs of identical code measured 10.8-10.9 s — a load-10 co-tenant
 slipped under the static ``own_load_max`` ceiling.  ``bench.py`` now
-measures the co-tenant directly: CPU-seconds burned during the sweep by
-live processes outside the bench's own process tree and outside the
-kernel.  These tests pin the accounting itself:
+measures the co-tenant directly: per-process ``(pid, starttime)``-keyed
+CPU deltas over the sweep for live processes outside the bench's own
+process tree and outside the kernel.  These tests pin the accounting:
 
 - our own subprocesses (the Spark JVM's analogue) must NOT count;
-- a process re-parented outside our tree (a true co-tenant) MUST count.
+- a process re-parented outside our tree (a true co-tenant) MUST count;
+- a long-lived foreign process EXITING mid-window must not subtract its
+  boot-to-date CPU and mask a concurrent real co-tenant (r13
+  self-review: the first implementation differenced aggregate sums,
+  which had exactly that hole).
 """
 
 from __future__ import annotations
@@ -21,7 +25,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _foreign_cpu_jiffies
+from bench import _foreign_cpu_delta_jiffies, _foreign_cpu_samples
+
+_CLK = os.sysconf("SC_CLK_TCK") or 100
 
 
 def _burn_script(seconds: float) -> str:
@@ -33,59 +39,97 @@ def _burn_script(seconds: float) -> str:
     )
 
 
-def test_own_subprocess_cpu_is_not_foreign():
-    """A CPU burner spawned as OUR child (like the Spark JVM) must not
-    move the foreign counter by more than ambient daemon noise."""
-    before = _foreign_cpu_jiffies()
-    proc = subprocess.Popen([sys.executable, "-c", _burn_script(1.5)])
-    try:
-        proc.wait(timeout=30)
-        after = _foreign_cpu_jiffies()
-    finally:
-        if proc.poll() is None:
-            proc.kill()
-    clk = os.sysconf("SC_CLK_TCK") or 100
-    # ~1.5 CPU-s burned in-tree; allow 0.5 s of unrelated daemon drift
-    assert (after - before) / clk < 0.5
+def _delta_sec(before, after) -> float:
+    return _foreign_cpu_delta_jiffies(before, after) / _CLK
 
 
-def test_reparented_cotenant_cpu_is_foreign():
-    """Double-fork a burner so it re-parents to init — the process-tree
-    shape of a genuine co-tenant — and require the gate to charge it."""
-    burn = 2.0
+def _spawn_detached(seconds: float) -> int:
+    """Double-fork a burner so it re-parents outside our tree — the
+    process-tree shape of a genuine co-tenant. Returns its pid (found
+    via /proc cmdline: the grandchild's pid can't cross the fork)."""
+    marker = f"burn_end_{os.getpid()}"
+    script = f"# {marker}\n" + _burn_script(seconds)
     pid = os.fork()
     if pid == 0:  # child: spawn the burner detached, then exit at once
         os.setsid()
-        grandchild = subprocess.Popen(
-            [sys.executable, "-c", _burn_script(burn + 10)],
-            start_new_session=True,
+        subprocess.Popen(
+            [sys.executable, "-c", script], start_new_session=True
         )
-        os.write(1, f"{grandchild.pid}\n".encode())
         os._exit(0)
-    # reap the child immediately: the grandchild re-parents to init/reaper
-    os.waitpid(pid, 0)
-    # the grandchild pid was printed to OUR stdout by the child — but we
-    # can't capture it post-fork; find it by command line instead
-    time.sleep(0.3)
-    burner_pid = None
-    for entry in os.listdir("/proc"):
-        if not entry.isdigit():
-            continue
-        try:
-            with open(f"/proc/{entry}/cmdline", "rb") as fh:
-                cmd = fh.read().decode("utf-8", "replace")
-        except OSError:
-            continue
-        if "while time.time() < end" in cmd:
-            burner_pid = int(entry)
-            break
-    assert burner_pid is not None, "detached burner not found in /proc"
+    os.waitpid(pid, 0)  # grandchild re-parents to init/reaper
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/cmdline", "rb") as fh:
+                    cmd = fh.read().decode("utf-8", "replace")
+            except OSError:
+                continue
+            if marker in cmd:
+                return int(entry)
+        time.sleep(0.05)
+    raise AssertionError("detached burner not found in /proc")
+
+
+def _kill_quietly(pid: int) -> None:
     try:
-        before = _foreign_cpu_jiffies()
-        time.sleep(burn)
-        after = _foreign_cpu_jiffies()
+        os.kill(pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+
+
+def test_own_subprocess_cpu_is_not_foreign():
+    """A CPU burner spawned as OUR child (like the Spark JVM) must
+    never be SAMPLED as foreign — asserted on process identity, not
+    CPU arithmetic (r13 review: any ambient-CPU bound flakes the
+    moment something else runs on the box, including this repo's own
+    bench in a sibling session; tree membership is load-independent)."""
+    proc = subprocess.Popen([sys.executable, "-c", _burn_script(5.0)])
+    try:
+        time.sleep(0.5)  # ensure it is alive and visible in /proc
+        samples = _foreign_cpu_samples()
+        assert all(pid != proc.pid for pid, _ in samples)  # in our tree
+        assert all(pid != os.getpid() for pid, _ in samples)  # we aren't
     finally:
-        os.kill(burner_pid, signal.SIGKILL)
-    clk = os.sysconf("SC_CLK_TCK") or 100
-    # the burner spins flat-out; require at least half its wall time
-    assert (after - before) / clk > burn / 2
+        proc.kill()
+        proc.wait(timeout=10)
+
+
+def test_reparented_cotenant_cpu_is_foreign():
+    """The detached burner spins flat-out through the window: the gate
+    must charge at least half its wall time as foreign CPU."""
+    burn = 2.0
+    burner = _spawn_detached(burn + 10)
+    try:
+        before = _foreign_cpu_samples()
+        time.sleep(burn)
+        after = _foreign_cpu_samples()
+    finally:
+        _kill_quietly(burner)
+    assert _delta_sec(before, after) > burn / 2
+
+
+def test_exiting_daemon_cannot_mask_a_live_cotenant():
+    """Masking regression (r13 self-review): daemon A accumulates CPU
+    BEFORE the window, then exits inside it while co-tenant B burns.
+    An aggregate-sum difference would compute B's burn minus A's
+    lifetime CPU ≈ 0 and stamp the run clean; the per-process delta
+    must still charge B."""
+    acc, burn = 1.5, 1.5
+    daemon = _spawn_detached(60)  # A: will be killed mid-window
+    try:
+        time.sleep(acc)  # A accumulates pre-window CPU
+        before = _foreign_cpu_samples()
+        assert any(pid == daemon for pid, _ in before)  # A is sampled
+        _kill_quietly(daemon)  # A exits inside the window...
+        cotenant = _spawn_detached(burn + 10)  # ...while B burns
+        try:
+            time.sleep(burn)
+            after = _foreign_cpu_samples()
+        finally:
+            _kill_quietly(cotenant)
+    finally:
+        _kill_quietly(daemon)
+    assert _delta_sec(before, after) > burn / 2

@@ -192,6 +192,9 @@ while i < n and time.time() < deadline:
 ce = b.create_exclusive("exclusive", wid)
 with open(log, "w") as f:
     f.write("\n".join(wins + [f"CE={int(ce)}"]))
+# a starved worker must fail ITS OWN exit code (r13 review), not
+# surface later as an opaque transitions-count mismatch
+sys.exit(0 if i == n else 3)
 """
 
 
