@@ -118,15 +118,12 @@ def eager_cached(
 #   grouping_sets) — they stay runnable and locally verified via
 #   tools/check_oracle.py, they just cede their driver slot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r13 rotation — GENERATED by ``python tools/rotate.py --emit``
-    # (VERDICT r12 item 6: the window is now computed from the
-    # CORRECTNESS_r*.json union, never hand-transcribed; a sync test
-    # asserts this literal equals the tool output).  Ranking:
-    # never-driver-green first, then stalest-first, ties alphabetical.
-    # r13 window = repetition_strip (the only never-checked row, added
-    # mid-r12 after that window was committed) + the 48 rows whose
-    # freshest driver evidence is r10 + anti_join (first r11 row
-    # alphabetically).  After r13: nothing older than r11.
+    # --- GENERATED by ``python tools/rotate.py --write`` — do not
+    # hand-edit (the sync test in tests/test_registry.py compares
+    # this literal against the tool's output over the committed
+    # CORRECTNESS_r*.json evidence). Ranking: never-driver-green
+    # first, then stalest-first, ties alphabetical. The first
+    # 50 entries are the next driver correctness window.
     "repetition_strip",
     "approx_distinct",
     "argmax_orders",
