@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from nycitibike_data_transform_spark.queries import all_queries
 from nycitibike_data_transform_spark.session import default_parallelism, get_spark
 
+# jiffies per second; sysconf returns -1 (truthy!) when unsupported,
+# so guard on positivity, not truthiness
+_CLK_TCK = (lambda c: c if c > 0 else 100)(os.sysconf("SC_CLK_TCK"))
+
 HEADLINE = [
     "stage_rides",
     "pricing_summary",
@@ -207,7 +211,7 @@ def main() -> None:
 
     registry_load1: dict[str, float] = {}
     registry_foreign: dict[str, float] = {}
-    clk_tick = os.sysconf("SC_CLK_TCK") or 100
+    foreign_peak = 0.0  # monotone envelope of the foreign-CPU delta
     for name, spec in registry.items():
         # per-query 1-min loadavg stamp (VERDICT r11 item #7): the two
         # availableNow stream queries are scheduling-bound and swing
@@ -216,16 +220,20 @@ def main() -> None:
         # contention. Sampled at query START (the 1-min average moves
         # slowly enough that one sample places the entry).
         registry_load1[name] = round(os.getloadavg()[0], 2)
-        # cumulative foreign CPU at query START (r13): pairs with the
-        # loadavg stamp to ATTRIBUTE contamination per entry — a
+        # foreign CPU at query START, stamped as the MONOTONE ENVELOPE
+        # (running max) of the delta-since-baseline (r13 review: the
+        # raw delta bounces when short-lived foreign processes exit,
+        # making consecutive-stamp diffs negative/noise; the envelope
+        # makes them >= 0 and pins each co-tenant burst to the entry
+        # where it happened). Pairs with the loadavg stamp so a
         # driver-vs-judge timing dispute (r12's 13.9 vs 10.9 s) can be
-        # adjudicated from the run's own record by diffing consecutive
-        # stamps over the suspect entries
-        registry_foreign[name] = round(
+        # adjudicated from the run's own record.
+        foreign_peak = max(
+            foreign_peak,
             _foreign_cpu_delta_jiffies(foreign_before, _foreign_cpu_samples())
-            / clk_tick,
-            1,
+            / _CLK_TCK,
         )
+        registry_foreign[name] = round(foreign_peak, 1)
         runs = []
         for rep in range(sweep_runs):
             if rep:
@@ -307,9 +315,14 @@ def main() -> None:
     # burned thousands. Threshold: 5% of the box for the sweep's wall
     # time (floor 60 CPU-s so short sf0.01 runs don't flag on noise).
     wall = time.time() - wall_start
-    clk = os.sysconf("SC_CLK_TCK") or 100
-    foreign_cpu_sec = (
-        _foreign_cpu_delta_jiffies(foreign_before, _foreign_cpu_samples()) / clk
+    # the gate reads the ENVELOPE, not just the end delta: a co-tenant
+    # that burns through the sweep but exits before this final sample
+    # would otherwise escape (exited processes only ever undercount
+    # the point-in-time delta; the per-entry peak retains them)
+    foreign_cpu_sec = max(
+        foreign_peak,
+        _foreign_cpu_delta_jiffies(foreign_before, _foreign_cpu_samples())
+        / _CLK_TCK,
     )
     ncpu = os.cpu_count() or 1
     foreign_frac = float(os.environ.get("SPARK_GRAFT_FOREIGN_CPU_FRAC", "0.05"))

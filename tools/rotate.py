@@ -108,13 +108,28 @@ def write_priority(ranked: tuple[str, ...], size: int = WINDOW_SIZE) -> str:
     replacing the current ``_DRIVER_PRIORITY`` literal. Returns the
     path written. The surrounding generated-header comment is emitted
     fresh each time so the file always says how it was produced."""
+    import re
+
     path = os.path.join(
         _ROOT, "nycitibike_data_transform_spark", "queries", "__init__.py"
     )
     with open(path) as fh:
         src = fh.read()
-    start = src.index("_DRIVER_PRIORITY: tuple[str, ...] = (")
-    end = src.index("\n)\n", start) + len("\n)\n")
+    # anchor on the exact literal, column 0 open through column 0 close
+    # paren, and fail with instructions rather than a bare ValueError
+    # (or a silent truncation) if the file's formatting drifted
+    m = re.search(
+        r"^_DRIVER_PRIORITY: tuple\[str, \.\.\.\] = \(\n(?:^[ \t#\"].*\n)*^\)\n",
+        src,
+        re.MULTILINE,
+    )
+    if m is None:
+        raise SystemExit(
+            f"could not locate the _DRIVER_PRIORITY literal in {path} — "
+            "its formatting drifted from what --write expects; update the "
+            "anchor regex in tools/rotate.py or restore the literal shape"
+        )
+    start, end = m.span()
     lines = [
         "_DRIVER_PRIORITY: tuple[str, ...] = (",
         "    # --- GENERATED by ``python tools/rotate.py --write`` — do not",
@@ -149,7 +164,11 @@ def main() -> None:
     evidence = latest_green()
     ranked = rotation(evidence=evidence)
     if args.write:
-        print(f"wrote {write_priority(ranked, args.size)}")
+        # --size is a display knob for --window/--emit only: the
+        # committed file must always carry the driver's real window
+        # (r13 review: honoring it here would bake a wrong window
+        # size into the generated comments)
+        print(f"wrote {write_priority(ranked, WINDOW_SIZE)}")
         return
     shown = ranked[: args.size] if args.window else ranked
     if args.emit:
