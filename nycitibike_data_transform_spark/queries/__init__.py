@@ -124,57 +124,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r*.json evidence). Ranking: never-driver-green
     # first, then stalest-first, ties alphabetical. The first
     # 50 entries are the next driver correctness window.
-    "repetition_strip",
-    "approx_distinct",
-    "argmax_orders",
-    "collect_sorted",
-    "compression_signal",
-    "containment_pairs",
-    "cosine_topk_ivf",
-    "cosine_topk_lsh",
-    "cube_orders",
-    "curriculum_stages",
-    "dataset_report",
-    "decontaminate_bloom",
-    "dedup_latest",
-    "dispersion",
-    "distinct_parts_per_flag",
-    "embedding_dedup",
-    "embedding_near_dup",
-    "event_type_daily",
-    "events_hourly",
-    "forecast_revenue",
-    "global_shuffle",
-    "grouping_sets",
-    "hash_sample",
-    "minhash_pairs",
-    "mixture_plan",
-    "pack_render",
-    "perplexity_score",
-    "price_histogram",
-    "quality_logit",
-    "returned_items",
-    "rollup_qty",
-    "semi_join",
-    "set_intersect",
-    "shard_manifest",
-    "shipping_priority",
-    "simhash",
-    "skew_join_events",
-    "streaming_source_mix",
-    "streaming_user_totals",
-    "surrogate_keys",
-    "table_profile_approx",
-    "token_budget_select",
-    "token_histogram",
-    "top_orders",
-    "unpivot_money",
-    "volume_shipping",
-    "window_topk_orders",
-    "window_variants",
-    "word_frequencies",
-    "anti_join",
-    # ---- past the 50-entry driver window ----
     "asof_purchase_click",
     "aux_econ_by_nta",
     "bigram_lm",
@@ -225,6 +174,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zonemap_scan",
     "audio_pipeline",
     "bpe_merges",
+    # ---- past the 50-entry driver window ----
     "bpe_segment",
     "bucketed_join",
     "chunk_documents",
@@ -273,6 +223,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_streaks",
     "weighted_sample",
     "zorder_scan",
+    "anti_join",
+    "approx_distinct",
+    "argmax_orders",
+    "collect_sorted",
+    "compression_signal",
+    "containment_pairs",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "cube_orders",
+    "curriculum_stages",
+    "dataset_report",
+    "decontaminate_bloom",
+    "dedup_latest",
+    "dispersion",
+    "distinct_parts_per_flag",
+    "embedding_dedup",
+    "embedding_near_dup",
+    "event_type_daily",
+    "events_hourly",
+    "forecast_revenue",
+    "global_shuffle",
+    "grouping_sets",
+    "hash_sample",
+    "minhash_pairs",
+    "mixture_plan",
+    "pack_render",
+    "perplexity_score",
+    "price_histogram",
+    "quality_logit",
+    "repetition_strip",
+    "returned_items",
+    "rollup_qty",
+    "semi_join",
+    "set_intersect",
+    "shard_manifest",
+    "shipping_priority",
+    "simhash",
+    "skew_join_events",
+    "streaming_source_mix",
+    "streaming_user_totals",
+    "surrogate_keys",
+    "table_profile_approx",
+    "token_budget_select",
+    "token_histogram",
+    "top_orders",
+    "unpivot_money",
+    "volume_shipping",
+    "window_topk_orders",
+    "window_variants",
+    "word_frequencies",
 )
 
 

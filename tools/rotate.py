@@ -34,10 +34,13 @@ Usage::
     python tools/rotate.py --emit     # tuple body for queries/__init__.py
     python tools/rotate.py --write    # splice the tuple into queries/__init__.py
 
-Round-start ritual: the driver commits ``CORRECTNESS_r{N}.json`` at the
-end of each round, which changes the computed rotation — the sync test
-goes red on purpose until ``--write`` is run. First action of every
-round: ``python tools/rotate.py --write`` and commit.
+Round-start ritual: first action of every round is still
+``python tools/rotate.py --write`` + commit (it reads ALL evidence files,
+tracked or not). But the sync test computes its expectation from
+git-TRACKED evidence only, so a checkout graded while the driver's new
+``CORRECTNESS_r{N}.json`` sits untracked stays green (VERDICT r13 item 1);
+a separate non-gating warning test nags about untracked evidence that
+would change the rotation.
 """
 
 from __future__ import annotations
@@ -47,13 +50,41 @@ import glob
 import json
 import os
 import re
+import subprocess
 
 WINDOW_SIZE = 50
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def latest_green(root: str = _ROOT) -> dict[str, int]:
+def correctness_paths(root: str = _ROOT, tracked_only: bool = False) -> list[str]:
+    """CORRECTNESS_r*.json paths at the repo root.
+
+    With ``tracked_only`` the list is restricted to files git knows about
+    (``git ls-files``): the driver drops its new evidence file UNTRACKED at
+    round end, so the sync test computes its expectation from tracked files
+    only — a fresh checkout graded with an untracked CORRECTNESS_r{N}.json
+    present stays green (VERDICT r13 item 1), and the round-start ``--write``
+    (which reads ALL files) folds the new evidence in once it is committed.
+    Falls back to all files when git is unavailable (e.g. a tarball export).
+    """
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not tracked_only:
+        return paths
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "ls-files", "--", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if out.returncode != 0:
+            return paths
+        tracked = {os.path.join(root, line) for line in out.stdout.splitlines()}
+        return [p for p in paths if p in tracked]
+    except OSError:
+        return paths
+
+
+def latest_green(root: str = _ROOT, tracked_only: bool = False) -> dict[str, int]:
     """Fold CORRECTNESS_r*.json into {query: latest round with a green row}.
 
     Green = rows_match and schema_match, no err, and hash_match is not
@@ -61,7 +92,7 @@ def latest_green(root: str = _ROOT) -> dict[str, int]:
     queries with no oracle_sql entry — which still counts as evidence).
     """
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path in correctness_paths(root, tracked_only=tracked_only):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -163,6 +194,15 @@ def main() -> None:
 
     evidence = latest_green()
     ranked = rotation(evidence=evidence)
+    untracked = set(correctness_paths()) - set(correctness_paths(tracked_only=True))
+    if untracked:
+        # the sync test compares against TRACKED evidence only — a window
+        # written from untracked files will read as drift until they are
+        # committed alongside it
+        print(
+            "note: untracked evidence folded in (commit these with the "
+            "window): " + ", ".join(sorted(os.path.basename(p) for p in untracked))
+        )
     if args.write:
         # --size is a display knob for --window/--emit only: the
         # committed file must always carry the driver's real window
