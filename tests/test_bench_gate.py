@@ -25,9 +25,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# _CLK_TCK is positivity-guarded in bench.py; a re-derived
+# `sysconf() or 100` here would keep -1 — truthy — on platforms where
+# SC_CLK_TCK is unsupported, the exact bug that guard exists for
+# (ADVICE r13)
+from bench import _CLK_TCK as _CLK
 from bench import _foreign_cpu_delta_jiffies, _foreign_cpu_samples
-
-_CLK = os.sysconf("SC_CLK_TCK") or 100
 
 
 def _burn_script(seconds: float) -> str:
@@ -95,6 +98,38 @@ def test_own_subprocess_cpu_is_not_foreign():
     finally:
         proc.kill()
         proc.wait(timeout=10)
+
+
+def test_ancestor_chain_is_not_foreign():
+    """ADVICE r13: the processes that LAUNCHED the bench (shell, driver
+    harness, sshd) are machinery, not co-tenants — a CPU-active parent
+    harness must not stamp a clean run contaminated. Pin: no pid on our
+    ancestor chain is ever sampled as foreign."""
+    ancestors = set()
+    pid = os.getppid()
+    while pid > 0 and pid not in ancestors:
+        ancestors.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                raw = fh.read().decode("ascii", "replace")
+            pid = int(raw[raw.rindex(")") + 2 :].split()[1])
+        except (OSError, ValueError):
+            break
+    assert ancestors  # at least the direct parent
+    sampled = {p for p, _ in _foreign_cpu_samples()}
+    assert not (sampled & ancestors)
+
+
+def test_cpu_calibration_stamp_shape():
+    """VERDICT r13 item 4: the fixed-work probe emits positive timings
+    and the full thread width, so box drift is readable from any single
+    payload."""
+    from bench import _cpu_calibration
+
+    c = _cpu_calibration()
+    assert c["calib_cpu_1t_sec"] > 0
+    assert c["calib_cpu_nt_sec"] > 0
+    assert c["calib_cpu_threads"] == (os.cpu_count() or 1)
 
 
 def test_reparented_cotenant_cpu_is_foreign():

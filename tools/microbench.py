@@ -18,7 +18,10 @@ Usage::
     python tools/microbench.py dedup_near --runs 5 --explain
 
 Prints one JSON line: ``{"query": ..., "sf_dir": ..., "warm_sec": ...,
-"min_sec": ..., "runs": [...], "exchanges": N}``.
+"min_sec": ..., "runs": [...], "exchanges": N, "foreign_cpu_sec": ...}``.
+``foreign_cpu_sec`` is bench.py's co-tenant stamp over the timed block
+(VERDICT r13 item 8): probe numbers feed commit decisions, so they
+carry the same contamination evidence as graded bench runs.
 """
 
 from __future__ import annotations
@@ -56,6 +59,9 @@ def main() -> None:
         "microbench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
 
+    from bench import _CLK_TCK, _foreign_cpu_delta_jiffies, _foreign_cpu_samples
+
+    foreign_before = _foreign_cpu_samples()
     t0 = time.time()
     df = spec.spark(spark, args.sf_dir)
     df.write.mode("overwrite").format("noop").save()
@@ -80,6 +86,13 @@ def main() -> None:
                 "min_sec": min(runs),
                 "runs": runs,
                 "exchanges": count_exchanges(df),
+                "foreign_cpu_sec": round(
+                    _foreign_cpu_delta_jiffies(
+                        foreign_before, _foreign_cpu_samples()
+                    )
+                    / _CLK_TCK,
+                    1,
+                ),
             }
         )
     )

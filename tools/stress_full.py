@@ -47,7 +47,14 @@ vector dimension decorrelated too).
 coins are hash(id, copy) — no RNG, rebuilds are bit-identical.
 
 Usage: python tools/stress_full.py [K] [scratch_dir] [--organic[=PCT]] [query ...]
-Prints one JSON line: {query: [t_1x, t_Kx, ratio]} + per-family rollup.
+Prints one JSON line: {query: [t_1x, t_Kx, ratio, foreign_cpu_sec]} +
+per-family rollup + a run-wide ``foreign_cpu_sec`` total.
+
+The 4th per-query element is bench.py's co-tenant stamp over that
+query's timed block (VERDICT r13 item 8): scale ratios feed grading
+decisions, so each carries the same contamination evidence as graded
+bench runs — a ratio measured while something else burned the box is
+attributable from the record alone.
 """
 
 from __future__ import annotations
@@ -247,9 +254,13 @@ def main() -> None:
     # on the first few 1× timings and poisons their ratios
     for w in ("pricing_summary", "text_stats", "dedup_exact"):
         time_fresh(spark, BASE, w)
+    from bench import _CLK_TCK, _foreign_cpu_delta_jiffies, _foreign_cpu_samples
+
     out: dict[str, list[float]] = {}
     fam: dict[str, list[float]] = {}
+    foreign_total = 0.0
     for name in names:
+        foreign_before = _foreign_cpu_samples()
         try:
             # min-of-2 on the small 1× side (discards residual compile
             # noise); single fresh run at K× where real work dominates
@@ -258,18 +269,37 @@ def main() -> None:
         except Exception as exc:  # keep the sweep going; report the failure
             out[name] = [str(exc)[:120]]  # type: ignore[list-item]
             continue
+        foreign = round(
+            _foreign_cpu_delta_jiffies(foreign_before, _foreign_cpu_samples())
+            / _CLK_TCK,
+            1,
+        )
+        foreign_total += foreign
         ratio = round(tk / t1, 2) if t1 > 0 else float("inf")
-        out[name] = [t1, tk, ratio]
+        out[name] = [t1, tk, ratio, foreign]
         f = family_of(name)
         fam.setdefault(f, [0.0, 0.0])
         fam[f][0] += t1
         fam[f][1] += tk
-        print(f"{name}: {t1} -> {tk}  ({ratio}x)", file=sys.stderr, flush=True)
+        print(
+            f"{name}: {t1} -> {tk}  ({ratio}x)  [foreign {foreign}s]",
+            file=sys.stderr,
+            flush=True,
+        )
     rollup = {
         f: [round(a, 1), round(b, 1), round(b / a, 2) if a else None]
         for f, (a, b) in sorted(fam.items())
     }
-    print(json.dumps({"factor": factor, "queries": out, "families": rollup}))
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "queries": out,
+                "families": rollup,
+                "foreign_cpu_sec": round(foreign_total, 1),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
