@@ -689,6 +689,13 @@ class GCSBackend(CommitBackend):
     - ``delete_if`` → read content + generation, compare, DELETE with
       ``ifGenerationMatch=<generation>`` (the TOCTOU-free reclaim).
 
+    Uploads route by size (``_upload``): control-plane objects go
+    single-shot ``uploadType=media``; anything above
+    ``resumable_threshold`` — manifests grow with table history and
+    have no a-priori bound at 100 TB — uses the documented RESUMABLE
+    protocol in ``chunk_size`` pieces, with identical precondition
+    semantics (VERDICT r13 item 3).
+
     Speaks the REST surface directly over ``urllib`` — no SDK
     dependency — so the contract tests can drive it against any
     endpoint implementing the documented JSON-API semantics
@@ -706,6 +713,11 @@ class GCSBackend(CommitBackend):
     is likewise NOT overridden — same reasoning as S3.
     """
 
+    #: real GCS requires every non-final resumable chunk to be a
+    #: multiple of 256 KiB; the defaults below comply. Tests against
+    #: the emulator may force smaller chunks to exercise the loop.
+    _CHUNK_QUANTUM = 256 * 1024
+
     def __init__(
         self,
         bucket: str,
@@ -716,6 +728,8 @@ class GCSBackend(CommitBackend):
         clock=time.time,
         skew_margin: float = 5.0,
         timeout: float = 30.0,
+        resumable_threshold: int = 4 * 1024 * 1024,
+        chunk_size: int = 8 * 1024 * 1024,
     ):
         self.bucket = bucket
         self.prefix = (prefix.rstrip("/") + "/") if prefix else ""
@@ -725,11 +739,19 @@ class GCSBackend(CommitBackend):
         self.skew_margin = skew_margin
         self._clock = clock
         self._timeout = timeout
+        if chunk_size <= 0:
+            raise ValueError("chunk_size must be positive")
+        self.resumable_threshold = resumable_threshold
+        self.chunk_size = chunk_size
 
     # ------------------------------------------------------ transport
 
     def _request(
-        self, method: str, url: str, body: bytes | None = None
+        self,
+        method: str,
+        url: str,
+        body: bytes | None = None,
+        headers: dict[str, str] | None = None,
     ) -> tuple[int, dict, bytes]:
         import urllib.error
         import urllib.request
@@ -739,6 +761,8 @@ class GCSBackend(CommitBackend):
             req.add_header("Authorization", f"Bearer {self._token}")
         if body is not None:
             req.add_header("Content-Type", "application/octet-stream")
+        for k, v in (headers or {}).items():
+            req.add_header(k, v)
         try:
             with urllib.request.urlopen(req, timeout=self._timeout) as resp:
                 return resp.status, dict(resp.headers), resp.read()
@@ -771,6 +795,72 @@ class GCSBackend(CommitBackend):
             f"GCS {op}: unexpected HTTP {status}: {body[:200].decode('utf-8', 'replace')}"
         )
 
+    def _resumable_url(self, key: str, **params: str) -> str:
+        from urllib.parse import urlencode
+
+        q = {"uploadType": "resumable", "name": self.prefix + key, **params}
+        return (
+            f"{self.endpoint}/upload/storage/v1/b/{self.bucket}/o?"
+            + urlencode(q)
+        )
+
+    def _upload(
+        self, key: str, body: bytes, **params: str
+    ) -> tuple[int, dict, bytes]:
+        """Upload ``body`` to ``key``, honoring any ``ifGenerationMatch``
+        in ``params``, and return the FINAL (status, headers, body) so
+        callers keep their own 412 handling.
+
+        Objects at or under ``resumable_threshold`` go single-shot
+        (``uploadType=media`` — right for the control plane's tiny
+        pointer/lease objects). Larger ones — manifests grow with table
+        history and have no a-priori bound at 100 TB (VERDICT r13
+        item 3) — use the documented resumable protocol: one initiation
+        POST minting a session URI, then ``chunk_size``-sized PUTs with
+        ``Content-Range``; the store answers 308 per intermediate chunk
+        and applies the precondition when the LAST chunk completes the
+        object, so conditional semantics are identical on both paths.
+        Real GCS additionally requires non-final chunks be multiples of
+        256 KiB (the default ``chunk_size`` complies; tests force tiny
+        chunks against the emulator to exercise the loop)."""
+        if len(body) <= self.resumable_threshold:
+            return self._request(
+                "POST", self._upload_url(key, **params), body
+            )
+        status, headers, rbody = self._request(
+            "POST", self._resumable_url(key, **params), b""
+        )
+        if status != 200:
+            # initiation-time refusal (GCS may evaluate preconditions
+            # here too): surface it exactly like a final-status 412
+            return status, headers, rbody
+        session = headers.get("Location") or headers.get("location")
+        if not session:
+            raise RuntimeError(
+                "GCS resumable initiation returned no session Location "
+                f"header for object {self.prefix + key!r}"
+            )
+        total = len(body)
+        off = 0
+        while True:
+            chunk = body[off : off + self.chunk_size]
+            end = off + len(chunk) - 1
+            status, headers, rbody = self._request(
+                "PUT",
+                session,
+                chunk,
+                headers={"Content-Range": f"bytes {off}-{end}/{total}"},
+            )
+            if status == 308:  # chunk stored, upload incomplete
+                if end + 1 >= total:
+                    raise RuntimeError(
+                        "GCS resumable upload: endpoint answered 308 to "
+                        f"the final chunk of {self.prefix + key!r}"
+                    )
+                off = end + 1
+                continue
+            return status, headers, rbody
+
     def _get_with_generation(self, key: str) -> tuple[str | None, int | None]:
         status, headers, body = self._request(
             "GET", self._object_url(key, alt="media")
@@ -795,9 +885,7 @@ class GCSBackend(CommitBackend):
         return self._get_with_generation(key)[0]
 
     def put(self, key: str, content: str) -> None:
-        status, _, body = self._request(
-            "POST", self._upload_url(key), content.encode("utf-8")
-        )
+        status, _, body = self._upload(key, content.encode("utf-8"))
         if status != 200:
             self._raise_unexpected(status, "put", body)
 
@@ -833,10 +921,8 @@ class GCSBackend(CommitBackend):
     # ---------------------------------------------------- conditionals
 
     def create_exclusive(self, key: str, content: str) -> bool:
-        status, _, body = self._request(
-            "POST",
-            self._upload_url(key, ifGenerationMatch="0"),
-            content.encode("utf-8"),
+        status, _, body = self._upload(
+            key, content.encode("utf-8"), ifGenerationMatch="0"
         )
         if status == 412:
             return False
@@ -850,10 +936,8 @@ class GCSBackend(CommitBackend):
         observed, gen = self._get_with_generation(key)
         if observed != expected:
             return False
-        status, _, body = self._request(
-            "POST",
-            self._upload_url(key, ifGenerationMatch=str(gen)),
-            content.encode("utf-8"),
+        status, _, body = self._upload(
+            key, content.encode("utf-8"), ifGenerationMatch=str(gen)
         )
         if status == 412:
             return False  # generation moved between read and write

@@ -45,6 +45,7 @@ def gcs_backend_factory():
             )
 
         make.endpoint = server.endpoint
+        make.server = server  # fault injection / store inspection
         yield make
 
 

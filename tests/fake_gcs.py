@@ -22,21 +22,40 @@ refuses:
 - media GET returns the ``x-goog-generation`` header clients pin
   conditions against; object GETs of missing names are 404;
 - list supports ``prefix`` and real ``pageToken`` pagination (small
-  page size, so the client's pagination loop is actually exercised).
+  page size, so the client's pagination loop is actually exercised);
+- RESUMABLE uploads (``uploadType=resumable``): the initiation POST
+  mints a session URI in the ``Location`` header, chunk PUTs carry
+  ``Content-Range`` and get 308 until the final byte arrives, and the
+  ``ifGenerationMatch`` precondition is evaluated BOTH at initiation
+  (fast-fail, as real GCS may) and again at FINALIZE under the
+  mutation lock — a generation that moves mid-upload turns the last
+  chunk into a 412, never a lost update. A chunk whose offset
+  disagrees with the bytes already stored is refused again with 308 +
+  the stored ``Range`` (the documented resume handshake).
 
 Optional fault injection (``drop_condition_enforcement``) turns the
 emulator into the broken store ``verify_conditional_support`` exists
 to detect — the probe test asserts it FAILS against that server.
+
+Transport-fault injection (VERDICT r13 item 2): setting
+``state.fail_conditional_responses = N`` makes the next N CONDITIONAL
+mutations (upload or delete with ``ifGenerationMatch``) APPLY their
+state change and then answer 503 — the lost-response failure real
+stores exhibit when a proxy/LB dies between apply and reply. The
+fault-replay tests prove the client's retry path cannot double-apply
+a conditional after exactly this.
 """
 
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlsplit
 
 _PAGE_SIZE = 3  # tiny on purpose: force the client's pagination loop
+_CONTENT_RANGE = re.compile(r"^bytes (\d+)-(\d+)/(\d+)$")
 
 
 class _State:
@@ -45,6 +64,22 @@ class _State:
         self.objects: dict[str, tuple[bytes, int]] = {}  # name -> (body, gen)
         self.gen_counter = 0
         self.enforce_conditions = True
+        # >0: the next N conditional mutations apply, then answer 503
+        self.fail_conditional_responses = 0
+        # resumable sessions: id -> {"name", "qs", "buf", "puts"}
+        self.sessions: dict[str, dict] = {}
+        self.session_counter = 0
+        # stats of the most recently finalized session (tests assert
+        # the client actually chunked): {"name", "puts", "size"}
+        self.last_finalized: dict | None = None
+
+    def swallow_conditional_reply(self, qs) -> bool:
+        """Called under ``lock`` AFTER a conditional mutation applied:
+        consume one armed fault and tell the handler to answer 503."""
+        if qs.get("ifGenerationMatch") and self.fail_conditional_responses > 0:
+            self.fail_conditional_responses -= 1
+            return True
+        return False
 
     def next_gen(self) -> int:
         self.gen_counter += 1
@@ -93,8 +128,14 @@ class _Handler(BaseHTTPRequestHandler):
         if not url.path.startswith("/upload/storage/v1/b/"):
             return self._error(404, "unknown route")
         name_vals = qs.get("name")
-        if qs.get("uploadType") != ["media"] or not name_vals:
-            return self._error(400, "only uploadType=media&name=... supported")
+        if not name_vals:
+            return self._error(400, "upload requires name=...")
+        if qs.get("uploadType") == ["resumable"]:
+            return self._initiate_resumable(name_vals[0], qs)
+        if qs.get("uploadType") != ["media"]:
+            return self._error(
+                400, "only uploadType=media|resumable supported"
+            )
         name = name_vals[0]
         length = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(length)
@@ -104,6 +145,89 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(err, "conditionNotMet")
             gen = self.state.next_gen()
             self.state.objects[name] = (body, gen)
+            if self.state.swallow_conditional_reply(qs):
+                return self._error(503, "backendError (injected after apply)")
+        meta = json.dumps({"name": name, "generation": str(gen)}).encode()
+        self._reply(
+            200,
+            meta,
+            [
+                ("Content-Type", "application/json"),
+                ("x-goog-generation", str(gen)),
+            ],
+        )
+
+    def _initiate_resumable(self, name: str, qs):
+        with self.state.lock:
+            # fast-fail a precondition that already cannot hold (real
+            # GCS may refuse here too); finalize re-checks regardless
+            err = self._check_generation_match(qs, name)
+            if err:
+                return self._error(err, "conditionNotMet")
+            self.state.session_counter += 1
+            sid = f"sess{self.state.session_counter}"
+            self.state.sessions[sid] = {
+                "name": name,
+                "qs": qs,
+                "buf": bytearray(),
+                "puts": 0,
+            }
+        host = self.headers.get("Host", "127.0.0.1")
+        self._reply(
+            200,
+            b"{}",
+            [
+                ("Content-Type", "application/json"),
+                ("Location", f"http://{host}/upload/resumable/{sid}"),
+            ],
+        )
+
+    def do_PUT(self):
+        url = urlsplit(self.path)
+        parts = url.path.split("/")
+        if len(parts) != 4 or parts[1:3] != ["upload", "resumable"]:
+            return self._error(404, "unknown route")
+        sess = self.state.sessions.get(parts[3])
+        if sess is None:
+            return self._error(404, "no such upload session")
+        crange = self.headers.get("Content-Range", "")
+        m = _CONTENT_RANGE.match(crange)
+        if not m:
+            return self._error(400, f"bad Content-Range {crange!r}")
+        first, last, total = (int(g) for g in m.groups())
+        length = int(self.headers.get("Content-Length", "0"))
+        chunk = self.rfile.read(length)
+        if last - first + 1 != len(chunk):
+            return self._error(400, "Content-Range disagrees with body size")
+        with self.state.lock:
+            if first != len(sess["buf"]):
+                # resume handshake: tell the client what we have
+                return self._reply(
+                    308, b"", [("Range", f"bytes=0-{len(sess['buf']) - 1}")]
+                )
+            sess["buf"].extend(chunk)
+            sess["puts"] += 1
+            if last + 1 < total:
+                return self._reply(
+                    308, b"", [("Range", f"bytes=0-{last}")]
+                )
+            # final chunk: the precondition is evaluated NOW, under the
+            # same lock every other mutation takes — a generation that
+            # moved mid-upload 412s here instead of losing an update
+            name, qs = sess["name"], sess["qs"]
+            del self.state.sessions[parts[3]]
+            err = self._check_generation_match(qs, name)
+            if err:
+                return self._error(err, "conditionNotMet")
+            gen = self.state.next_gen()
+            self.state.objects[name] = (bytes(sess["buf"]), gen)
+            self.state.last_finalized = {
+                "name": name,
+                "puts": sess["puts"],
+                "size": len(sess["buf"]),
+            }
+            if self.state.swallow_conditional_reply(qs):
+                return self._error(503, "backendError (injected after apply)")
         meta = json.dumps({"name": name, "generation": str(gen)}).encode()
         self._reply(
             200,
@@ -177,6 +301,8 @@ class _Handler(BaseHTTPRequestHandler):
             if name not in self.state.objects:
                 return self._error(404, "notFound")
             del self.state.objects[name]
+            if self.state.swallow_conditional_reply(qs):
+                return self._error(503, "backendError (injected after apply)")
         self._reply(204)
 
 
@@ -191,6 +317,11 @@ class FakeGCSServer:
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
+
+    @property
+    def state(self) -> _State:
+        """Direct handle for fault injection and store inspection."""
+        return self._state
 
     @property
     def endpoint(self) -> str:
