@@ -434,6 +434,15 @@ def strip_repeated_windows(
     book-length document while capping the buffer at ~tens of MB;
     pass a smaller bound for stricter memory budgets.
 
+    The pre-aggregation guard is per input ROW (ADVICE r13): duplicate
+    ids pool into ONE aggregation buffer, so k rows sharing an id can
+    each clear the row bound yet pool up to k·max_windows distinct
+    windows. A second ``raise_error`` therefore re-checks the POOLED
+    size (``windows_kept``) after aggregation — by then the buffer has
+    already been paid for, so this is a loud refusal of the documented
+    contract, not a memory guard; callers with heavily duplicated ids
+    who need the memory bound itself must pre-assign surrogate ids.
+
     Scale shape (100 TB posture): window ASSEMBLY is a narrow per-row
     higher-order projection (sequence/slice, the
     ``operators.dedup.shingles`` pattern — the window array is
@@ -529,5 +538,24 @@ def strip_repeated_windows(
         )
         .cast("long")
         .alias("windows_in"),
-        F.count(F.col("wtext")).cast("long").alias("windows_kept"),
+        # pooled-size re-check (ADVICE r13, docstring above): duplicate
+        # ids can pool past the per-row bound — refuse loudly instead
+        # of silently exceeding the documented contract
+        F.when(
+            F.count(F.col("wtext")) > F.lit(max_windows),
+            F.raise_error(
+                F.concat(
+                    F.lit("strip_repeated_windows: duplicate rows for id "),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        f" pooled more than max_windows={max_windows} "
+                        "distinct windows in one aggregation buffer; "
+                        "pre-assign surrogate ids or raise max_windows"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.count(F.col("wtext")))
+        .cast("long")
+        .alias("windows_kept"),
     )

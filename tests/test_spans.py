@@ -546,3 +546,27 @@ def test_strip_repeated_windows_enforces_max_windows(spark):
     assert {r["doc_id"]: r["windows_kept"] for r in ok} == {7: 10, 8: 1}
     with _pytest.raises(Exception, match="document 7 exceeds max_windows=9"):
         strip_repeated_windows(docs, window=2, max_windows=9).collect()
+
+
+def test_strip_repeated_windows_refuses_pooled_overflow(spark):
+    """ADVICE r13: the pre-aggregation guard is per input ROW, so k
+    duplicate-id rows can each clear it yet pool up to k·max_windows
+    distinct windows into one buffer. The post-aggregation re-check
+    must refuse that pooled overflow loudly — while the same rows
+    under a bound that accommodates the pool still pass."""
+    import pytest as _pytest
+
+    from nycitibike_data_transform_spark.operators.spans import (
+        strip_repeated_windows,
+    )
+
+    # two rows, same id, fully disjoint windows: 3 per row (each under
+    # a bound of 4), 6 distinct pooled (over it)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (1, "u v w x y z")],
+        "doc_id bigint, text string",
+    )
+    ok = strip_repeated_windows(docs, window=2, max_windows=6).collect()
+    assert (ok[0]["windows_in"], ok[0]["windows_kept"]) == (6, 6)
+    with _pytest.raises(Exception, match="duplicate rows for id 1 pooled"):
+        strip_repeated_windows(docs, window=2, max_windows=4).collect()
