@@ -187,9 +187,6 @@ class _Handler(BaseHTTPRequestHandler):
         parts = url.path.split("/")
         if len(parts) != 4 or parts[1:3] != ["upload", "resumable"]:
             return self._error(404, "unknown route")
-        sess = self.state.sessions.get(parts[3])
-        if sess is None:
-            return self._error(404, "no such upload session")
         crange = self.headers.get("Content-Range", "")
         m = _CONTENT_RANGE.match(crange)
         if not m:
@@ -200,10 +197,15 @@ class _Handler(BaseHTTPRequestHandler):
         if last - first + 1 != len(chunk):
             return self._error(400, "Content-Range disagrees with body size")
         with self.state.lock:
+            sess = self.state.sessions.get(parts[3])
+            if sess is None:
+                return self._error(404, "no such upload session")
             if first != len(sess["buf"]):
-                # resume handshake: tell the client what we have
+                # resume handshake: tell the client what we have (real
+                # GCS omits the Range header when nothing persisted yet)
+                have = len(sess["buf"])
                 return self._reply(
-                    308, b"", [("Range", f"bytes=0-{len(sess['buf']) - 1}")]
+                    308, b"", [("Range", f"bytes=0-{have - 1}")] if have else []
                 )
             sess["buf"].extend(chunk)
             sess["puts"] += 1
