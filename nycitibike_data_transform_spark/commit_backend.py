@@ -705,7 +705,11 @@ class GCSBackend(CommitBackend):
     faults (429/5xx) are raised to the caller: the commit protocol's
     own retry loop (ConcurrentWriteError backoff) is the right place
     to re-drive a commit, not a hidden transport retry that could
-    double-apply a non-idempotent conditional.
+    double-apply a non-idempotent conditional. The one exception is
+    INSIDE a resumable session (see ``_upload``): the read-only status
+    query resumes the same session by offset — structurally unable to
+    re-apply, bounded by ``resumable_recoveries`` — and both behaviors
+    are fault-injection-proven in ``tests/test_transport_faults.py``.
 
     Liveness is wall-clock lease expiry with a skew margin, exactly
     the :class:`S3Backend` semantics (machines sharing a bucket have
@@ -730,6 +734,7 @@ class GCSBackend(CommitBackend):
         timeout: float = 30.0,
         resumable_threshold: int = 4 * 1024 * 1024,
         chunk_size: int = 8 * 1024 * 1024,
+        resumable_recoveries: int = 3,
     ):
         self.bucket = bucket
         self.prefix = (prefix.rstrip("/") + "/") if prefix else ""
@@ -743,6 +748,7 @@ class GCSBackend(CommitBackend):
             raise ValueError("chunk_size must be positive")
         self.resumable_threshold = resumable_threshold
         self.chunk_size = chunk_size
+        self.resumable_recoveries = resumable_recoveries
 
     # ------------------------------------------------------ transport
 
@@ -822,7 +828,19 @@ class GCSBackend(CommitBackend):
         object, so conditional semantics are identical on both paths.
         Real GCS additionally requires non-final chunks be multiples of
         256 KiB (the default ``chunk_size`` complies; tests force tiny
-        chunks against the emulator to exercise the loop)."""
+        chunks against the emulator to exercise the loop).
+
+        Lost replies within a session are recovered IN the session
+        (bounded by ``resumable_recoveries``): on a 5xx chunk reply the
+        client issues the documented STATUS query (``Content-Range:
+        bytes */total``, empty body) — read-only, so it can never
+        re-apply anything — and resumes from the byte offset the store
+        reports, or returns the recorded outcome if the session had
+        already finalized (the lost-finalize-reply case). This does not
+        contradict the "transport retries are delegated to the commit
+        loop" rule: re-driving the SAME session is offset-idempotent,
+        and the precondition still applies exactly once at finalize.
+        Single-shot uploads keep raising to the commit loop."""
         if len(body) <= self.resumable_threshold:
             return self._request(
                 "POST", self._upload_url(key, **params), body
@@ -842,6 +860,7 @@ class GCSBackend(CommitBackend):
             )
         total = len(body)
         off = 0
+        recoveries = 0
         while True:
             chunk = body[off : off + self.chunk_size]
             end = off + len(chunk) - 1
@@ -851,15 +870,54 @@ class GCSBackend(CommitBackend):
                 chunk,
                 headers={"Content-Range": f"bytes {off}-{end}/{total}"},
             )
-            if status == 308:  # chunk stored, upload incomplete
-                if end + 1 >= total:
+            if status in (429, 500, 502, 503, 504):
+                if recoveries >= self.resumable_recoveries:
+                    return status, headers, rbody  # delegate upward
+                recoveries += 1
+                status, headers, rbody = self._request(
+                    "PUT",
+                    session,
+                    b"",
+                    headers={"Content-Range": f"bytes */{total}"},
+                )
+                if status != 308:
+                    # 200: the session had finalized and the reply was
+                    # lost — the recorded outcome, applied exactly once.
+                    # 412/4xx/5xx: surface to the caller unchanged.
+                    return status, headers, rbody
+                off = self._range_have(headers) or 0
+                if off >= total:
                     raise RuntimeError(
-                        "GCS resumable upload: endpoint answered 308 to "
-                        f"the final chunk of {self.prefix + key!r}"
+                        "GCS resumable status query reports all bytes "
+                        f"persisted yet the session is incomplete for "
+                        f"{self.prefix + key!r}"
                     )
-                off = end + 1
+                continue
+            if status == 308:  # chunk stored, upload incomplete
+                have = self._range_have(headers)
+                nxt = end + 1 if have is None else have
+                if nxt <= off or nxt >= total:
+                    raise RuntimeError(
+                        "GCS resumable upload made no forward progress "
+                        f"(offset {off} -> {nxt} of {total}) for "
+                        f"{self.prefix + key!r}"
+                    )
+                off = nxt
                 continue
             return status, headers, rbody
+
+    @staticmethod
+    def _range_have(headers: dict) -> int | None:
+        """Bytes persisted per a 308's ``Range: bytes=0-N`` header
+        (N+1), or None when the header is absent (nothing persisted —
+        real GCS omits it)."""
+        r = headers.get("Range") or headers.get("range")
+        if not r or not r.startswith("bytes=0-"):
+            return None
+        try:
+            return int(r[len("bytes=0-") :]) + 1
+        except ValueError:
+            return None
 
     def _get_with_generation(self, key: str) -> tuple[str | None, int | None]:
         status, headers, body = self._request(

@@ -56,6 +56,7 @@ from urllib.parse import parse_qs, unquote, urlsplit
 
 _PAGE_SIZE = 3  # tiny on purpose: force the client's pagination loop
 _CONTENT_RANGE = re.compile(r"^bytes (\d+)-(\d+)/(\d+)$")
+_STATUS_RANGE = re.compile(r"^bytes \*/(\d+)$")  # status query: no body
 
 
 class _State:
@@ -66,9 +67,15 @@ class _State:
         self.enforce_conditions = True
         # >0: the next N conditional mutations apply, then answer 503
         self.fail_conditional_responses = 0
-        # resumable sessions: id -> {"name", "qs", "buf", "puts"}
+        # resumable sessions: id -> {"name", "qs", "buf", "puts"} while
+        # in progress; {"done": (name, gen)} once finalized (real GCS
+        # keeps completed sessions queryable — a client whose finalize
+        # reply was lost reads the outcome instead of re-applying)
         self.sessions: dict[str, dict] = {}
         self.session_counter = 0
+        # >0: the next N NON-final chunk replies are lost as 503 AFTER
+        # the bytes persisted (the mid-upload analogue of the above)
+        self.fail_chunk_replies = 0
         # stats of the most recently finalized session (tests assert
         # the client actually chunked): {"name", "puts", "size"}
         self.last_finalized: dict | None = None
@@ -182,24 +189,48 @@ class _Handler(BaseHTTPRequestHandler):
             ],
         )
 
+    def _session_done_reply(self, name: str, gen: int):
+        meta = json.dumps({"name": name, "generation": str(gen)}).encode()
+        self._reply(
+            200,
+            meta,
+            [
+                ("Content-Type", "application/json"),
+                ("x-goog-generation", str(gen)),
+            ],
+        )
+
     def do_PUT(self):
         url = urlsplit(self.path)
         parts = url.path.split("/")
         if len(parts) != 4 or parts[1:3] != ["upload", "resumable"]:
             return self._error(404, "unknown route")
         crange = self.headers.get("Content-Range", "")
-        m = _CONTENT_RANGE.match(crange)
-        if not m:
-            return self._error(400, f"bad Content-Range {crange!r}")
-        first, last, total = (int(g) for g in m.groups())
-        length = int(self.headers.get("Content-Length", "0"))
-        chunk = self.rfile.read(length)
-        if last - first + 1 != len(chunk):
-            return self._error(400, "Content-Range disagrees with body size")
+        status_q = _STATUS_RANGE.match(crange)
+        if not status_q:
+            m = _CONTENT_RANGE.match(crange)
+            if not m:
+                return self._error(400, f"bad Content-Range {crange!r}")
+            first, last, total = (int(g) for g in m.groups())
+            length = int(self.headers.get("Content-Length", "0"))
+            chunk = self.rfile.read(length)
+            if last - first + 1 != len(chunk):
+                return self._error(
+                    400, "Content-Range disagrees with body size"
+                )
         with self.state.lock:
             sess = self.state.sessions.get(parts[3])
             if sess is None:
                 return self._error(404, "no such upload session")
+            if "done" in sess:
+                # finalized: a status query (or a late chunk re-send)
+                # reads the recorded outcome — never a second apply
+                return self._session_done_reply(*sess["done"])
+            if status_q:
+                have = len(sess["buf"])
+                return self._reply(
+                    308, b"", [("Range", f"bytes=0-{have - 1}")] if have else []
+                )
             if first != len(sess["buf"]):
                 # resume handshake: tell the client what we have (real
                 # GCS omits the Range header when nothing persisted yet)
@@ -210,6 +241,12 @@ class _Handler(BaseHTTPRequestHandler):
             sess["buf"].extend(chunk)
             sess["puts"] += 1
             if last + 1 < total:
+                if self.state.fail_chunk_replies > 0:
+                    # bytes persisted, reply lost mid-upload
+                    self.state.fail_chunk_replies -= 1
+                    return self._error(
+                        503, "backendError (injected after chunk persisted)"
+                    )
                 return self._reply(
                     308, b"", [("Range", f"bytes=0-{last}")]
                 )
@@ -217,9 +254,9 @@ class _Handler(BaseHTTPRequestHandler):
             # same lock every other mutation takes — a generation that
             # moved mid-upload 412s here instead of losing an update
             name, qs = sess["name"], sess["qs"]
-            del self.state.sessions[parts[3]]
             err = self._check_generation_match(qs, name)
             if err:
+                del self.state.sessions[parts[3]]
                 return self._error(err, "conditionNotMet")
             gen = self.state.next_gen()
             self.state.objects[name] = (bytes(sess["buf"]), gen)
@@ -228,17 +265,11 @@ class _Handler(BaseHTTPRequestHandler):
                 "puts": sess["puts"],
                 "size": len(sess["buf"]),
             }
+            # keep the finalized session queryable (see _State note)
+            self.state.sessions[parts[3]] = {"done": (name, gen)}
             if self.state.swallow_conditional_reply(qs):
                 return self._error(503, "backendError (injected after apply)")
-        meta = json.dumps({"name": name, "generation": str(gen)}).encode()
-        self._reply(
-            200,
-            meta,
-            [
-                ("Content-Type", "application/json"),
-                ("x-goog-generation", str(gen)),
-            ],
-        )
+        self._session_done_reply(name, gen)
 
     def do_GET(self):
         url = urlsplit(self.path)

@@ -128,17 +128,41 @@ def test_gcs_503_mid_create_exclusive_is_an_orphaned_lease(gcs_server):
     assert b.delete_if("_lock", orphan) is True
 
 
-def test_gcs_503_after_resumable_finalize_retry_refuses(gcs_server):
-    """The same lost-reply fault on the RESUMABLE path: the final
-    chunk applies the object, the 200 is lost. The retry's content
-    re-read must refuse identically to the single-shot path."""
-    b = GCSBackend(
+def _resumable_gcs(gcs_server, **kw) -> GCSBackend:
+    return GCSBackend(
         "bucket",
         prefix="tbl",
         endpoint=gcs_server.endpoint,
         resumable_threshold=100,
         chunk_size=64,
+        **kw,
     )
+
+
+def test_gcs_lost_finalize_reply_recovers_in_session(gcs_server):
+    """The lost-reply fault on the RESUMABLE path has a strictly
+    better recovery than raise-and-refuse: the session's read-only
+    STATUS query returns the recorded outcome, so cas reports True —
+    its write DID land, applied exactly once (generation counter)."""
+    b = _resumable_gcs(gcs_server)
+    big_a, big_b = "a" * 500, "b" * 500
+    b.put("_current", big_a)
+    gen_before = gcs_server.state.gen_counter
+
+    gcs_server.state.fail_conditional_responses = 1
+    assert b.cas("_current", big_a, big_b) is True  # recovered outcome
+
+    assert b.get("_current") == big_b
+    assert gcs_server.state.gen_counter == gen_before + 1  # exactly once
+
+
+def test_gcs_lost_finalize_reply_with_recovery_disabled_delegates(
+    gcs_server,
+):
+    """resumable_recoveries=0 reproduces the delegation path: the 5xx
+    raises to the commit retry loop and the re-driven cas refuses on
+    its content re-read — the same proof as the single-shot dialect."""
+    b = _resumable_gcs(gcs_server, resumable_recoveries=0)
     big_a, big_b = "a" * 500, "b" * 500
     b.put("_current", big_a)
 
@@ -150,6 +174,32 @@ def test_gcs_503_after_resumable_finalize_retry_refuses(gcs_server):
     gen_after = gcs_server.state.gen_counter
     assert b.cas("_current", big_a, big_b) is False
     assert gcs_server.state.gen_counter == gen_after
+
+
+def test_gcs_lost_chunk_reply_resumes_same_session(gcs_server):
+    """A 5xx on a NON-final chunk whose bytes persisted: the status
+    query reports the offset and the client resumes the SAME session —
+    one session total, object lands once, bytes exact."""
+    b = _resumable_gcs(gcs_server)
+    manifest = "".join(chr(97 + i % 26) * 1 for i in range(1000))
+
+    gcs_server.state.fail_chunk_replies = 1
+    b.put("_versions/v1.json", manifest)
+
+    assert b.get("_versions/v1.json") == manifest
+    assert gcs_server.state.session_counter == 1  # resumed, not restarted
+    done = gcs_server.state.last_finalized
+    assert done["size"] == 1000
+
+
+def test_gcs_lost_chunk_replies_past_budget_delegate(gcs_server):
+    """More lost replies than resumable_recoveries: the final 5xx
+    surfaces to the caller (the commit loop's territory) instead of
+    looping forever."""
+    b = _resumable_gcs(gcs_server, resumable_recoveries=1)
+    gcs_server.state.fail_chunk_replies = 5
+    with pytest.raises(RuntimeError, match="503"):
+        b.put("_versions/v2.json", "x" * 1000)
 
 
 # ------------------------------------------------------------------- S3
