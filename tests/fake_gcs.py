@@ -67,6 +67,10 @@ class _State:
         self.enforce_conditions = True
         # >0: the next N conditional mutations apply, then answer 503
         self.fail_conditional_responses = 0
+        # >0: let that many conditional mutations SUCCEED first before
+        # the armed failures fire — lets a test target, e.g., the 3rd
+        # conditional of a commit (the pointer CAS) specifically
+        self.fail_conditional_after = 0
         # resumable sessions: id -> {"name", "qs", "buf", "puts"} while
         # in progress; {"done": (name, gen)} once finalized (real GCS
         # keeps completed sessions queryable — a client whose finalize
@@ -83,7 +87,12 @@ class _State:
     def swallow_conditional_reply(self, qs) -> bool:
         """Called under ``lock`` AFTER a conditional mutation applied:
         consume one armed fault and tell the handler to answer 503."""
-        if qs.get("ifGenerationMatch") and self.fail_conditional_responses > 0:
+        if not qs.get("ifGenerationMatch"):
+            return False
+        if self.fail_conditional_after > 0:
+            self.fail_conditional_after -= 1
+            return False
+        if self.fail_conditional_responses > 0:
             self.fail_conditional_responses -= 1
             return True
         return False

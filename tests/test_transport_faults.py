@@ -215,10 +215,14 @@ class _LostReplyS3Client:
     def __init__(self, inner):
         self._inner = inner
         self.fail_replies = 0
+        self.skip_replies = 0  # let that many mutations succeed first
         self.applied_puts = 0
         self.applied_deletes = 0
 
     def _maybe_lose_reply(self, op: str):
+        if self.skip_replies > 0:
+            self.skip_replies -= 1
+            return
         if self.fail_replies > 0:
             self.fail_replies -= 1
             raise ClientError(
@@ -301,6 +305,73 @@ def test_s3_503_mid_delete_if_retry_refuses(s3_faulty_backend):
     assert client.applied_deletes == dels_before + 1
     assert b.delete_if("_lock", "lease") is False
     assert client.applied_deletes == dels_before + 1
+
+
+# ---------------------------------------------- protocol-level (commit)
+
+
+def _commit_fault_lifecycle(spark, tmp_path, backend, arm_pointer_fault):
+    """Shared body: v1 commits clean; v2's POINTER-CAS reply is lost
+    after the store applied it (the commit's 3rd conditional mutation:
+    lock acquire, manifest create, pointer CAS). The raise is
+    at-least-once AMBIGUITY, not failure: the documented recovery is
+    re-reading the pointer, which shows the commit landed. The table
+    must stay fully consistent — data slot installed, manifest
+    committed, readable — the lock must be RELEASED by the finally
+    (the writer is not a zombie, its lease was never reclaimed), and a
+    subsequent writer commits v3 normally."""
+    from nycitibike_data_transform_spark.versioning import VersionedTable
+
+    root = str(tmp_path / "faulttbl")
+    t = VersionedTable(root, backend=backend)
+    df1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, x double")
+    df2 = spark.createDataFrame([(3, 30.0), (4, 40.0)], "id int, x double")
+    assert t.write_version(df1) == 1
+
+    arm_pointer_fault()
+    with pytest.raises(Exception, match="503|ServiceUnavailable"):
+        t.write_version(df2)
+
+    # ambiguity resolved by the pointer re-read: the commit LANDED
+    assert t.current_version() == 2
+    assert backend.get("_lock") is None  # released, not leaked
+    assert {r["id"] for r in t.read_version(spark, 2).collect()} == {3, 4}
+    assert {r["id"] for r in t.read_version(spark, 1).collect()} == {1, 2}
+
+    # the table is not wedged: the next writer proceeds normally
+    df3 = spark.createDataFrame([(5, 50.0)], "id int, x double")
+    assert t.write_version(df3) == 3
+    assert t.versions() == [1, 2, 3]
+
+
+def test_gcs_lost_pointer_cas_reply_mid_commit(
+    spark, tmp_path, gcs_backend_factory
+):
+    b = gcs_backend_factory()
+    state = gcs_backend_factory.server.state
+
+    def arm():
+        # skip the commit's first two conditionals (lock, manifest);
+        # lose the third (the pointer CAS) after it applies
+        state.fail_conditional_after = 2
+        state.fail_conditional_responses = 1
+
+    _commit_fault_lifecycle(spark, tmp_path, b, arm)
+    assert state.fail_conditional_responses == 0  # the fault fired
+
+
+@pytestmark_s3
+def test_s3_lost_pointer_cas_reply_mid_commit(
+    spark, tmp_path, s3_faulty_backend
+):
+    b, client = s3_faulty_backend
+
+    def arm():
+        client.skip_replies = 2  # lock put + manifest put succeed
+        client.fail_replies = 1  # the pointer put's reply is lost
+
+    _commit_fault_lifecycle(spark, tmp_path, b, arm)
+    assert client.fail_replies == 0  # the fault fired
 
 
 @pytestmark_s3
