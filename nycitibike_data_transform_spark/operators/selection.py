@@ -21,6 +21,15 @@ filtering/dedup have decided WHAT is eligible:
   ranks plus 256 bucket offsets reconstruct the exact global rank —
   no global sort, no single-reducer window.
 
+- ``dsir_logratio_weights``: DSIR-style importance weights (Xie et
+  al. 2023, "Data Selection for Language Models via Importance
+  Resampling") — per-document log-likelihood ratio between a TARGET
+  distribution and the raw corpus, for "select raw data that looks
+  like my target domain" pipelines. Unigram variant (the order-free
+  degenerate member of DSIR's hashed-n-gram family, same honesty note
+  as perplexity_score); weights feed ``weighted_sample`` /
+  ``token_budget_select`` or a plain top-k.
+
 North-star additions (SURVEY.md §2.9); the reference has no corpus
 surface (its models are relational SQL over ride feeds,
 models/staging/*.sql).
@@ -216,4 +225,95 @@ def deterministic_shuffle(
         F.col("shuffle_key"),
         pos.alias("shuffle_pos"),
         ((pos - 1) % F.lit(n_shards)).cast("int").alias("shard_id"),
+    )
+
+
+def dsir_logratio_weights(
+    docs: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights: per-document AVERAGE unigram
+    log-likelihood ratio ln(p_target(w)) − ln(p_raw(w)), both
+    distributions add-one-smoothed over the SHARED corpus vocabulary
+    (target docs selected by the boolean Column ``is_target``; raw =
+    the whole corpus, target included — DSIR's q vs p). Documents that
+    read like the target domain score high; out-of-domain documents
+    score negative. The average (not DSIR's raw sum) removes length
+    bias so the weight is a rate, comparable across documents —
+    callers wanting the paper's sum multiply by ``n_tokens``.
+
+    Returns ``(id_col, n_tokens, dsir_logratio)`` for every tokenful
+    document (token-less docs have no distribution and are omitted).
+
+    Determinism (the perplexity_score idiom): the per-document Σ m·lr
+    is a DOUBLE fold, executed in the SAME token order on both engines
+    — Spark via ``F.aggregate`` over an ``array_sort``-ed struct list,
+    the DuckDB oracle via an ORDER BY-qualified aggregate — and ln is
+    transcendental, so the final rate is rounded to 6 (contract in
+    queries/__init__.py).
+
+    Scale shape (100 TB posture): one tokenize+explode pass feeds
+    everything; shuffles are (doc, token) partial-agg, vocab on token,
+    the ratio join back on token, and the per-doc fold on doc_id — all
+    map-side combinable, no key wider than one document's vocabulary.
+    The corpus scalars (N_target, N_raw, |V|) enter as a 1-row scalar
+    broadcast (crossJoin, the adjudicated PLAN_AUDIT pattern); the
+    per-token ratio table shuffles on token — no broadcast dependence
+    on vocabulary size.
+    """
+    from nycitibike_data_transform_spark.functions.text import token_array
+
+    tok_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.cast("boolean").alias("__t"),
+        F.explode(token_array(text_col)).alias("tok"),
+    )
+    per = tok_rows.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("__m"),
+        # is_target is constant per document; first() under the
+        # (doc, tok) group is that constant
+        F.first("__t").alias("__t"),
+    )
+    vocab = per.groupBy("tok").agg(
+        F.sum("__m").alias("__cr"),
+        F.sum(F.when(F.col("__t"), F.col("__m")).otherwise(F.lit(0))).alias(
+            "__ct"
+        ),
+    )
+    scalars = vocab.agg(
+        F.sum("__cr").alias("__nr"),
+        F.sum("__ct").alias("__nt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(scalars)).select(
+        "tok",
+        (
+            F.log(
+                (F.col("__ct") + 1).cast("double")
+                / (F.col("__nt") + F.col("__v")).cast("double")
+            )
+            - F.log(
+                (F.col("__cr") + 1).cast("double")
+                / (F.col("__nr") + F.col("__v")).cast("double")
+            )
+        ).alias("__lr"),
+    )
+    return (
+        per.join(ratio, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__m").alias("__n"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "__m", "__lr"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__m"].cast("double") * x["__lr"],
+            ).alias("__s"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.round(F.col("__s") / F.col("__n"), 6).alias("dsir_logratio"),
+        )
     )

@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r*.json evidence). Ranking: never-driver-green
     # first, then stalest-first, ties alphabetical. The first
     # 50 entries are the next driver correctness window.
+    "dsir_select",
     "asof_purchase_click",
     "aux_econ_by_nta",
     "bigram_lm",
@@ -173,8 +174,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_running_qty",
     "zonemap_scan",
     "audio_pipeline",
-    "bpe_merges",
     # ---- past the 50-entry driver window ----
+    "bpe_merges",
     "bpe_segment",
     "bucketed_join",
     "chunk_documents",

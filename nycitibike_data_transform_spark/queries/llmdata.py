@@ -1554,6 +1554,76 @@ LEFT JOIN folded f USING (doc_id), tot t
 """
 
 
+_DSIR_TARGET_SOURCE = "src0"  # the stand-in "high-quality target domain"
+_DSIR_TOP_K = 200
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): treat one source
+    (``src0``) as the target domain, weight every document by its
+    average unigram log-likelihood ratio target-vs-corpus
+    (add-one-smoothed over the shared vocabulary), and keep the top-K
+    by ``(dsir_logratio DESC, doc_id)`` — the "select raw data that
+    looks like my target" pipeline, feeding weighted_sample /
+    token_budget_select downstream. Ordering happens on the ROUNDED
+    weight, so the cross-engine cutoff is deterministic; top-K is
+    TakeOrderedAndProject, never a global sort."""
+    from nycitibike_data_transform_spark.operators.selection import (
+        dsir_logratio_weights,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    w = dsir_logratio_weights(
+        fan_out(t["documents"]),
+        is_target=F.col("source") == _DSIR_TARGET_SOURCE,
+    )
+    return w.orderBy(
+        F.col("dsir_logratio").desc(), F.col("doc_id").asc()
+    ).limit(_DSIR_TOP_K)
+
+
+_DSIR_SELECT_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN coalesce(nt, '') = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT doc_id, source,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+tok_rows AS (
+  SELECT doc_id, source = '{_DSIR_TARGET_SOURCE}' AS is_t, unnest(w) AS tok
+  FROM base WHERE len(w) > 0
+),
+per AS (
+  SELECT doc_id, tok, count(*) AS m, max(is_t) AS is_t
+  FROM tok_rows GROUP BY 1, 2
+),
+vocab AS (
+  SELECT tok, sum(m) AS cr, sum(CASE WHEN is_t THEN m ELSE 0 END) AS ct
+  FROM per GROUP BY 1
+),
+scal AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM vocab),
+ratio AS (
+  SELECT tok,
+         ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)) AS lr
+  FROM vocab, scal
+),
+folded AS (
+  SELECT doc_id,
+         CAST(sum(m) AS BIGINT) AS n_tokens,
+         sum(CAST(m AS DOUBLE) * lr ORDER BY tok) AS s
+  FROM per JOIN ratio USING (tok)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS dsir_logratio
+FROM folded
+ORDER BY dsir_logratio DESC, doc_id
+LIMIT {_DSIR_TOP_K}
+"""
+
+
 _RENDER_SEQ_LEN = 64
 
 
@@ -2719,5 +2789,6 @@ QUERIES: dict[str, QuerySpec] = {
     "dataset_report": QuerySpec(_q_dataset_report, _DATASET_REPORT_SQL),
     "compression_signal": QuerySpec(_q_compression_signal, _COMPRESSION_SIGNAL_SQL),
     "perplexity_score": QuerySpec(_q_perplexity_score, _PERPLEXITY_SQL),
+    "dsir_select": QuerySpec(_q_dsir_select, _DSIR_SELECT_SQL),
     "pack_render": QuerySpec(_q_pack_render, _PACK_RENDER_SQL),
 }

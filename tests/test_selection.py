@@ -311,3 +311,70 @@ def test_budget_select_extreme_score_magnitudes(spark):
         for r in token_budget_select(df, 35).collect()
     }
     assert got == _greedy(rows, 35)
+
+
+# ------------------------------------------------ dsir_logratio_weights
+
+
+def test_dsir_logratio_matches_hand_computation(spark):
+    """Micro-corpus against a hand-derived expectation: target doc 1
+    'a a b' vs raw corpus {1, 2, 3}; doc 2 is a verbatim copy of the
+    target text (must score identically), doc 3 is fully off-domain
+    (must score the exact negative hand value). Add-one smoothing over
+    the shared vocabulary {a, b, z}: N_t=3, N_r=9, V=3."""
+    from nycitibike_data_transform_spark.operators.selection import (
+        dsir_logratio_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "tgt"), (2, "a a b", "raw"), (3, "z z z", "raw")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_logratio_weights(
+            docs, is_target=F.col("source") == "tgt"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_tokens"] == 3 and out[3]["n_tokens"] == 3
+    # lr(a)=ln(3/6)-ln(5/12), lr(b)=ln(2/6)-ln(3/12), lr(z)=ln(1/6)-ln(4/12)
+    assert out[1]["dsir_logratio"] == pytest.approx(0.217442, abs=1e-6)
+    assert out[2]["dsir_logratio"] == out[1]["dsir_logratio"]  # same text
+    assert out[3]["dsir_logratio"] == pytest.approx(-0.693147, abs=1e-6)
+
+
+def test_dsir_logratio_omits_tokenless_docs(spark):
+    """A token-less document has no unigram distribution — it is
+    omitted, not scored 0 (0 means 'indistinguishable from raw')."""
+    from nycitibike_data_transform_spark.operators.selection import (
+        dsir_logratio_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b", True), (2, "", False), (3, None, False)],
+        "doc_id bigint, text string, t boolean",
+    )
+    got = dsir_logratio_weights(docs, is_target=F.col("t")).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+def test_dsir_target_docs_outrank_offdomain_in_selection(spark):
+    """End-to-end monotonicity on a bigger frame: every doc sharing
+    the target's vocabulary outranks every disjoint-vocabulary doc in
+    the (rounded-weight, id) selection order."""
+    from nycitibike_data_transform_spark.operators.selection import (
+        dsir_logratio_weights,
+    )
+
+    rows = [(i, "alpha beta gamma delta", i < 3) for i in range(6)]
+    rows += [(i, "omega psi chi phi", False) for i in range(6, 12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, t boolean")
+    got = (
+        dsir_logratio_weights(docs, is_target=F.col("t"))
+        .orderBy(F.col("dsir_logratio").desc(), F.col("doc_id"))
+        .collect()
+    )
+    assert [r["doc_id"] for r in got[:6]] == [0, 1, 2, 3, 4, 5]
+    assert all(r["dsir_logratio"] > 0 for r in got[:6])
+    assert all(r["dsir_logratio"] < 0 for r in got[6:])
