@@ -465,6 +465,11 @@ class S3Backend(CommitBackend):
     (DEPLOY.md, fencing note).
     """
 
+    #: AWS rejects multipart parts under 5 MiB (EntityTooSmall) except
+    #: the last — the constructor enforces the floor so a misconfigured
+    #: part size fails at build time, not at the final complete call
+    _MIN_PART_SIZE = 5 * 1024 * 1024
+
     def __init__(
         self,
         bucket: str,
@@ -473,17 +478,26 @@ class S3Backend(CommitBackend):
         lease_ttl: float = 60.0,
         clock=time.time,
         skew_margin: float = 5.0,
+        multipart_threshold: int = 4 * 1024 * 1024,
+        part_size: int = 8 * 1024 * 1024,
     ):
         if client is None:  # pragma: no cover - exercised via moto in tests
             import boto3
 
             client = boto3.client("s3")
+        if part_size < self._MIN_PART_SIZE:
+            raise ValueError(
+                f"part_size must be >= {self._MIN_PART_SIZE} (the AWS "
+                f"multipart minimum), got {part_size}"
+            )
         self._s3 = client
         self.bucket = bucket
         self.prefix = (prefix.rstrip("/") + "/") if prefix else ""
         self.lease_ttl = lease_ttl
         self.skew_margin = skew_margin
         self._clock = clock
+        self.multipart_threshold = multipart_threshold
+        self.part_size = part_size
 
     def _k(self, key: str) -> str:
         return self.prefix + key
@@ -520,10 +534,51 @@ class S3Backend(CommitBackend):
 
     def put(self, key: str, content: str) -> None:
         # unconditional overwrite: lock-holder-owned objects only
-        # (manifests, sidecars) — durability is the store's contract
-        self._s3.put_object(
-            Bucket=self.bucket, Key=self._k(key), Body=content.encode("utf-8")
+        # (manifests, sidecars) — durability is the store's contract.
+        # Size-routed like the GCS dialect (VERDICT r13 item 3):
+        # manifests grow with table history, so anything above
+        # multipart_threshold uses the documented multipart protocol —
+        # parts are individually retryable and the object appears
+        # atomically at complete. Conditional uploads stay single-shot:
+        # the control plane's pointers/leases are bytes, and S3's
+        # conditional requests compose with plain PutObject.
+        body = content.encode("utf-8")
+        if len(body) <= self.multipart_threshold:
+            self._s3.put_object(Bucket=self.bucket, Key=self._k(key), Body=body)
+            return
+        mp = self._s3.create_multipart_upload(
+            Bucket=self.bucket, Key=self._k(key)
         )
+        upload_id = mp["UploadId"]
+        try:
+            parts = []
+            for n, off in enumerate(
+                range(0, len(body), self.part_size), start=1
+            ):
+                r = self._s3.upload_part(
+                    Bucket=self.bucket,
+                    Key=self._k(key),
+                    PartNumber=n,
+                    UploadId=upload_id,
+                    Body=body[off : off + self.part_size],
+                )
+                parts.append({"ETag": r["ETag"], "PartNumber": n})
+            self._s3.complete_multipart_upload(
+                Bucket=self.bucket,
+                Key=self._k(key),
+                UploadId=upload_id,
+                MultipartUpload={"Parts": parts},
+            )
+        except BaseException:
+            # abort so the store reclaims the staged parts (billed
+            # otherwise); the original failure propagates regardless
+            try:
+                self._s3.abort_multipart_upload(
+                    Bucket=self.bucket, Key=self._k(key), UploadId=upload_id
+                )
+            except Exception:
+                pass
+            raise
 
     def delete(self, key: str) -> None:
         # S3 DeleteObject on an absent key already succeeds (2xx)
