@@ -124,57 +124,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r*.json evidence). Ranking: never-driver-green
     # first, then stalest-first, ties alphabetical. The first
     # 50 entries are the next driver correctness window.
-    "dsir_select",
-    "asof_purchase_click",
-    "aux_econ_by_nta",
-    "bigram_lm",
-    "bpe_token_count",
-    "cdc_chunks",
-    "correlated_subquery",
-    "cosine_topk",
-    "crossmodal_dup_check",
-    "date_spine",
-    "date_spine_month",
-    "dedup_exact",
-    "dedup_near",
-    "events_json",
-    "events_sessionize",
-    "filter_project",
-    "fuzzy_name_pairs",
-    "generic_tests_audit",
-    "haversine",
-    "image_pipeline",
-    "inspections_by_nta",
-    "lang_confusion",
-    "location_dim",
-    "ngram_jaccard",
-    "novelty_score",
-    "null_semantics",
-    "order_priority_check",
-    "payment_decode",
-    "pivot_macro",
-    "pivot_qty_by_status",
-    "pointset_scan",
-    "pricing_summary",
-    "range_join_tiers",
-    "retention_cohorts",
-    "revenue_by_nation",
-    "schema_evolution",
-    "scrub_pii",
-    "set_except",
-    "signup_purchase_funnel",
-    "split_leakage",
-    "stage_rides",
-    "supplier_wait",
-    "text_stats",
-    "tfidf_top_terms",
-    "topk_scan",
-    "topk_scan_date",
-    "video_frames",
-    "window_running_qty",
-    "zonemap_scan",
-    "audio_pipeline",
-    # ---- past the 50-entry driver window ----
     "bpe_merges",
     "bpe_segment",
     "bucketed_join",
@@ -225,6 +174,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample",
     "zorder_scan",
     "anti_join",
+    # ---- past the 50-entry driver window ----
     "approx_distinct",
     "argmax_orders",
     "collect_sorted",
@@ -274,6 +224,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_topk_orders",
     "window_variants",
     "word_frequencies",
+    "asof_purchase_click",
+    "audio_pipeline",
+    "aux_econ_by_nta",
+    "bigram_lm",
+    "bpe_token_count",
+    "cdc_chunks",
+    "correlated_subquery",
+    "cosine_topk",
+    "crossmodal_dup_check",
+    "date_spine",
+    "date_spine_month",
+    "dedup_exact",
+    "dedup_near",
+    "dsir_select",
+    "events_json",
+    "events_sessionize",
+    "filter_project",
+    "fuzzy_name_pairs",
+    "generic_tests_audit",
+    "haversine",
+    "image_pipeline",
+    "inspections_by_nta",
+    "lang_confusion",
+    "location_dim",
+    "ngram_jaccard",
+    "novelty_score",
+    "null_semantics",
+    "order_priority_check",
+    "payment_decode",
+    "pivot_macro",
+    "pivot_qty_by_status",
+    "pointset_scan",
+    "pricing_summary",
+    "range_join_tiers",
+    "retention_cohorts",
+    "revenue_by_nation",
+    "schema_evolution",
+    "scrub_pii",
+    "set_except",
+    "signup_purchase_funnel",
+    "split_leakage",
+    "stage_rides",
+    "supplier_wait",
+    "text_stats",
+    "tfidf_top_terms",
+    "topk_scan",
+    "topk_scan_date",
+    "video_frames",
+    "window_running_qty",
+    "zonemap_scan",
 )
 
 

@@ -80,7 +80,10 @@ def correctness_paths(root: str = _ROOT, tracked_only: bool = False) -> list[str
             return paths
         tracked = {os.path.join(root, line) for line in out.stdout.splitlines()}
         return [p for p in paths if p in tracked]
-    except OSError:
+    except (OSError, subprocess.SubprocessError):
+        # SubprocessError covers TimeoutExpired from the timeout=30 path
+        # (ADVICE r14): a hung git falls back to all files as documented
+        # instead of crashing the sync test
         return paths
 
 
