@@ -78,6 +78,24 @@ def _foreign_cpu_samples() -> dict[tuple[int, int], float]:
     must not stamp a genuinely clean sweep contaminated. Only the chain
     itself is exempt — an ancestor's OTHER children still count.
     """
+    return _proc_cpu_scan()[0]
+
+
+def _ancestor_cpu_samples() -> dict[tuple[int, int], float]:
+    """CPU samples for the bench's OWN ancestor chain (invoking shell,
+    driver harness, sshd). These are exempt from the contamination gate
+    by design (ADVICE r13), but ADVICE r14 is right that the exemption
+    silently removes evidence: a CPU-hot launcher should still be
+    attributable from the record. The delta over the sweep is stamped
+    into the payload as the non-gating ``ancestor_cpu_sec`` field."""
+    return _proc_cpu_scan()[1]
+
+
+def _proc_cpu_scan() -> tuple[
+    dict[tuple[int, int], float], dict[tuple[int, int], float]
+]:
+    """One /proc pass → ``(foreign_samples, ancestor_samples)``, both
+    keyed ``(pid, starttime)``."""
     me = os.getpid()
     ppid: dict[int, int] = {}
     cpu: dict[int, float] = {}
@@ -107,9 +125,13 @@ def _foreign_cpu_samples() -> dict[tuple[int, int], float]:
         ancestors.add(cur)
         cur = ppid.get(cur, 0)
     samples: dict[tuple[int, int], float] = {}
+    ancestor_samples: dict[tuple[int, int], float] = {}
     for pid in cpu:
         if pid in ancestors:
-            continue  # launched us (shell / driver harness / sshd)
+            # launched us (shell / driver harness / sshd) — exempt from
+            # the gate, but recorded so a hot launcher stays attributable
+            ancestor_samples[(pid, start[pid])] = cpu[pid]
+            continue
         seen = set()
         cur = pid
         while cur > 0 and cur not in seen:
@@ -120,7 +142,7 @@ def _foreign_cpu_samples() -> dict[tuple[int, int], float]:
         if kthreadd_pid is not None and kthreadd_pid in seen:
             continue  # genuine kernel thread
         samples[(pid, start[pid])] = cpu[pid]
-    return samples
+    return samples, ancestor_samples
 
 
 def _foreign_cpu_delta_jiffies(
@@ -179,6 +201,60 @@ def _cpu_calibration() -> dict[str, float]:
     }
 
 
+def _calib_anchor_nt() -> float | None:
+    """The drained-box N-thread calibration anchor, for the degraded-box
+    recheck (VERDICT r14 item 3). Source order: the
+    ``SPARK_GRAFT_CALIB_NT_ANCHOR`` env var, else the committed
+    ``BENCH_ANCHORS.json`` beside this script, else None (no recheck —
+    the stamp fields are still emitted with a null ratio)."""
+    env = os.environ.get("SPARK_GRAFT_CALIB_NT_ANCHOR")
+    if env:
+        return float(env)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHORS.json"
+    )
+    try:
+        with open(path) as fh:
+            return float(json.load(fh)["calib_cpu_nt_sec"])
+    except (OSError, KeyError, TypeError, ValueError):
+        return None
+
+
+def _calibrate_with_recheck(
+    anchor_nt: float | None,
+    degraded_ratio: float = 1.5,
+    redrain_sec: float = 60.0,
+    _calibrate=None,
+    _loaded=None,
+    _sleep=time.sleep,
+) -> tuple[dict[str, float], float | None, int]:
+    """Calibrate; if the N-thread leg reads > ``degraded_ratio`` × the
+    drained anchor, the box is multicore-degraded RIGHT NOW (r14's graded
+    run: calib 6.007 vs anchor 1.883 — 3.2× — yet ``contaminated: false``
+    because only foreign *processes* gate). Re-drain once (bounded) and
+    re-calibrate, then always report the final ratio so a degraded graded
+    number self-documents (VERDICT r14 item 3 / What's-wrong 2).
+
+    Returns ``(calibration, calib_degraded_ratio_or_None, recalibrated)``.
+    Deliberately non-gating: cgroup/thermal contention isn't attributable
+    to a co-tenant process, so it stamps rather than fails the run.
+    """
+    calibrate = _calibrate or _cpu_calibration
+    calib = calibrate()
+    recalibrated = 0
+    if anchor_nt and calib["calib_cpu_nt_sec"] > degraded_ratio * anchor_nt:
+        waited = 0.0
+        while _loaded is not None and _loaded() and waited < redrain_sec:
+            _sleep(5)
+            waited += 5
+        calib = calibrate()
+        recalibrated = 1
+    ratio = (
+        round(calib["calib_cpu_nt_sec"] / anchor_nt, 2) if anchor_nt else None
+    )
+    return calib, ratio, recalibrated
+
+
 def query_families(registry) -> dict[str, str]:
     """Map every registry query name to its source module (family) —
     derived from the callables themselves so a new query module can
@@ -222,15 +298,25 @@ def main() -> None:
     contaminated = _loaded()
     # calibrate AFTER the drain (the probe wants the box state the timed
     # queries will see) and BEFORE the Spark session (whose executor
-    # threads would contend with the N-thread leg)
-    calibration = _cpu_calibration()
+    # threads would contend with the N-thread leg). If the N-thread leg
+    # reads degraded vs the committed drained anchor, re-drain once and
+    # re-calibrate (VERDICT r14 item 3) — the final ratio is stamped
+    # either way so the payload self-documents box state.
+    calibration, calib_ratio, calib_recal = _calibrate_with_recheck(
+        _calib_anchor_nt(),
+        degraded_ratio=float(
+            os.environ.get("SPARK_GRAFT_CALIB_DEGRADED_RATIO", "1.5")
+        ),
+        redrain_sec=min(60.0, idle_wait),
+        _loaded=_loaded,
+    )
     # Console-progress bars interleave with stdout under the driver's
     # pipe capture and can push the JSON line out of its tail window
     # (BENCH_r05 arrived with "parsed": null for exactly this reason) —
     # keep the bench session's stderr silent.
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     registry = all_queries()
-    foreign_before = _foreign_cpu_samples()
+    foreign_before, ancestor_before = _proc_cpu_scan()
     wall_start = time.time()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -381,10 +467,16 @@ def main() -> None:
     # that burns through the sweep but exits before this final sample
     # would otherwise escape (exited processes only ever undercount
     # the point-in-time delta; the per-entry peak retains them)
+    foreign_end, ancestor_end = _proc_cpu_scan()
     foreign_cpu_sec = max(
         foreign_peak,
-        _foreign_cpu_delta_jiffies(foreign_before, _foreign_cpu_samples())
-        / _CLK_TCK,
+        _foreign_cpu_delta_jiffies(foreign_before, foreign_end) / _CLK_TCK,
+    )
+    # ADVICE r14: the ancestor-chain exemption must not erase evidence —
+    # record the exempted launchers' CPU over the sweep as a separate
+    # NON-GATING field so a CPU-hot harness stays attributable
+    ancestor_cpu_sec = (
+        _foreign_cpu_delta_jiffies(ancestor_before, ancestor_end) / _CLK_TCK
     )
     ncpu = os.cpu_count() or 1
     foreign_frac = float(os.environ.get("SPARK_GRAFT_FOREIGN_CPU_FRAC", "0.05"))
@@ -407,9 +499,15 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         **calibration,
+        # box-state self-declaration (VERDICT r14 item 3): final
+        # N-thread calibration over the committed drained anchor.
+        # ≈1.0 = clean box; r14's graded run would have read 3.19 here.
+        "calib_degraded_ratio": calib_ratio,
+        "calib_recalibrated": calib_recal,
         "contaminated": contaminated,
         "contamination_reasons": reasons,
         "foreign_cpu_sec": round(foreign_cpu_sec, 1),
+        "ancestor_cpu_sec": round(ancestor_cpu_sec, 1),
         "idle_wait_sec": round(waited, 1),
         "sf": sf,
     }
@@ -419,6 +517,7 @@ def main() -> None:
     # only discoverable via git)
     detail["generated_unix"] = round(time.time(), 1)
     detail["sf_dir"] = sf_dir
+    detail["calib_anchor_nt_sec"] = _calib_anchor_nt()
     detail["foreign_cpu_budget_sec"] = round(foreign_budget, 1)
     detail["queries_early"] = timings_early
     detail["queries_late"] = timings_late

@@ -132,6 +132,167 @@ def test_cpu_calibration_stamp_shape():
     assert c["calib_cpu_threads"] == (os.cpu_count() or 1)
 
 
+def test_calibration_recheck_redrains_once_when_degraded():
+    """VERDICT r14 item 3, fault-injected via the calibrate hook: the
+    first calibration reads degraded (3.2× the anchor — the r14 graded
+    state), the recheck must re-drain ONCE, re-calibrate, and stamp the
+    FINAL ratio. A second degraded reading must not trigger a second
+    drain (bounded recovery, not a wait-forever loop)."""
+    from bench import _calibrate_with_recheck
+
+    readings = iter(
+        [
+            {"calib_cpu_1t_sec": 0.36, "calib_cpu_nt_sec": 6.007, "calib_cpu_threads": 32},
+            {"calib_cpu_1t_sec": 0.36, "calib_cpu_nt_sec": 1.9, "calib_cpu_threads": 32},
+        ]
+    )
+    drains = {"n": 0}
+
+    def loaded() -> bool:
+        drains["n"] += 1
+        return drains["n"] <= 2  # loaded twice, then drained
+
+    calib, ratio, recal = _calibrate_with_recheck(
+        anchor_nt=1.883,
+        degraded_ratio=1.5,
+        redrain_sec=60.0,
+        _calibrate=lambda: next(readings),
+        _loaded=loaded,
+        _sleep=lambda _s: None,
+    )
+    assert recal == 1
+    assert calib["calib_cpu_nt_sec"] == 1.9
+    assert ratio == round(1.9 / 1.883, 2) == 1.01
+    assert drains["n"] == 3  # two loaded polls + the final drained one
+
+
+def test_calibration_recheck_still_degraded_stamps_honest_ratio():
+    """If the box stays degraded after the single re-drain, the payload
+    must carry the HONEST elevated ratio — the field exists precisely so
+    a graded 11.587-at-6.007 number self-documents."""
+    from bench import _calibrate_with_recheck
+
+    calib, ratio, recal = _calibrate_with_recheck(
+        anchor_nt=1.883,
+        degraded_ratio=1.5,
+        _calibrate=lambda: {
+            "calib_cpu_1t_sec": 0.36,
+            "calib_cpu_nt_sec": 6.007,
+            "calib_cpu_threads": 32,
+        },
+        _loaded=lambda: False,
+        _sleep=lambda _s: None,
+    )
+    assert recal == 1
+    assert ratio == round(6.007 / 1.883, 2) == 3.19
+
+
+def test_calibration_recheck_clean_run_ratio_near_one():
+    """Drained-box leg of the done-criterion: a REAL calibration anchored
+    to its own immediately-preceding reading must neither re-drain nor
+    read degraded (ratio well under the 1.5 gate; ≈1 modulo scheduler
+    noise between two back-to-back probes)."""
+    from bench import _calibrate_with_recheck, _cpu_calibration
+
+    anchor = _cpu_calibration()["calib_cpu_nt_sec"]
+    calib, ratio, recal = _calibrate_with_recheck(
+        anchor_nt=anchor, degraded_ratio=1.5, _loaded=lambda: False
+    )
+    assert recal == 0
+    assert ratio is not None and ratio < 1.5
+    assert calib["calib_cpu_nt_sec"] > 0
+
+
+def test_calibration_burn_injection_reads_degraded():
+    """Real fault injection (VERDICT r14 done-criterion): a full-width
+    CPU burner running THROUGH the calibration must push the N-thread
+    leg visibly above an immediately-prior clean baseline. Both legs are
+    min-of-3 (this box's host-level CPU stealing — the very contention
+    the probe exists to expose — makes single readings swing ±50%), and
+    the test SKIPS when the clean baseline itself reads past the bench's
+    1.5× degraded gate vs the committed anchor: on a box already
+    degraded by an external tenant the premise (a drainable baseline)
+    does not hold, and that state is exactly what the probe would stamp
+    in a real run."""
+    import pytest
+
+    from bench import _calib_anchor_nt, _cpu_calibration
+
+    clean = min(_cpu_calibration()["calib_cpu_nt_sec"] for _ in range(3))
+    anchor = _calib_anchor_nt()
+    if anchor and clean > 1.5 * anchor:
+        pytest.skip(f"box already degraded at baseline: {clean} vs anchor {anchor}")
+    n = os.cpu_count() or 1
+    script = (
+        "import concurrent.futures, time, zlib\n"
+        "buf = bytes(range(256)) * 4096\n"
+        "def spin(_):\n"
+        "    end = time.time() + 90\n"
+        "    acc = 0\n"
+        "    while time.time() < end:\n"
+        "        acc = zlib.crc32(buf, acc)\n"
+        f"with concurrent.futures.ThreadPoolExecutor({n}) as ex:\n"
+        f"    list(ex.map(spin, range({n})))\n"
+    )
+    burner = subprocess.Popen([sys.executable, "-c", script])
+    try:
+        time.sleep(1.0)  # burner threads all spinning before the probe
+        degraded = min(_cpu_calibration()["calib_cpu_nt_sec"] for _ in range(3))
+    finally:
+        burner.kill()
+        burner.wait(timeout=10)
+    assert degraded > 1.2 * clean, (clean, degraded)
+
+
+def test_anchor_file_is_committed_and_read():
+    """The committed BENCH_ANCHORS.json must parse and feed
+    _calib_anchor_nt (absent an env override)."""
+    from bench import _calib_anchor_nt
+
+    old = os.environ.pop("SPARK_GRAFT_CALIB_NT_ANCHOR", None)
+    try:
+        anchor = _calib_anchor_nt()
+    finally:
+        if old is not None:
+            os.environ["SPARK_GRAFT_CALIB_NT_ANCHOR"] = old
+    assert anchor is not None and 0 < anchor < 60
+    os.environ["SPARK_GRAFT_CALIB_NT_ANCHOR"] = "2.5"
+    try:
+        from bench import _calib_anchor_nt as f
+
+        assert f() == 2.5
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_CALIB_NT_ANCHOR", None)
+        else:
+            os.environ["SPARK_GRAFT_CALIB_NT_ANCHOR"] = old
+
+
+def test_ancestor_cpu_sampled_separately_not_foreign():
+    """ADVICE r14: ancestor-chain CPU is exempt from the gate but must
+    be SAMPLED into the separate ancestor view so a hot launcher stays
+    attributable. Every ancestor pid appears in the ancestor samples and
+    none in the foreign samples."""
+    from bench import _proc_cpu_scan
+
+    ancestors = set()
+    pid = os.getppid()
+    while pid > 0 and pid not in ancestors:
+        ancestors.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                raw = fh.read().decode("ascii", "replace")
+            pid = int(raw[raw.rindex(")") + 2 :].split()[1])
+        except (OSError, ValueError):
+            break
+    foreign, ancestor = _proc_cpu_scan()
+    sampled_foreign = {p for p, _ in foreign}
+    sampled_ancestor = {p for p, _ in ancestor}
+    assert ancestors  # at least the direct parent
+    assert ancestors <= sampled_ancestor
+    assert not (sampled_foreign & sampled_ancestor)
+
+
 def test_reparented_cotenant_cpu_is_foreign():
     """The detached burner spins flat-out through the window: the gate
     must charge at least half its wall time as foreign CPU."""
