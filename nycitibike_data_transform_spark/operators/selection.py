@@ -30,6 +30,12 @@ filtering/dedup have decided WHAT is eligible:
   as perplexity_score); weights feed ``weighted_sample`` /
   ``token_budget_select`` or a plain top-k.
 
+- ``dsir_hashed_ngram_weights``: the paper's FULL estimator — unigram
+  + bigram features hashed into a fixed bucket space (VERDICT r14
+  item 4), so word-order signal (code, math) contributes to the
+  weights. Same one-pass explode + scalar-broadcast shape; the ratio
+  table is bounded at B rows at any corpus size.
+
 North-star additions (SURVEY.md §2.9); the reference has no corpus
 surface (its models are relational SQL over ride feeds,
 models/staging/*.sql).
@@ -270,7 +276,97 @@ def dsir_logratio_weights(
         is_target.cast("boolean").alias("__t"),
         F.explode(token_array(text_col)).alias("tok"),
     )
-    per = tok_rows.groupBy("doc_id", "tok").agg(
+    return _dsir_ratio_fold(tok_rows, id_col, count_alias="n_tokens")
+
+
+def hashed_ngram_features(text_col, n_buckets: int) -> F.Column:
+    """DSIR's hashed n-gram feature array (Xie et al. 2023 §3: unigrams
+    AND bigrams hashed into ``n_buckets`` buckets): for token sequence
+    ``t_1..t_k``, the features are ``1:t_i`` for each token and
+    ``2:t_i t_{i+1}`` for each adjacent pair (type prefixes keep the
+    two feature spaces from colliding PRE-hash), each mapped to
+    ``conv(md5(feat)[:8], 16, 10) % n_buckets``. md5-substring is the
+    repo's one engine-portable hash (DuckDB: ``('0x' ||
+    substr(md5(f),1,8))::BIGINT % B`` — the deterministic surrogate for
+    the paper's xxhash; 8 hex chars fit a signed long, so no unsigned
+    wrap on either engine). Pure Column expression — transform/sequence
+    build the bigrams array-side, no UDF, no second explode pass.
+    """
+    from nycitibike_data_transform_spark.functions.text import token_array
+
+    toks = token_array(text_col)
+    uni = F.transform(toks, lambda t: F.concat(F.lit("1:"), t))
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            # sequence(1, k-1) would run DESCENDING for k=1 — guarded
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.lit("2:"),
+                F.element_at(toks, i),
+                F.lit(" "),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(uni, big),
+        lambda feat: F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+
+
+def dsir_hashed_ngram_weights(
+    docs: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR importance weights over the paper's hashed n-gram features
+    (VERDICT r14 item 4 — the full estimator, not the unigram member):
+    per-document average log-likelihood ratio between the target and raw
+    bucket distributions, add-one-smoothed over the FIXED ``n_buckets``
+    feature space (the hashed space has a known size, so smoothing uses
+    ``B``, not the observed-vocabulary count the unigram variant uses).
+    Word-order signal (code, math) survives via the bigram features.
+
+    Returns ``(id_col, n_features, dsir_logratio)`` for every tokenful
+    document — ``n_features`` = unigram + bigram occurrences = 2k−1 for
+    a k-token doc. Token-less docs are omitted (no distribution), same
+    contract as the unigram variant.
+
+    Scale shape matches ``dsir_logratio_weights``: ONE feature-explode
+    pass; shuffles on (doc, bucket) partial-agg, bucket, and doc; corpus
+    scalars enter as a 1-row broadcast. The bucket table is ≤ B rows
+    regardless of corpus size — at 100 TB the ratio join's build side is
+    a bounded 10k-row relation.
+    """
+    feat_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.cast("boolean").alias("__t"),
+        F.explode(hashed_ngram_features(text_col, n_buckets)).alias("tok"),
+    )
+    return _dsir_ratio_fold(
+        feat_rows, id_col, count_alias="n_features", smooth_v=F.lit(n_buckets)
+    )
+
+
+def _dsir_ratio_fold(
+    feat_rows: DataFrame,
+    id_col: str,
+    count_alias: str,
+    smooth_v: F.Column | None = None,
+) -> DataFrame:
+    """Shared DSIR pipeline from exploded (doc_id, __t, tok) feature
+    rows to per-doc average log-ratio: per-(doc,feature) counts →
+    feature-marginal counts → 1-row scalar broadcast → smoothed ratio →
+    deterministic per-doc fold (array_sort by feature key, so the
+    DOUBLE additions run in the same order as the oracle's ORDER
+    BY-qualified aggregate). ``smooth_v`` is the smoothing denominator
+    — observed-vocabulary count when None (unigram), the fixed bucket
+    count for hashed features."""
+    per = feat_rows.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("__m"),
         # is_target is constant per document; first() under the
         # (doc, tok) group is that constant
@@ -287,16 +383,17 @@ def dsir_logratio_weights(
         F.sum("__ct").alias("__nt"),
         F.count(F.lit(1)).alias("__v"),
     )
+    v = F.col("__v") if smooth_v is None else smooth_v
     ratio = vocab.crossJoin(F.broadcast(scalars)).select(
         "tok",
         (
             F.log(
                 (F.col("__ct") + 1).cast("double")
-                / (F.col("__nt") + F.col("__v")).cast("double")
+                / (F.col("__nt") + v).cast("double")
             )
             - F.log(
                 (F.col("__cr") + 1).cast("double")
-                / (F.col("__nr") + F.col("__v")).cast("double")
+                / (F.col("__nr") + v).cast("double")
             )
         ).alias("__lr"),
     )
@@ -313,7 +410,7 @@ def dsir_logratio_weights(
         )
         .select(
             F.col("doc_id").alias(id_col),
-            F.col("__n").cast("long").alias("n_tokens"),
+            F.col("__n").cast("long").alias(count_alias),
             F.round(F.col("__s") / F.col("__n"), 6).alias("dsir_logratio"),
         )
     )

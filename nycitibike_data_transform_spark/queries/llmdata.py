@@ -1624,6 +1624,88 @@ LIMIT {_DSIR_TOP_K}
 """
 
 
+_DSIR_NGRAM_BUCKETS = 10_000
+
+
+def _q_dsir_ngram_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection over the paper's HASHED N-GRAM features (Xie et
+    al. 2023 §3; VERDICT r14 item 4): unigrams + bigrams type-prefixed
+    and hashed into a fixed 10k-bucket space (md5-substring — the
+    engine-portable surrogate for the paper's xxhash), add-one-smoothed
+    over the bucket count, per-doc average log-ratio target-vs-corpus,
+    top-K on the rounded weight. Unlike ``dsir_select``'s unigram
+    degenerate, bigram features carry word-order signal. The ratio
+    table is bounded at B=10k rows at ANY corpus size — the join's
+    build side never grows with the data."""
+    from nycitibike_data_transform_spark.operators.selection import (
+        dsir_hashed_ngram_weights,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    w = dsir_hashed_ngram_weights(
+        fan_out(t["documents"]),
+        is_target=F.col("source") == _DSIR_TARGET_SOURCE,
+        n_buckets=_DSIR_NGRAM_BUCKETS,
+    )
+    return w.orderBy(
+        F.col("dsir_logratio").desc(), F.col("doc_id").asc()
+    ).limit(_DSIR_TOP_K)
+
+
+_DSIR_NGRAM_SELECT_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN coalesce(nt, '') = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT doc_id, source,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+feats AS (
+  SELECT doc_id, source = '{_DSIR_TARGET_SOURCE}' AS is_t,
+         unnest(list_concat(
+           list_transform(w, t -> '1:' || t),
+           CASE WHEN len(w) >= 2
+                THEN list_transform(generate_series(1, len(w) - 1),
+                                    i -> '2:' || w[i] || ' ' || w[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END
+         )) AS feat
+  FROM base WHERE len(w) > 0
+),
+fb AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(feat), 1, 8))::BIGINT % {_DSIR_NGRAM_BUCKETS} AS b
+  FROM feats
+),
+per AS (
+  SELECT doc_id, b, count(*) AS m, max(is_t) AS is_t
+  FROM fb GROUP BY 1, 2
+),
+vocab AS (
+  SELECT b, sum(m) AS cr, sum(CASE WHEN is_t THEN m ELSE 0 END) AS ct
+  FROM per GROUP BY 1
+),
+scal AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM vocab),
+ratio AS (
+  SELECT b,
+         ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + {_DSIR_NGRAM_BUCKETS} AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + {_DSIR_NGRAM_BUCKETS} AS DOUBLE)) AS lr
+  FROM vocab, scal
+),
+folded AS (
+  SELECT doc_id,
+         CAST(sum(m) AS BIGINT) AS n_features,
+         sum(CAST(m AS DOUBLE) * lr ORDER BY b) AS s
+  FROM per JOIN ratio USING (b)
+  GROUP BY 1
+)
+SELECT doc_id, n_features, round(s / n_features, 6) AS dsir_logratio
+FROM folded
+ORDER BY dsir_logratio DESC, doc_id
+LIMIT {_DSIR_TOP_K}
+"""
+
+
 _RENDER_SEQ_LEN = 64
 
 
@@ -2790,5 +2872,6 @@ QUERIES: dict[str, QuerySpec] = {
     "compression_signal": QuerySpec(_q_compression_signal, _COMPRESSION_SIGNAL_SQL),
     "perplexity_score": QuerySpec(_q_perplexity_score, _PERPLEXITY_SQL),
     "dsir_select": QuerySpec(_q_dsir_select, _DSIR_SELECT_SQL),
+    "dsir_ngram_select": QuerySpec(_q_dsir_ngram_select, _DSIR_NGRAM_SELECT_SQL),
     "pack_render": QuerySpec(_q_pack_render, _PACK_RENDER_SQL),
 }

@@ -359,6 +359,84 @@ def test_dsir_logratio_omits_tokenless_docs(spark):
     assert [r["doc_id"] for r in got] == [1]
 
 
+def test_dsir_hashed_ngram_feature_construction(spark):
+    """The hashed feature array is exactly {1:t_i} ∪ {2:t_i t_{i+1}}
+    bucketed by the engine-portable md5-substring hash — pinned against
+    an independent hashlib computation, including the 1-token doc (no
+    bigrams) and the empty doc (no features)."""
+    from nycitibike_data_transform_spark.operators.selection import (
+        hashed_ngram_features,
+    )
+
+    B = 10_000
+
+    def bucket(feat: str) -> int:
+        return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % B
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in docs.select(
+            "doc_id", hashed_ngram_features("text", B).alias("f")
+        ).collect()
+    }
+    assert got[1] == [bucket(f) for f in ("1:a", "1:b", "1:c", "2:a b", "2:b c")]
+    assert got[2] == [bucket("1:solo")]
+    assert got[3] == []
+
+
+def test_dsir_hashed_ngram_word_order_signal(spark):
+    """The reason this variant exists (VERDICT r14 item 4): two docs
+    with IDENTICAL unigram multisets but different word order must
+    score differently when the target matches one order — the unigram
+    estimator is blind to this by construction (same doc pair scores
+    identically under dsir_logratio_weights)."""
+    from nycitibike_data_transform_spark.operators.selection import (
+        dsir_hashed_ngram_weights,
+        dsir_logratio_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fish blue fish", True),   # target order
+            (2, "red fish blue fish", False),  # same order, raw
+            (3, "fish red fish blue", False),  # same unigrams, reordered
+        ],
+        "doc_id bigint, text string, t boolean",
+    )
+    ngram = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_hashed_ngram_weights(docs, is_target=F.col("t")).collect()
+    }
+    assert ngram[2] == ngram[1]  # verbatim copy ties the target
+    assert ngram[3] < ngram[1]  # reordered doc reads less like the target
+    uni = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_logratio_weights(docs, is_target=F.col("t")).collect()
+    }
+    assert uni[3] == uni[1]  # the unigram member cannot see the difference
+
+
+def test_dsir_hashed_ngram_omits_tokenless_and_counts_features(spark):
+    """Same omission contract as the unigram variant, and n_features is
+    2k−1 for a k-token doc (k unigrams + k−1 bigrams)."""
+    from nycitibike_data_transform_spark.operators.selection import (
+        dsir_hashed_ngram_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", True), (2, "", False), (3, None, False), (4, "x", False)],
+        "doc_id bigint, text string, t boolean",
+    )
+    got = {
+        r["doc_id"]: r["n_features"]
+        for r in dsir_hashed_ngram_weights(docs, is_target=F.col("t")).collect()
+    }
+    assert got == {1: 7, 4: 1}
+
+
 def test_dsir_target_docs_outrank_offdomain_in_selection(spark):
     """End-to-end monotonicity on a bigger frame: every doc sharing
     the target's vocabulary outranks every disjoint-vocabulary doc in
