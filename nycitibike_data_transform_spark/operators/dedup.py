@@ -71,6 +71,68 @@ def drop_exact_duplicates(
     return contentful.join(winners, id_col, "left_semi").unionByName(contentless)
 
 
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """URL-level keep-best dedup for web corpora (VERDICT r14 item 5):
+    group documents on ``canonical_url`` (scheme/host case, default
+    ports, ``www.``, trailing slashes, tracking params, param order,
+    fragments all normalized away — contract in ``functions/urls.py``)
+    and keep the best member of each group — highest ``quality_col``
+    (ties to the lower id), or simply the lowest id when no quality
+    column is given.
+
+    Rows whose URL cannot be canonicalized (no ``scheme://`` — NULL
+    canonical form) are RETAINED as singletons with ``canonical_url``
+    NULL: an unparseable locator is not evidence of duplication, the
+    same conservatism as ``drop_exact_duplicates`` on contentless text.
+
+    Output: one row per kept document —
+    ``(id_col, canonical_url, group_size)``.
+
+    Scale shape: one shuffle on the canonical key (md5-free — the key
+    is the canonical string itself, uniformly host-distributed in a web
+    corpus); the per-group argmax is a window over groups that are
+    mirror-count sized, never corpus-sized. Hot hosts shard naturally
+    because the PATH stays in the key.
+    """
+    from pyspark.sql import Window
+
+    from nycitibike_data_transform_spark.functions.urls import canonical_url
+
+    curl = canonical_url(url_col)
+    # NULL canonical forms must stay singletons, not lump into one
+    # window group: give each a per-id sentinel key (no real canonical
+    # form can collide — it always contains '://', the sentinel never
+    # does because a '__raw__:…' string has no scheme-prefixed form)
+    key = F.coalesce(
+        F.col("__curl"),
+        F.concat(F.lit("__raw__:"), F.col(id_col).cast("string")),
+    )
+    order = [F.col(id_col).asc()]
+    if quality_col is not None:
+        order.insert(0, F.col(quality_col).desc())
+    w = Window.partitionBy("__key").orderBy(*order)
+    cols = [F.col(id_col), F.col("__curl"), key.alias("__key")]
+    if quality_col is not None:
+        cols.append(F.col(quality_col))
+    return (
+        df.withColumn("__curl", curl)
+        .select(*cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__key")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("__curl").alias("canonical_url"),
+            F.col("__n").cast("long").alias("group_size"),
+        )
+    )
+
+
 # -------------------------------------------------------- shingles / jaccard
 
 def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:

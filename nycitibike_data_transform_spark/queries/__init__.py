@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r*.json evidence). Ranking: never-driver-green
     # first, then stalest-first, ties alphabetical. The first
     # 50 entries are the next driver correctness window.
+    "dedup_url",
     "dsir_ngram_select",
     "bpe_merges",
     "bpe_segment",
@@ -173,8 +174,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_scan_decimal",
     "user_streaks",
     "weighted_sample",
-    "zorder_scan",
     # ---- past the 50-entry driver window ----
+    "zorder_scan",
     "anti_join",
     "approx_distinct",
     "argmax_orders",

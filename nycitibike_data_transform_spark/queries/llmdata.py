@@ -1706,6 +1706,120 @@ LIMIT {_DSIR_TOP_K}
 """
 
 
+# ------------------------------------------------------ URL canonical dedup
+
+def _synth_url_col() -> F.Column:
+    """Deterministic messy URL per document (the documents table has no
+    URL column): every well-formed variant of the same logical page —
+    scheme case, ``www.``, explicit default port, trailing slash, param
+    order, tracking params, fragments — canonicalizes to
+    ``https://example{id%7}.com/docs/{id%50}?a=1&b=2``, so ids sharing
+    ``(id%7, id%50)`` are URL-duplicates. Every 97th doc is an
+    unparseable locator (retention-policy pin). The DuckDB oracle
+    synthesizes the identical string."""
+    d = F.col("doc_id")
+    return F.when(d % 97 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.when(d % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("example"),
+            (d % 7).cast("string"),
+            F.lit(".com"),
+            F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/docs/"),
+            (d % 50).cast("string"),
+            F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(d % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("?b=2&a=1&fbclid=xyz")),
+            F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+    )
+
+
+def _q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level keep-best dedup (VERDICT r14 item 5): canonicalize the
+    synthesized messy URLs (contract in ``functions/urls.py`` — scheme/
+    host case, default ports, www, trailing slashes, tracking params,
+    param order, fragments) and keep each canonical group's best member
+    (longest text, ties to the lower id). Unparseable locators are
+    retained as singletons with NULL canonical_url. Zero UDF — the
+    whole path is regexp/array Column expressions; one shuffle on the
+    canonical key."""
+    from nycitibike_data_transform_spark.operators.dedup import dedup_by_url
+
+    t = load(spark, sf_dir, "documents")
+    docs = fan_out(t["documents"]).select(
+        "doc_id", "n_chars", _synth_url_col().alias("url")
+    )
+    return dedup_by_url(docs, quality_col="n_chars")
+
+
+def _tracking_in_sql() -> str:
+    from nycitibike_data_transform_spark.functions.urls import TRACKING_PARAMS
+
+    return ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+
+
+_DEDUP_URL_SQL = rf"""
+WITH urls AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 97 = 0 THEN 'not a url'
+         ELSE (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END) || '://'
+              || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+              || 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+              || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+              || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+              || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+              || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+                       WHEN doc_id % 3 = 1 THEN '?a=1&b=2'
+                       ELSE '?b=2&a=1&fbclid=xyz' END)
+              || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+         END AS u
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, n_chars, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+         coalesce(array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(
+             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+             '^[^#?]*\?([^#]*)', 1), '&'),
+           p -> p <> '' AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_')
+                AND lower(string_split(p, '=')[1]) NOT IN ({_tracking_in_sql()})
+         )), '&'), '') AS qs
+  FROM urls
+),
+canon AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN scheme = '' THEN NULL
+         ELSE scheme || '://'
+              || regexp_replace(
+                   CASE WHEN scheme = 'http'
+                        THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':80$', '')
+                        WHEN scheme = 'https'
+                        THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':443$', '')
+                        ELSE lower(regexp_extract(rest, '^([^/?#]*)', 1)) END,
+                   '^www\.', '')
+              || regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '/+$', '')
+              || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+         END AS canonical_url
+  FROM parts
+),
+ranked AS (
+  SELECT doc_id, canonical_url,
+         row_number() OVER (PARTITION BY coalesce(canonical_url, '__raw__:' || CAST(doc_id AS VARCHAR))
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY coalesce(canonical_url, '__raw__:' || CAST(doc_id AS VARCHAR))) AS group_size
+  FROM canon
+)
+SELECT doc_id, canonical_url, CAST(group_size AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
+"""
+
+
 _RENDER_SEQ_LEN = 64
 
 
@@ -2873,5 +2987,6 @@ QUERIES: dict[str, QuerySpec] = {
     "perplexity_score": QuerySpec(_q_perplexity_score, _PERPLEXITY_SQL),
     "dsir_select": QuerySpec(_q_dsir_select, _DSIR_SELECT_SQL),
     "dsir_ngram_select": QuerySpec(_q_dsir_ngram_select, _DSIR_NGRAM_SELECT_SQL),
+    "dedup_url": QuerySpec(_q_dedup_url, _DEDUP_URL_SQL),
     "pack_render": QuerySpec(_q_pack_render, _PACK_RENDER_SQL),
 }
