@@ -141,6 +141,31 @@ class CommitBackend(ABC):
         fn()
         return True
 
+    # --------------------------------------------------- orphan sweep
+
+    def sweep_orphans(self) -> int:
+        """Reclaim store-side residue of CRASHED large-object uploads
+        (VERDICT r14 item 7) — called by ``VersionedTable.vacuum`` under
+        the table write lock, alongside its local ``_staging`` sweep.
+        Returns the number of orphans reclaimed.
+
+        The local/memory backends upload atomically and leave nothing
+        store-side — this default is a true no-op, not a stub. The
+        object-store dialects override it: S3 aborts incomplete
+        multipart uploads under the table prefix (staged parts are
+        billed until aborted); GCS cancels resumable sessions recorded
+        in ``_uploads/`` markers (sessions are not enumerable through
+        the API, so the upload path journals them — see
+        ``GCSBackend._upload``).
+
+        Zombie posture (same class as vacuum's manifest deletes,
+        documented at ``versioning._vacuum_locked``): a zombie vacuum
+        sweeping after lease reclaim could cancel the WINNER's in-flight
+        large upload — the winner's put then fails loudly and its commit
+        retries; committed state is never touched, because an upload
+        only becomes visible at its final conditional apply."""
+        return 0
+
 
 class LocalFSBackend(CommitBackend):
     """Default backend: the control plane as local files.
@@ -723,6 +748,28 @@ class S3Backend(CommitBackend):
         finally:
             self.delete(key)
 
+    def sweep_orphans(self) -> int:
+        """Abort every INCOMPLETE multipart upload under this table's
+        prefix (VERDICT r14 item 7). A writer SIGKILLed between
+        ``create_multipart_upload`` and ``complete`` leaves its staged
+        parts invisible-but-billed forever — the in-code abort only runs
+        on the exception path, which a process death never reaches. The
+        caller (``vacuum``) holds the table write lock, so any open
+        upload here belongs to a crashed or zombie writer; aborting a
+        zombie's upload makes its eventual ``complete`` fail loudly
+        (NoSuchUpload), which the fencing posture already requires."""
+        swept = 0
+        paginator = self._s3.get_paginator("list_multipart_uploads")
+        for page in paginator.paginate(Bucket=self.bucket, Prefix=self.prefix):
+            for up in page.get("Uploads", ()):
+                self._s3.abort_multipart_upload(
+                    Bucket=self.bucket,
+                    Key=up["Key"],
+                    UploadId=up["UploadId"],
+                )
+                swept += 1
+        return swept
+
 
 class GCSBackend(CommitBackend):
     """The control plane on Google Cloud Storage via its JSON API
@@ -790,6 +837,7 @@ class GCSBackend(CommitBackend):
         resumable_threshold: int = 4 * 1024 * 1024,
         chunk_size: int = 8 * 1024 * 1024,
         resumable_recoveries: int = 3,
+        allow_unaligned_chunks: bool = False,
     ):
         self.bucket = bucket
         self.prefix = (prefix.rstrip("/") + "/") if prefix else ""
@@ -801,6 +849,18 @@ class GCSBackend(CommitBackend):
         self._timeout = timeout
         if chunk_size <= 0:
             raise ValueError("chunk_size must be positive")
+        if chunk_size % self._CHUNK_QUANTUM and not allow_unaligned_chunks:
+            # real GCS rejects non-final chunks that are not 256 KiB
+            # multiples — fail at build time like the S3 part_size
+            # floor, not at the first large manifest in production
+            # (ADVICE r14). Tests against the emulator pass
+            # allow_unaligned_chunks=True to exercise the loop with
+            # tiny chunks.
+            raise ValueError(
+                f"chunk_size must be a multiple of {self._CHUNK_QUANTUM} "
+                f"(the GCS resumable chunk quantum), got {chunk_size}; "
+                "pass allow_unaligned_chunks=True only against emulators"
+            )
         self.resumable_threshold = resumable_threshold
         self.chunk_size = chunk_size
         self.resumable_recoveries = resumable_recoveries
@@ -913,6 +973,43 @@ class GCSBackend(CommitBackend):
                 "GCS resumable initiation returned no session Location "
                 f"header for object {self.prefix + key!r}"
             )
+        # journal the session in an ``_uploads/`` marker BEFORE any
+        # chunk moves (VERDICT r14 item 7): resumable sessions are not
+        # enumerable through the API, so a SIGKILLed writer's open
+        # session would be invisible — the marker makes it sweepable
+        # (``sweep_orphans`` cancels the journaled URI). The one
+        # unjournaled window — a crash between initiation and this put —
+        # leaves a session real GCS self-expires after 7 days
+        # (documented residual). Tiny object → single-shot upload.
+        marker = f"_uploads/{uuid.uuid4().hex}"
+        self._request(
+            "POST", self._upload_url(marker), session.encode("utf-8")
+        )
+        outcome: tuple[int, dict, bytes] | None = None
+        try:
+            outcome = self._drive_session(key, session, body)
+            return outcome
+        finally:
+            # normal exits (success OR a surfaced failure) own their
+            # outcome — cancel any non-finalized session so it cannot
+            # outlive this call, then drop the marker. Both best-effort:
+            # a failure here leaves a marker the next vacuum sweeps.
+            try:
+                if outcome is None or outcome[0] != 200:
+                    self._request("DELETE", session, b"")
+            except Exception:
+                pass
+            try:
+                self._request("DELETE", self._object_url(marker))
+            except Exception:
+                pass
+
+    def _drive_session(
+        self, key: str, session: str, body: bytes
+    ) -> tuple[int, dict, bytes]:
+        """Drive one resumable session's chunk loop to its final
+        (status, headers, body) — see ``_upload`` for the protocol and
+        recovery contract."""
         total = len(body)
         off = 0
         recoveries = 0
@@ -948,9 +1045,27 @@ class GCSBackend(CommitBackend):
                         f"{self.prefix + key!r}"
                     )
                 continue
-            if status == 308:  # chunk stored, upload incomplete
+            if status == 308:  # chunk acknowledged, upload incomplete
                 have = self._range_have(headers)
-                nxt = end + 1 if have is None else have
+                if have is None:
+                    # an absent Range on a chunk 308 means NOTHING
+                    # persisted (the _range_have contract and real GCS
+                    # behavior) — the old ``end + 1`` assumption would
+                    # advance past unpersisted bytes and die later on
+                    # the forward-progress guard (ADVICE r14). Restart
+                    # from byte 0, bounded like the 5xx recoveries so a
+                    # store that answers 308-no-Range forever cannot
+                    # loop us.
+                    if recoveries >= self.resumable_recoveries:
+                        raise RuntimeError(
+                            "GCS resumable upload made no forward "
+                            f"progress (308 with no Range at offset {off} "
+                            f"of {total}) for {self.prefix + key!r}"
+                        )
+                    recoveries += 1
+                    off = 0
+                    continue
+                nxt = have
                 if nxt <= off or nxt >= total:
                     raise RuntimeError(
                         "GCS resumable upload made no forward progress "
@@ -1132,3 +1247,26 @@ class GCSBackend(CommitBackend):
                 raise RuntimeError("delete_if failed on correct content")
         finally:
             self.delete(key)
+
+    def sweep_orphans(self) -> int:
+        """Cancel resumable sessions journaled by crashed writers
+        (VERDICT r14 item 7). GCS cannot enumerate open sessions, so
+        ``_upload`` journals each session URI in an ``_uploads/`` marker
+        and removes it on every normal exit — a marker still present
+        while the caller (``vacuum``) holds the table write lock is a
+        crashed or zombie writer's. Cancel is the documented DELETE to
+        the session URI (GCS answers 499; 4xx for an already-expired or
+        finalized session is equally final), then the marker is dropped.
+        Committed objects are never touched — a resumable upload only
+        becomes an object at its final conditional apply."""
+        swept = 0
+        for marker in self.list("_uploads"):
+            session = self.get(marker)
+            if session:
+                try:
+                    self._request("DELETE", session, b"")
+                except Exception:
+                    pass  # session already gone/expired: still sweepable
+            self.delete(marker)
+            swept += 1
+        return swept

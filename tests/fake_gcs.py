@@ -80,9 +80,18 @@ class _State:
         # >0: the next N NON-final chunk replies are lost as 503 AFTER
         # the bytes persisted (the mid-upload analogue of the above)
         self.fail_chunk_replies = 0
+        # >0: the next N chunk PUTs are acknowledged 308 WITHOUT
+        # persisting their bytes (Range reflects only what was already
+        # there — absent when nothing was): models a store/proxy that
+        # dropped the body, the ADVICE r14 no-Range-on-308 case
+        self.drop_chunks = 0
         # stats of the most recently finalized session (tests assert
         # the client actually chunked): {"name", "puts", "size"}
         self.last_finalized: dict | None = None
+        # per-object apply counts — the exactly-once signal that stays
+        # readable when auxiliary objects (e.g. the client's _uploads/
+        # session markers) also mint generations
+        self.write_counts: dict[str, int] = {}
 
     def swallow_conditional_reply(self, qs) -> bool:
         """Called under ``lock`` AFTER a conditional mutation applied:
@@ -161,6 +170,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(err, "conditionNotMet")
             gen = self.state.next_gen()
             self.state.objects[name] = (body, gen)
+            self.state.write_counts[name] = (
+                self.state.write_counts.get(name, 0) + 1
+            )
             if self.state.swallow_conditional_reply(qs):
                 return self._error(503, "backendError (injected after apply)")
         meta = json.dumps({"name": name, "generation": str(gen)}).encode()
@@ -247,6 +259,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply(
                     308, b"", [("Range", f"bytes=0-{have - 1}")] if have else []
                 )
+            if self.state.drop_chunks > 0:
+                # body dropped pre-persist: per real GCS the 308 carries
+                # Range only for bytes actually stored — absent if none
+                self.state.drop_chunks -= 1
+                have = len(sess["buf"])
+                return self._reply(
+                    308, b"", [("Range", f"bytes=0-{have - 1}")] if have else []
+                )
             sess["buf"].extend(chunk)
             sess["puts"] += 1
             if last + 1 < total:
@@ -269,6 +289,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(err, "conditionNotMet")
             gen = self.state.next_gen()
             self.state.objects[name] = (bytes(sess["buf"]), gen)
+            self.state.write_counts[name] = (
+                self.state.write_counts.get(name, 0) + 1
+            )
             self.state.last_finalized = {
                 "name": name,
                 "puts": sess["puts"],
@@ -333,6 +356,16 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlsplit(self.path)
         qs = parse_qs(url.query)
         parts = url.path.split("/")
+        if len(parts) == 4 and parts[1:3] == ["upload", "resumable"]:
+            # cancel an upload session (the documented DELETE to the
+            # session URI): real GCS answers 499 whether or not bytes
+            # were staged; a finalized session's recorded outcome is
+            # discarded (its OBJECT, if committed, is untouched)
+            with self.state.lock:
+                if parts[3] not in self.state.sessions:
+                    return self._error(404, "no such upload session")
+                del self.state.sessions[parts[3]]
+            return self._reply(499)
         if len(parts) < 7 or parts[1] != "storage" or parts[5] != "o":
             return self._error(404, "unknown route")
         name = unquote("/".join(parts[6:]))

@@ -121,7 +121,7 @@ def test_gcs_large_upload_goes_resumable_and_chunks(gcs_backend_factory):
     must use the documented resumable protocol. Forced-tiny threshold
     and chunk size so the loop genuinely iterates: the emulator
     records how many chunk PUTs finalized the object."""
-    b = gcs_backend_factory(resumable_threshold=100, chunk_size=64)
+    b = gcs_backend_factory(resumable_threshold=100, chunk_size=64, allow_unaligned_chunks=True)
     manifest = "x" * 1000  # 1000 bytes -> 16 chunks of 64
     b.put("_versions/v00000001.json", manifest)
     assert b.get("_versions/v00000001.json") == manifest
@@ -140,7 +140,7 @@ def test_gcs_resumable_honors_preconditions(gcs_backend_factory):
     """Conditional semantics must be identical on both upload paths:
     a large create_exclusive on an existing key refuses, and a large
     cas lands exactly once with the full content."""
-    b = gcs_backend_factory(resumable_threshold=100, chunk_size=64)
+    b = gcs_backend_factory(resumable_threshold=100, chunk_size=64, allow_unaligned_chunks=True)
     big_a, big_b = "a" * 500, "b" * 700
     assert b.create_exclusive("ptr", big_a) is True
     assert b.create_exclusive("ptr", big_b) is False  # initiation 412
@@ -158,7 +158,7 @@ def test_gcs_resumable_interloper_mid_upload_412s_at_finalize(
     and the last chunk. The final chunk must 412 and the interloper's
     write must survive — driven through the raw protocol because the
     public cas loop is synchronous and cannot hold an upload open."""
-    b = gcs_backend_factory(resumable_threshold=100, chunk_size=64)
+    b = gcs_backend_factory(resumable_threshold=100, chunk_size=64, allow_unaligned_chunks=True)
     b.put("ptr", "orig")
     _, gen = b._get_with_generation("ptr")
 

@@ -135,6 +135,7 @@ def _resumable_gcs(gcs_server, **kw) -> GCSBackend:
         endpoint=gcs_server.endpoint,
         resumable_threshold=100,
         chunk_size=64,
+        allow_unaligned_chunks=True,
         **kw,
     )
 
@@ -147,13 +148,48 @@ def test_gcs_lost_finalize_reply_recovers_in_session(gcs_server):
     b = _resumable_gcs(gcs_server)
     big_a, big_b = "a" * 500, "b" * 500
     b.put("_current", big_a)
-    gen_before = gcs_server.state.gen_counter
+    # exactly-once is pinned PER OBJECT (the resumable path also writes
+    # _uploads/ session markers, which mint their own generations)
+    wc_before = gcs_server.state.write_counts["tbl/_current"]
 
     gcs_server.state.fail_conditional_responses = 1
     assert b.cas("_current", big_a, big_b) is True  # recovered outcome
 
     assert b.get("_current") == big_b
-    assert gcs_server.state.gen_counter == gen_before + 1  # exactly once
+    assert gcs_server.state.write_counts["tbl/_current"] == wc_before + 1
+
+
+def test_gcs_308_without_range_restarts_from_zero(gcs_server):
+    """ADVICE r14: a chunk acknowledged 308 with NO Range header means
+    NOTHING persisted (real GCS omits Range in that state) — the old
+    ``end + 1`` assumption advanced past unpersisted bytes and could
+    only fail later. The client must restart from byte 0 and still
+    commit the object exactly once, byte-identical."""
+    b = _resumable_gcs(gcs_server)
+    gcs_server.state.drop_chunks = 1  # first chunk body dropped pre-persist
+    body = "z" * 500
+    b.put("_current", body)
+    assert b.get("_current") == body
+    assert gcs_server.state.write_counts["tbl/_current"] == 1
+    # recovery left no journal residue
+    assert b.list("_uploads") == []
+
+
+def test_gcs_perpetual_no_range_308_is_bounded(gcs_server):
+    """A store that acknowledges chunks without ever persisting them
+    must exhaust the bounded recoveries and raise — not loop forever —
+    and the failed session must be canceled with its marker removed
+    (the normal-exit hygiene of the _uploads journal)."""
+    b = _resumable_gcs(gcs_server)
+    gcs_server.state.drop_chunks = 10_000
+    with pytest.raises(RuntimeError, match="no forward progress"):
+        b.put("_current", "z" * 500)
+    gcs_server.state.drop_chunks = 0
+    assert b.list("_uploads") == []
+    assert all(
+        "done" in s for s in gcs_server.state.sessions.values()
+    )  # no open session left behind
+    assert b.get("_current") is None  # nothing committed
 
 
 def test_gcs_lost_finalize_reply_with_recovery_disabled_delegates(
