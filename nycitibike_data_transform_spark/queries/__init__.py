@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # 50 entries are the next driver correctness window.
     "dedup_url",
     "dsir_ngram_select",
+    "url_host_stats",
     "bpe_merges",
     "bpe_segment",
     "bucketed_join",
@@ -173,8 +174,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_supplier",
     "topk_scan_decimal",
     "user_streaks",
-    "weighted_sample",
     # ---- past the 50-entry driver window ----
+    "weighted_sample",
     "zorder_scan",
     "anti_join",
     "approx_distinct",

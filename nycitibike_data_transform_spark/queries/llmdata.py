@@ -1762,7 +1762,12 @@ def _tracking_in_sql() -> str:
     return ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
 
 
-_DEDUP_URL_SQL = rf"""
+# shared canonicalization CTEs — urls → parts → canon(doc_id, n_chars,
+# host, canonical_url); replicates every functions/urls.py step with the
+# SAME regexes (cross-engine parity proven case-by-case in
+# tests/test_urls.py). NOTE DuckDB's array_to_string returns NULL on an
+# empty list — hence the coalesce on qs.
+_URL_CANON_CTES = rf"""
 WITH urls AS (
   SELECT doc_id, n_chars,
          CASE WHEN doc_id % 97 = 0 THEN 'not a url'
@@ -1794,6 +1799,15 @@ parts AS (
 ),
 canon AS (
   SELECT doc_id, n_chars,
+         CASE WHEN scheme = '' THEN ''
+         ELSE regexp_replace(
+                CASE WHEN scheme = 'http'
+                     THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':80$', '')
+                     WHEN scheme = 'https'
+                     THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':443$', '')
+                     ELSE lower(regexp_extract(rest, '^([^/?#]*)', 1)) END,
+                '^www\.', '')
+         END AS host,
          CASE WHEN scheme = '' THEN NULL
          ELSE scheme || '://'
               || regexp_replace(
@@ -1807,7 +1821,10 @@ canon AS (
               || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
          END AS canonical_url
   FROM parts
-),
+)
+"""
+
+_DEDUP_URL_SQL = rf"""{_URL_CANON_CTES},
 ranked AS (
   SELECT doc_id, canonical_url,
          row_number() OVER (PARTITION BY coalesce(canonical_url, '__raw__:' || CAST(doc_id AS VARCHAR))
@@ -1817,6 +1834,56 @@ ranked AS (
 )
 SELECT doc_id, canonical_url, CAST(group_size AS BIGINT) AS group_size
 FROM ranked WHERE rn = 1
+"""
+
+
+def _q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web-corpus profile (the 'host grouping' half of
+    VERDICT r14 missing-item 3): documents grouped by CANONICAL host —
+    doc count, distinct canonical URLs, and the host's duplication
+    ratio (docs per distinct URL). The mirror-detection signal crawl
+    pipelines rank hosts by. One map-side-combinable shuffle on host;
+    unparseable locators (empty host) are excluded — they have no host
+    to group under."""
+    from nycitibike_data_transform_spark.functions.urls import (
+        canonical_url,
+        url_host,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = fan_out(t["documents"]).select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    d = docs.select(
+        url_host("url").alias("host"),
+        canonical_url("url").alias("curl"),
+    ).filter(F.col("host") != "")
+    return (
+        d.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("curl").alias("n_urls"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_urls",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_urls"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+_URL_HOST_STATS_SQL = rf"""{_URL_CANON_CTES}
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT canonical_url), 6)
+           AS dup_ratio
+FROM canon
+WHERE host <> ''
+GROUP BY 1
 """
 
 
@@ -2988,5 +3055,6 @@ QUERIES: dict[str, QuerySpec] = {
     "dsir_select": QuerySpec(_q_dsir_select, _DSIR_SELECT_SQL),
     "dsir_ngram_select": QuerySpec(_q_dsir_ngram_select, _DSIR_NGRAM_SELECT_SQL),
     "dedup_url": QuerySpec(_q_dedup_url, _DEDUP_URL_SQL),
+    "url_host_stats": QuerySpec(_q_url_host_stats, _URL_HOST_STATS_SQL),
     "pack_render": QuerySpec(_q_pack_render, _PACK_RENDER_SQL),
 }

@@ -204,44 +204,65 @@ def test_calibration_recheck_clean_run_ratio_near_one():
 
 
 def test_calibration_burn_injection_reads_degraded():
-    """Real fault injection (VERDICT r14 done-criterion): a full-width
-    CPU burner running THROUGH the calibration must push the N-thread
-    leg visibly above an immediately-prior clean baseline. Both legs are
-    min-of-3 (this box's host-level CPU stealing — the very contention
-    the probe exists to expose — makes single readings swing ±50%), and
-    the test SKIPS when the clean baseline itself reads past the bench's
-    1.5× degraded gate vs the committed anchor: on a box already
-    degraded by an external tenant the premise (a drainable baseline)
-    does not hold, and that state is exactly what the probe would stamp
-    in a real run."""
+    """Real fault injection (VERDICT r14 done-criterion): the probe
+    must FEEL a co-tenant stealing its cores. An unpinned burner cannot
+    prove that on this box — the hypervisor burst-schedules the VM
+    (~5-6 effective cores that EXPAND under demand: a full-width burner
+    measurably consumes ~4.5 cpu/s yet leaves the calibration reading
+    unchanged, which is what two r15 cuts of this test flaked on). So
+    both the calibration subprocess and the burner are PINNED to the
+    same small CPU set via sched_setaffinity: contention inside the set
+    is kernel-scheduler-guaranteed, independent of how the host scales
+    the VM's total quota. Expect ~2x; assert a generous 1.3x. The
+    deterministic payload semantics (re-drain, honest ratio) are pinned
+    by the hook-injected tests above."""
     import pytest
 
-    from bench import _calib_anchor_nt, _cpu_calibration
+    if not hasattr(os, "sched_setaffinity"):
+        pytest.skip("sched_setaffinity unavailable")
+    ncpu = os.cpu_count() or 1
+    if ncpu < 2:
+        pytest.skip("needs >= 2 cpus to pin a contended set")
+    cpus = set(range(min(4, ncpu)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    calib_script = (
+        "import os, sys\n"
+        f"os.sched_setaffinity(0, {cpus!r})\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from bench import _cpu_calibration\n"
+        "print(_cpu_calibration()['calib_cpu_nt_sec'])\n"
+    )
 
-    clean = min(_cpu_calibration()["calib_cpu_nt_sec"] for _ in range(3))
-    anchor = _calib_anchor_nt()
-    if anchor and clean > 1.5 * anchor:
-        pytest.skip(f"box already degraded at baseline: {clean} vs anchor {anchor}")
-    n = os.cpu_count() or 1
-    script = (
-        "import concurrent.futures, time, zlib\n"
+    def run_calib() -> float:
+        out = subprocess.run(
+            [sys.executable, "-c", calib_script],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        return float(out.stdout.strip())
+
+    clean = min(run_calib() for _ in range(2))
+    burn_script = (
+        "import concurrent.futures, os, time, zlib\n"
+        f"os.sched_setaffinity(0, {cpus!r})\n"
         "buf = bytes(range(256)) * 4096\n"
         "def spin(_):\n"
-        "    end = time.time() + 90\n"
+        "    end = time.time() + 120\n"
         "    acc = 0\n"
         "    while time.time() < end:\n"
         "        acc = zlib.crc32(buf, acc)\n"
-        f"with concurrent.futures.ThreadPoolExecutor({n}) as ex:\n"
-        f"    list(ex.map(spin, range({n})))\n"
+        f"with concurrent.futures.ThreadPoolExecutor({len(cpus)}) as ex:\n"
+        f"    list(ex.map(spin, range({len(cpus)})))\n"
     )
-    burner = subprocess.Popen([sys.executable, "-c", script])
+    burner = subprocess.Popen([sys.executable, "-c", burn_script])
     try:
         time.sleep(1.0)  # burner threads all spinning before the probe
-        degraded = min(_cpu_calibration()["calib_cpu_nt_sec"] for _ in range(3))
+        degraded = min(run_calib() for _ in range(2))
     finally:
         burner.kill()
         burner.wait(timeout=10)
-    assert degraded > 1.2 * clean, (clean, degraded)
+    assert degraded > 1.3 * clean, (clean, degraded)
 
 
 def test_anchor_file_is_committed_and_read():
