@@ -185,3 +185,130 @@ def heavy_hitters(
         .filter(F.col("n") * F.lit(k) > F.col("n_total"))
         .drop("n_total")
     )
+
+
+# ---------------------------------------------------- count–min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def cms_table(
+    df: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count–min sketch (Cormode & Muthukrishnan 2005) of an item
+    stream as a ``depth × width`` counter relation ``(d, bucket, n)``.
+
+    The third sketch family next to MG heavy hitters / HLL / quantiles:
+    point-frequency ESTIMATES with one-sided error (never undercounts;
+    overcount ≤ εn with prob 1-δ for width=e/ε, depth=ln(1/δ)). Unlike
+    Misra–Gries it answers queries for ANY item, not just survivors.
+
+    Pure Column pipeline: each occurrence expands array-side to its
+    ``depth`` (row, bucket) cells — hash is the engine-portable
+    md5-substring (``conv(md5(d:item)[:8],16,10) % width``, the same
+    surrogate ``selection.hashed_ngram_features`` proved identical
+    across Spark/DuckDB/hashlib) — then one map-side-combinable
+    aggregate whose output is structurally ≤ depth·width rows at ANY
+    corpus size. The ×depth stream amplification collapses in the
+    combiner; no UDF, no unbounded state.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda d: F.struct(
+            d.alias("d"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(d.cast("string"), F.lit(":"), F.col(col))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        ),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_point_estimates(
+    df: DataFrame,
+    col: str,
+    probes: list[str],
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """CMS point queries with the exact count alongside — certifies the
+    one-sided guarantee (estimate ≥ exact, overshoot = collision mass)
+    per probe item, including items absent from the stream (exact 0,
+    estimate = pure collision noise — MG cannot answer those at all).
+
+    The sketch is ≤ depth·width rows → broadcast to the probe side; the
+    probe relation is ``len(probes)`` literal rows; exact counts filter
+    the stream to the probe set BEFORE the count shuffle. Everything is
+    integer arithmetic on a portable hash — hash-exact cross-engine.
+    """
+    if not probes or len(set(probes)) != len(probes):
+        raise ValueError("probes must be a non-empty list of distinct items")
+    spark = df.sparkSession
+    sketch = cms_table(df, col, depth, width)
+    probe_df = spark.createDataFrame([(p,) for p in probes], f"{col} string")
+    probe_cells = probe_df.select(
+        col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda d: F.struct(
+                    d.alias("d"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(d.cast("string"), F.lit(":"), F.col(col))
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % width
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("cell"),
+    ).select(col, F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        df.filter(F.col(col).isin(probes))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, col, "left")
+        .select(
+            col,
+            "cms_estimate",
+            F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
+            (F.col("cms_estimate") - F.coalesce(F.col("exact_count"), F.lit(0))).alias(
+                "overshoot"
+            ),
+        )
+    )

@@ -124,8 +124,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r*.json evidence). Ranking: never-driver-green
     # first, then stalest-first, ties alphabetical. The first
     # 50 entries are the next driver correctness window.
+    "bm25_topk",
+    "cms_estimates",
     "dedup_url",
     "dsir_ngram_select",
+    "inverted_index",
     "url_host_stats",
     "bpe_merges",
     "bpe_segment",
@@ -171,10 +174,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_upsert_view",
     "string_functions",
     "table_profile",
+    # ---- past the 50-entry driver window ----
     "top_supplier",
     "topk_scan_decimal",
     "user_streaks",
-    # ---- past the 50-entry driver window ----
     "weighted_sample",
     "zorder_scan",
     "anti_join",

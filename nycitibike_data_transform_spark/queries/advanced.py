@@ -793,7 +793,79 @@ FROM base
 """
 
 
+# ----------------------------------------------------- count–min sketch
+
+_CMS_PROBES = ["join", "dup", "the", "scan", "vector", "quantum"]
+# 'dup' is the rare tail (~0.09%), 'quantum' is ABSENT (exact 0 —
+# estimate is pure collision mass, a query Misra–Gries cannot answer).
+
+
+def _q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min point-frequency estimates vs exact counts over the
+    documents token stream (operators/sketches.cms_point_estimates):
+    per probe term, the CMS estimate, the exact count, and the
+    overshoot — the one-sided error the Cormode–Muthukrishnan theorem
+    bounds. A deliberately tight 4x64 sketch over ~28k occurrences in
+    31 distinct terms, so collisions genuinely fire and the overshoot
+    column is non-trivially positive. The oracle replays the identical
+    integer pipeline (portable md5-substring bucket hash, min over
+    depths), so the gate proves the sketch math, not just the exact
+    side. Sketch relation is structurally <= 256 rows -> broadcast."""
+    from nycitibike_data_transform_spark.operators.sketches import (
+        cms_point_estimates,
+    )
+    from nycitibike_data_transform_spark.functions.text import token_array
+
+    t = load(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        F.explode(token_array("text")).alias("term")
+    )
+    return cms_point_estimates(toks, "term", _CMS_PROBES)
+
+
+_CMS_SQL = r"""
+WITH toks AS (
+  SELECT t AS term
+  FROM documents,
+       unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS u(t)
+  WHERE length(t) > 0
+),
+depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(d)),
+sketch AS (
+  SELECT d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 8))::BIGINT % 64 AS bucket,
+         count(*) AS n
+  FROM toks CROSS JOIN depths
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT * FROM (VALUES ('join'), ('dup'), ('the'), ('scan'), ('vector'), ('quantum')) AS p(term)
+),
+probe_cells AS (
+  SELECT term, d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 8))::BIGINT % 64 AS bucket
+  FROM probes CROSS JOIN depths
+),
+est AS (
+  SELECT term, min(coalesce(n, 0)) AS cms_estimate
+  FROM probe_cells LEFT JOIN sketch USING (d, bucket)
+  GROUP BY 1
+),
+exact AS (
+  SELECT term, count(*) AS exact_count FROM toks
+  WHERE term IN ('join', 'dup', 'the', 'scan', 'vector', 'quantum')
+  GROUP BY 1
+)
+SELECT term,
+       cms_estimate,
+       coalesce(exact_count, CAST(0 AS BIGINT)) AS exact_count,
+       cms_estimate - coalesce(exact_count, CAST(0 AS BIGINT)) AS overshoot
+FROM est LEFT JOIN exact USING (term)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cms_estimates": QuerySpec(_q_cms_estimates, _CMS_SQL),
     "collection_functions": QuerySpec(
         _q_collection_functions, _COLLECTION_FUNCTIONS_SQL
     ),

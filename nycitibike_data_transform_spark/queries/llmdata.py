@@ -3000,7 +3000,117 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------- lexical retrieval
+
+_BM25_TERMS = ["join", "dup", "vector"]  # one rare term (dup: ~0.09% of
+# occurrences at sf0.01) between two common ones — the IDF split is the
+# point: rare-term matches must outrank common-term matches.
+_BM25_K = 50
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by BM25 (Robertson et al.; Lucene practical
+    variant) for a fixed bag-of-terms query — the lexical member of the
+    similarity family next to the cosine/LSH/IVF tiers. One corpus
+    scan: the token array is pruned to query terms ARRAY-SIDE before
+    the only explode, dl rides the same row (no doc-length join),
+    corpus scalars and per-term dfs are 1-row/3-row broadcasts, top-k
+    is TakeOrderedAndProject. Per-term scores are rounded then summed
+    as DECIMAL so the 3-term fold is order-free (see
+    operators/retrieval.py)."""
+    from nycitibike_data_transform_spark.operators.retrieval import bm25_topk
+
+    t = load(spark, sf_dir, "documents")
+    return bm25_topk(t["documents"], _BM25_TERMS, k=_BM25_K)
+
+
+_BM25_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+base2 AS (
+  SELECT doc_id,
+         CASE WHEN length(coalesce(nt, '')) = 0 THEN 0
+              ELSE len(string_split(nt, ' ')) END AS dl,
+         CASE WHEN length(coalesce(nt, '')) = 0 THEN []
+              ELSE list_filter(string_split(nt, ' '),
+                               t -> t IN ('join', 'dup', 'vector')) END AS qtoks
+  FROM base
+),
+scalars AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base2),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM base2, unnest(qtoks) AS u(term)
+  GROUP BY 1, 2, 3
+),
+df_ AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         , 6) AS DECIMAL(38,6)) AS term_score
+  FROM tf JOIN df_ USING (term) CROSS JOIN scalars
+)
+SELECT doc_id,
+       CAST(sum(term_score) AS DOUBLE) AS score,
+       count(*) AS n_terms_matched
+FROM scored
+GROUP BY 1
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded inverted index over the corpus: per term, exact df and
+    total occurrences plus a deterministic top-5-by-tf postings sample
+    rendered ``doc:tf`` in doc_id order. The collected postings are
+    rank-capped BEFORE collect_list, so a stop-word's postings row is
+    structurally <= 5 entries at any corpus size (the banding
+    discipline from selection.py applied to an IR structure)."""
+    from nycitibike_data_transform_spark.operators.retrieval import inverted_index
+
+    t = load(spark, sf_dir, "documents")
+    return inverted_index(t["documents"], postings_cap=5)
+
+
+_INVERTED_INDEX_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS u(t)
+  WHERE length(t) > 0
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+),
+top AS (
+  SELECT term,
+         array_to_string(list(doc_id || ':' || tf ORDER BY doc_id), ',') AS top_postings
+  FROM ranked WHERE rn <= 5 GROUP BY 1
+),
+stats AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY 1
+)
+SELECT term, df, total_tf, top_postings
+FROM stats JOIN top USING (term)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bm25_topk": QuerySpec(_q_bm25_topk, _BM25_SQL),
+    "inverted_index": QuerySpec(_q_inverted_index, _INVERTED_INDEX_SQL),
     "dedup_exact": QuerySpec(_q_dedup_exact, _DEDUP_EXACT_SQL),
     "bpe_token_count": QuerySpec(_q_bpe_token_count, _BPE_TOKEN_COUNT_SQL),
     "hash_sample": QuerySpec(_q_hash_sample, _HASH_SAMPLE_SQL),

@@ -8,6 +8,8 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.operators.sketches import (
+    cms_point_estimates,
+    cms_table,
     _mg_add,
     heavy_hitters,
     mg_sketch_partitions,
@@ -206,3 +208,74 @@ def test_mg_sketch_exact_above_2_53_string_and_double(spark):
     ).repartition(3)
     hhd = {r["v"]: r["n"] for r in heavy_hitters(dfd, "v", k=2).collect()}
     assert hhd == {1.5: 20}
+
+
+# ---------------------------------------------------- count–min sketch
+
+
+def _cms_df(spark, items):
+    return spark.createDataFrame([(i,) for i in items], "term string")
+
+
+def test_cms_table_bounded_and_mass_preserving(spark):
+    import hashlib
+
+    items = [f"t{i % 7}" for i in range(200)]
+    rows = cms_table(_cms_df(spark, items), "term", depth=3, width=8).collect()
+    assert len(rows) <= 3 * 8
+    # every depth row holds the full stream mass
+    by_d: dict = {}
+    for r in rows:
+        by_d[r["d"]] = by_d.get(r["d"], 0) + r["n"]
+    assert by_d == {0: 200, 1: 200, 2: 200}
+    # bucket hash pins to the portable md5-substring scheme
+    for r in rows[:5]:
+        pass  # buckets verified via the point-estimate parity below
+    h = int(hashlib.md5(b"0:t0").hexdigest()[:8], 16) % 8
+    assert any(r["d"] == 0 and r["bucket"] == h and r["n"] >= items.count("t0") - 0 for r in rows)
+
+
+def test_cms_estimates_one_sided_and_exact_for_absent(spark):
+    items = [f"t{i % 11}" for i in range(400)] + ["rare"]
+    probes = ["t0", "t5", "rare", "never_seen"]
+    out = {
+        r["term"]: r
+        for r in cms_point_estimates(
+            _cms_df(spark, items), "term", probes, depth=4, width=16
+        ).collect()
+    }
+    assert set(out) == set(probes)
+    for term, r in out.items():
+        true = items.count(term)
+        assert r["exact_count"] == true
+        assert r["cms_estimate"] >= true  # one-sided: never undercounts
+        assert r["overshoot"] == r["cms_estimate"] - true >= 0
+    assert out["never_seen"]["exact_count"] == 0
+
+
+def test_cms_wide_sketch_is_exact(spark):
+    # width >> distinct items → collisions vanish, estimate == exact
+    items = ["a"] * 5 + ["b"] * 3 + ["c"]
+    out = {
+        r["term"]: r
+        for r in cms_point_estimates(
+            _cms_df(spark, items), "term", ["a", "b", "c"], depth=4, width=4096
+        ).collect()
+    }
+    assert [(out[t]["cms_estimate"], out[t]["exact_count"]) for t in "abc"] == [
+        (5, 5),
+        (3, 3),
+        (1, 1),
+    ]
+
+
+def test_cms_ignores_nulls_and_validates(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "term string")
+    out = cms_point_estimates(df, "term", ["a"]).collect()
+    assert out[0]["exact_count"] == 2 and out[0]["cms_estimate"] >= 2
+    with pytest.raises(ValueError):
+        cms_table(df, "term", depth=0)
+    with pytest.raises(ValueError):
+        cms_point_estimates(df, "term", [])
+    with pytest.raises(ValueError):
+        cms_point_estimates(df, "term", ["a", "a"])
