@@ -93,3 +93,114 @@ def stratified_sample(
         piece = (F.col(strata_col) == F.lit(k)) & (bucket < int(f * 1_000_000))
         cond = piece if cond is None else cond | piece
     return df.filter(cond if cond is not None else F.lit(False))
+
+
+def unimax_allocation(
+    strata: DataFrame,
+    group_cols: list[str],
+    avail_col: str = "available_tokens",
+    max_epochs: int = 4,
+    budget_tokens: int | None = None,
+    budget_ratio: float | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): distribute a
+    global token budget across strata as uniformly as possible, capping
+    each stratum at ``max_epochs`` repetitions of its available tokens
+    — the fairer successor to temperature sampling (``mixture_plan``)
+    for multilingual/multi-source pretraining mixes.
+
+    Closed-form waterfilling instead of the paper's iterative loop:
+    with caps sorted ascending, the capped set is a PREFIX (if rank r's
+    cap doesn't fit a uniform split of what remains, no larger cap
+    does), so one pass of window functions over the per-stratum
+    relation finds the split point j* = max rank where
+    ``cap_r · (k − r + 1) ≤ B − P_{r−1}`` (P = cap prefix sum) and the
+    uniform share ``U = (B − P_{j*}) / (k − j*)`` for the rest.
+    Degenerate ends fall out: B ≥ Σcap ⇒ every stratum capped (full
+    max_epochs everywhere); B < k·min(cap) ⇒ j* = 0 and everyone gets
+    B/k.
+
+    Scale shape: one map-side-combinable aggregate over the corpus
+    produced ``strata`` upstream; everything here runs on the
+    |strata| relation — bounded by the group-column enum domain
+    (source × lang), never by corpus size — so the unpartitioned
+    windows are the reviewed bounded-relation kind (GWIN family of
+    source_mix_report). Determinism: caps and prefixes are exact
+    longs; the only division is U, rounded to 6 decimals; ranking
+    tie-breaks on the group columns.
+
+    Exactly one of ``budget_tokens`` (absolute) / ``budget_ratio``
+    (fraction of total available — scale-proportional, what a registry
+    query wants so the split stays non-trivial at every SF) must be
+    given.
+    """
+    from pyspark.sql import Window
+
+    if (budget_tokens is None) == (budget_ratio is None):
+        raise ValueError("pass exactly one of budget_tokens / budget_ratio")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+
+    avail = F.col(avail_col).cast("long")
+    cap = (avail * max_epochs).alias("cap_tokens")
+    base = strata.select(*group_cols, avail.alias("available_tokens"), cap)
+
+    everything = Window.partitionBy()  # bounded |strata| relation
+    rank_w = everything.orderBy(
+        F.col("cap_tokens").asc(), *[F.col(c).asc() for c in group_cols]
+    )
+    prefix_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    if budget_tokens is not None:
+        b_expr = F.lit(int(budget_tokens)).cast("long")
+    else:
+        # ratio budget is relative to TOTAL AVAILABLE tokens (one epoch
+        # of everything), scale-proportional by construction
+        b_expr = F.floor(
+            F.lit(float(budget_ratio)) * F.sum("available_tokens").over(everything)
+        ).cast("long")
+
+    ranked = base.select(
+        "*",
+        F.row_number().over(rank_w).alias("r"),
+        F.count(F.lit(1)).over(everything).alias("k"),
+        F.sum("cap_tokens").over(prefix_w).alias("p"),
+        b_expr.alias("b"),
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        (
+            F.col("cap_tokens") * (F.col("k") - F.col("r") + 1)
+            <= F.col("b") - (F.col("p") - F.col("cap_tokens"))
+        ).cast("int"),
+    )
+    jstar = flagged.select(
+        "*",
+        F.coalesce(
+            F.max(F.when(F.col("capped") == 1, F.col("r"))).over(everything),
+            F.lit(0),
+        ).alias("jstar"),
+        F.coalesce(
+            F.max(F.when(F.col("capped") == 1, F.col("p"))).over(everything),
+            F.lit(0).cast("long"),
+        ).alias("p_jstar"),
+    )
+    share = (F.col("b") - F.col("p_jstar")).cast("double") / (
+        F.col("k") - F.col("jstar")
+    ).cast("double")
+    alloc = F.when(
+        F.col("capped") == 1, F.col("cap_tokens").cast("double")
+    ).otherwise(F.round(share, 6))
+    epochs = F.when(F.col("available_tokens") == 0, F.lit(0.0)).otherwise(
+        F.round(alloc / F.col("available_tokens").cast("double"), 6)
+    )
+    return jstar.select(
+        *group_cols,
+        "available_tokens",
+        "cap_tokens",
+        "capped",
+        alloc.alias("allocation_tokens"),
+        epochs.alias("epochs_used"),
+    )

@@ -128,7 +128,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_estimates",
     "dedup_url",
     "dsir_ngram_select",
+    "gopher_repetition",
     "inverted_index",
+    "unimax_mixture",
     "url_host_stats",
     "bpe_merges",
     "bpe_segment",
@@ -172,9 +174,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "span_strip_bloom",
     "stratified_sample",
     "streaming_upsert_view",
+    # ---- past the 50-entry driver window ----
     "string_functions",
     "table_profile",
-    # ---- past the 50-entry driver window ----
     "top_supplier",
     "topk_scan_decimal",
     "user_streaks",

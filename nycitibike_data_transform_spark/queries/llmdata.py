@@ -465,6 +465,142 @@ GROUP BY 1
 
 # ----------------------------------------------------- repetition ratio
 
+def _ngrams_col(toks, n: int):
+    """Non-distinct n-gram strings from a token array (multiplicity
+    kept — repetition signals need it; shares the guarded-sequence
+    shape with dedup.shingles so <n-token docs yield none)."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition battery (Rae et al. 2021, Table A1), two
+    representative members at n=2: TOP-n-gram character fraction
+    (characters covered by the single most frequent n-gram) and
+    DUPLICATE-n-gram character fraction (characters covered by n-grams
+    occurring more than once) — the signals Gopher thresholds to drop
+    repetitious documents. n=2 because that's where the synthetic
+    word-soup corpus has real repeat mass (3.6% of distinct bigrams
+    duplicate at sf0.01; 5-grams never do — the same signal-bearing-n
+    rationale as ``_REPSTRIP_WINDOW``). ``repetition_ratio`` is the
+    occurrence-count cousin; these are the paper's char-mass versions,
+    and both derive from ONE bigram count relation (one explode).
+
+    Documented simplification: covered chars = count x len(gram)
+    (overlapping occurrences double-count, so dup fractions can exceed
+    1 on degenerate docs — the threshold semantics don't care). Ties
+    for 'most frequent' break by (count desc, char length desc, gram
+    asc). Every document emits a row (blank/NULL text -> 0.0 fracs).
+
+    Scale shape: one narrow bigram explode -> per-(doc, gram)
+    map-side-combinable counts -> per-doc aggregates; the only windows
+    partition by doc_id. Linear, same family as repetition_ratio."""
+    t = load(spark, sf_dir, "documents")
+    return gopher_repetition_signals(t["documents"])
+
+
+def gopher_repetition_signals(documents: DataFrame) -> DataFrame:
+    """Core of ``gopher_repetition`` over any (doc_id, text) frame —
+    split out so tests can feed crafted documents with known
+    fractions."""
+    from pyspark.sql import Window
+
+    from nycitibike_data_transform_spark.operators.dedup import tokenize
+
+    docs = tokenize(documents, "text")
+    base = docs.select(
+        "doc_id",
+        F.length(F.coalesce(normalize_text_col(), F.lit(""))).alias("total_chars"),
+        F.col("tokens"),
+    )
+    c2 = (
+        base.select("doc_id", F.explode(_ngrams_col(F.col("tokens"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.length("g").desc(), F.col("g")
+    )
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("n") * F.length("g")).alias("covered_top"))
+    )
+    dup2 = c2.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("n") >= 2, F.col("n") * F.length("g")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("covered_dup")
+    )
+    frac = lambda c: F.when(  # noqa: E731
+        F.col("total_chars") == 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.coalesce(c, F.lit(0)).cast("double")
+            / F.col("total_chars").cast("double"),
+            6,
+        )
+    )
+    return (
+        base.select("doc_id", "total_chars")
+        .join(top2, "doc_id", "left")
+        .join(dup2, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("total_chars").cast("long").alias("n_chars_norm"),
+            frac(F.col("covered_top")).alias("top2_char_frac"),
+            frac(F.col("covered_dup")).alias("dup2_char_frac"),
+        )
+    )
+
+
+_GOPHER_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, length(nt) AS total_chars,
+         CASE WHEN length(nt) = 0 THEN [] ELSE string_split(nt, ' ') END AS w
+  FROM base
+),
+c2 AS (
+  SELECT doc_id, g, count(*) AS n
+  FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        FROM toks, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i))
+  GROUP BY 1, 2
+),
+top2 AS (
+  SELECT doc_id, covered_top FROM (
+    SELECT doc_id, n * length(g) AS covered_top,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, length(g) DESC, g) AS rn
+    FROM c2
+  ) WHERE rn = 1
+),
+dup2 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN n >= 2 THEN n * length(g) ELSE 0 END) AS BIGINT) AS covered_dup
+  FROM c2 GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.total_chars AS BIGINT) AS n_chars_norm,
+       CASE WHEN t.total_chars = 0 THEN 0.0
+            ELSE round(CAST(coalesce(top2.covered_top, 0) AS DOUBLE)
+                       / CAST(t.total_chars AS DOUBLE), 6) END AS top2_char_frac,
+       CASE WHEN t.total_chars = 0 THEN 0.0
+            ELSE round(CAST(coalesce(dup2.covered_dup, 0) AS DOUBLE)
+                       / CAST(t.total_chars AS DOUBLE), 6) END AS dup2_char_frac
+FROM toks t
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup2 USING (doc_id)
+"""
+
+
 def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signal: share of the document taken by its single most
     frequent trigram (repetitious docs score high). Explode → per-doc
@@ -2836,6 +2972,95 @@ SELECT source, available_tokens, target_tokens,
 FROM t
 """
 
+_UNIMAX_EPOCHS = 2
+_UNIMAX_BUDGET_RATIO = 0.9  # budget = 90% of one epoch of everything —
+# with the corpus's ~100 skewed (source, lang) strata (27..900 tokens
+# at sf0.01) this lands well between the degenerate ends (23 strata
+# capped at 2 epochs, 74 on the uniform share at sf0.01).
+# Scale-proportional, so the split stays non-trivial at every SF.
+
+
+def _q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture over (source, lang) strata (Chung et al. 2023 —
+    operators/sampling.unimax_allocation): budget-capped waterfilling
+    in closed form via windows over the bounded strata relation. The
+    fairness counterpart of ``mixture_plan``'s temperature sampling:
+    rare language strata are repeated up to the epoch cap instead of
+    being drowned by the head. One corpus aggregate; everything after
+    runs on |source × lang| rows."""
+    from nycitibike_data_transform_spark.functions.text import token_count
+    from nycitibike_data_transform_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    per = t["documents"].groupBy("source", "lang").agg(
+        F.sum(F.coalesce(token_count(F.col("text")), F.lit(0)).cast("long")).alias(
+            "available_tokens"
+        )
+    )
+    return unimax_allocation(
+        per,
+        ["source", "lang"],
+        max_epochs=_UNIMAX_EPOCHS,
+        budget_ratio=_UNIMAX_BUDGET_RATIO,
+    )
+
+
+_UNIMAX_SQL = rf"""
+WITH per AS (
+  SELECT source, lang,
+         CAST(sum(CASE WHEN coalesce(nt, '') = '' THEN 0
+                       ELSE len(string_split(nt, ' ')) END) AS BIGINT)
+             AS available_tokens
+  FROM (SELECT source, lang,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT source, lang, available_tokens,
+         available_tokens * {_UNIMAX_EPOCHS} AS cap_tokens
+  FROM per
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY cap_tokens, source, lang) AS r,
+         count(*) OVER () AS k,
+         sum(cap_tokens) OVER (ORDER BY cap_tokens, source, lang
+                               ROWS UNBOUNDED PRECEDING) AS p,
+         CAST(floor({_UNIMAX_BUDGET_RATIO} * sum(available_tokens) OVER ()) AS BIGINT) AS b
+  FROM base
+),
+flagged AS (
+  SELECT *,
+         CAST(cap_tokens * (k - r + 1) <= b - (p - cap_tokens) AS INT) AS capped
+  FROM ranked
+),
+j AS (
+  SELECT *,
+         coalesce(max(CASE WHEN capped = 1 THEN r END) OVER (), 0) AS jstar,
+         coalesce(max(CASE WHEN capped = 1 THEN p END) OVER (), 0) AS p_jstar
+  FROM flagged
+),
+alloc AS (
+  SELECT *,
+         CASE WHEN capped = 1 THEN CAST(cap_tokens AS DOUBLE)
+              ELSE round(CAST(b - p_jstar AS DOUBLE)
+                         / CAST(k - jstar AS DOUBLE), 6) END AS allocation_tokens
+  FROM j
+)
+SELECT source, lang, available_tokens,
+       CAST(cap_tokens AS BIGINT) AS cap_tokens,
+       capped,
+       allocation_tokens,
+       CASE WHEN available_tokens = 0 THEN 0.0
+            ELSE round(allocation_tokens / CAST(available_tokens AS DOUBLE), 6)
+       END AS epochs_used
+FROM alloc
+"""
+
+
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023, reduced to its
     decision rule): a vector is dropped iff some LOWER-id vector sits
@@ -3132,6 +3357,7 @@ QUERIES: dict[str, QuerySpec] = {
     "chunk_documents": QuerySpec(_q_chunk_documents, _CHUNK_DOCUMENTS_SQL),
     "tfidf_top_terms": QuerySpec(_q_tfidf_top_terms, _TFIDF_SQL),
     "repetition_ratio": QuerySpec(_q_repetition_ratio, _REPETITION_SQL),
+    "gopher_repetition": QuerySpec(_q_gopher_repetition, _GOPHER_REPETITION_SQL),
     "repetition_strip": QuerySpec(_q_repetition_strip, _REPETITION_STRIP_SQL),
     "text_stats": QuerySpec(_q_text_stats, _TEXT_STATS_SQL),
     "language_id": QuerySpec(_q_language_id, _LANGUAGE_ID_SQL),
@@ -3156,6 +3382,7 @@ QUERIES: dict[str, QuerySpec] = {
     "span_strip": QuerySpec(_q_span_strip, _SPAN_STRIP_SQL),
     "span_strip_bloom": QuerySpec(_q_span_strip_bloom, _SPAN_STRIP_SQL),
     "mixture_plan": QuerySpec(_q_mixture_plan, _MIXTURE_PLAN_SQL),
+    "unimax_mixture": QuerySpec(_q_unimax_mixture, _UNIMAX_SQL),
     "shard_manifest": QuerySpec(_q_shard_manifest, _SHARD_MANIFEST_SQL),
     "embedding_dedup": QuerySpec(_q_embedding_dedup, _EMBEDDING_DEDUP_SQL),
     "curriculum_stages": QuerySpec(_q_curriculum_stages, _CURRICULUM_SQL),

@@ -273,3 +273,50 @@ def test_padded_batches_invariants(spark, sf_dir):
     for r in rows:
         assert r["padding_waste"] == r["n_docs"] * r["max_tokens"] - r["sum_tokens"]
         assert r["min_tokens"] <= r["max_tokens"]
+
+
+# ------------------------------------------- Gopher repetition battery
+
+
+def test_gopher_repetition_known_fractions(spark):
+    from nycitibike_data_transform_spark.queries.llmdata import (
+        gopher_repetition_signals,
+    )
+
+    rows = [
+        # "a b a b a b": bigrams = [a b, b a, a b, b a, a b]
+        # top = 'a b' (count 3, len 3) -> 9 chars / 11 total
+        # dup mass = 3*3 ('a b') + 2*3 ('b a') = 15 / 11 (can exceed 1)
+        (1, "a b a b a b"),
+        # no repeated bigram: top = first lexicographic tie 'x y'
+        (2, "x y z"),
+        (3, ""),  # blank -> zero fracs, row still emitted
+        (4, None),  # NULL text behaves like blank
+        (5, "solo"),  # <2 tokens: no bigrams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition_signals(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["n_chars_norm"] == 11
+    assert got[1]["top2_char_frac"] == pytest.approx(round(9 / 11, 6))
+    assert got[1]["dup2_char_frac"] == pytest.approx(round(15 / 11, 6))
+    assert got[2]["top2_char_frac"] == pytest.approx(round(3 / 5, 6))
+    assert got[2]["dup2_char_frac"] == 0.0
+    for d in (3, 4):
+        assert got[d]["n_chars_norm"] == 0
+        assert got[d]["top2_char_frac"] == 0.0
+        assert got[d]["dup2_char_frac"] == 0.0
+    assert got[5]["top2_char_frac"] == 0.0 and got[5]["n_chars_norm"] == 4
+
+
+def test_gopher_repetition_tiebreak_prefers_longer_gram(spark):
+    from nycitibike_data_transform_spark.queries.llmdata import (
+        gopher_repetition_signals,
+    )
+
+    # 'aa bb' and 'c d' both occur once; count tie -> longer char
+    # length wins the 'most frequent' slot (then lexicographic)
+    df = spark.createDataFrame([(1, "aa bb c d")], "doc_id long, text string")
+    (row,) = gopher_repetition_signals(df).collect()
+    # bigrams: 'aa bb'(5), 'bb c'(4), 'c d'(3) — all count 1 -> 'aa bb'
+    assert row["top2_char_frac"] == pytest.approx(round(5 / 9, 6))

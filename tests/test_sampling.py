@@ -79,3 +79,99 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     picked = [r["doc_id"] for r in weighted_sample(df, "weight", 10, "doc_id").collect()]
     assert picked == [4]
+
+
+# ------------------------------------------------- UniMax waterfilling
+
+
+def _unimax_ref(caps: dict, budget: float) -> dict:
+    """The paper's ITERATIVE allocation loop — the independent truth
+    the closed-form window pipeline must reproduce."""
+    remaining = sorted(caps.items(), key=lambda x: (x[1], x[0]))
+    left, alloc = budget, {}
+    while remaining:
+        share = left / len(remaining)
+        name, cap = remaining[0]
+        if cap <= share:
+            alloc[name] = float(cap)
+            left -= cap
+            remaining.pop(0)
+        else:
+            for n, _ in remaining:
+                alloc[n] = share
+            return alloc
+    return alloc
+
+
+def _unimax_run(spark, avail: dict, **kw) -> dict:
+    from nycitibike_data_transform_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        list(avail.items()), "src string, available_tokens long"
+    )
+    return {
+        r["src"]: r
+        for r in unimax_allocation(df, ["src"], **kw).collect()
+    }
+
+
+AVAIL = {"a": 10, "b": 50, "c": 200, "d": 1000, "e": 0}
+
+
+@pytest.mark.parametrize("budget", [100, 2000, 3000, 5040, 10000])
+def test_unimax_matches_iterative_reference(spark, budget):
+    got = _unimax_run(spark, AVAIL, max_epochs=4, budget_tokens=budget)
+    ref = _unimax_ref({s: n * 4 for s, n in AVAIL.items()}, budget)
+    for s in AVAIL:
+        assert got[s]["allocation_tokens"] == pytest.approx(ref[s], abs=1e-5)
+        assert got[s]["cap_tokens"] == AVAIL[s] * 4
+
+
+def test_unimax_degenerate_ends(spark):
+    # budget >= sum(caps): everyone capped at max_epochs
+    got = _unimax_run(spark, AVAIL, max_epochs=2, budget_tokens=10_000)
+    assert all(r["capped"] == 1 for r in got.values())
+    assert got["d"]["epochs_used"] == 2.0
+    # budget < k * min positive cap: nobody capped except zero strata,
+    # everyone gets budget/k
+    got = _unimax_run(spark, {"a": 100, "b": 200, "c": 300}, max_epochs=2, budget_tokens=90)
+    assert [r["capped"] for r in got.values()] == [0, 0, 0]
+    assert {r["allocation_tokens"] for r in got.values()} == {30.0}
+
+
+def test_unimax_budget_ratio_is_total_relative(spark):
+    # ratio 0.5 of total available (1260) = 630 absolute
+    got_r = _unimax_run(spark, AVAIL, max_epochs=4, budget_ratio=0.5)
+    got_a = _unimax_run(spark, AVAIL, max_epochs=4, budget_tokens=630)
+    for s in AVAIL:
+        assert got_r[s]["allocation_tokens"] == got_a[s]["allocation_tokens"]
+
+
+def test_unimax_zero_stratum_and_epochs_used(spark):
+    got = _unimax_run(spark, AVAIL, max_epochs=4, budget_tokens=2000)
+    assert got["e"]["allocation_tokens"] == 0.0
+    assert got["e"]["epochs_used"] == 0.0  # no 0/0 NaN
+    for s, r in got.items():
+        if AVAIL[s]:
+            assert r["epochs_used"] == pytest.approx(
+                round(r["allocation_tokens"] / AVAIL[s], 6)
+            )
+            assert r["epochs_used"] <= 4.0 + 1e-9
+
+
+def test_unimax_validates(spark):
+    from nycitibike_data_transform_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "src string, available_tokens long")
+    with pytest.raises(ValueError):
+        unimax_allocation(df, ["src"])  # neither budget form
+    with pytest.raises(ValueError):
+        unimax_allocation(df, ["src"], budget_tokens=1, budget_ratio=0.5)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, ["src"], budget_tokens=1, max_epochs=0)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, [], budget_tokens=1)
