@@ -125,6 +125,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # first, then stalest-first, ties alphabetical. The first
     # 50 entries are the next driver correctness window.
     "bm25_topk",
+    "c4_line_stats",
     "cms_estimates",
     "dedup_url",
     "dsir_ngram_select",
@@ -173,8 +174,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "span_strip",
     "span_strip_bloom",
     "stratified_sample",
-    "streaming_upsert_view",
     # ---- past the 50-entry driver window ----
+    "streaming_upsert_view",
     "string_functions",
     "table_profile",
     "top_supplier",

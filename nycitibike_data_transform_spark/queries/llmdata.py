@@ -2972,6 +2972,92 @@ SELECT source, available_tokens, target_tokens,
 FROM t
 """
 
+# ------------------------------------------------- C4 line cleaning
+
+_C4_LINE_TOKENS = 10  # rendered line width (tokens)
+
+
+def _q_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-rule cleaning (operators/lineclean.py) over a
+    deterministic line rendering of the corpus. The synthetic documents
+    carry no newline structure, so the query first renders each doc as
+    10-token lines with terminal punctuation on ODD lines only — making
+    the terminal-punctuation rule bite half the lines, the min-words
+    rule bite short tails, and the 3-kept-lines page floor bite short
+    docs — then runs the REAL rule pipeline unchanged. The
+    javascript/lorem/brace rules can't occur in the rendering and are
+    pinned by unit tests instead (tests/test_lineclean.py).
+
+    Scale shape: rendering and cleaning are both array-side per-row
+    transforms — no explode, no shuffle beyond the scan."""
+    from nycitibike_data_transform_spark.functions.text import token_array
+    from nycitibike_data_transform_spark.operators.lineclean import c4_line_clean
+
+    t = load(spark, sf_dir, "documents")
+    toks = token_array("text")
+    n_lines = F.ceil(F.size(toks) / F.lit(_C4_LINE_TOKENS)).cast("int")
+    idx = F.when(F.size(toks) >= 1, F.sequence(F.lit(1), n_lines)).otherwise(
+        F.array().cast("array<int>")
+    )
+    line = lambda i: F.concat(  # noqa: E731
+        F.concat_ws(
+            " ", F.slice(toks, (i - 1) * _C4_LINE_TOKENS + 1, _C4_LINE_TOKENS)
+        ),
+        F.when(i % 2 == 1, F.lit(".")).otherwise(F.lit("")),
+    )
+    rendered = t["documents"].select(
+        "doc_id",
+        F.array_join(F.transform(idx, line), "\n").alias("text"),
+    )
+    out = c4_line_clean(rendered, min_words=5, min_kept_lines=3)
+    return out.select(
+        "doc_id",
+        "n_lines_in",
+        "n_lines_kept",
+        "kept",
+        F.coalesce(F.length("clean_text"), F.lit(0)).cast("long").alias("clean_len"),
+    )
+
+
+_C4_LINE_STATS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(nt) = 0 THEN [] ELSE string_split(nt, ' ') END AS w
+  FROM (SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+),
+lines AS (
+  SELECT doc_id, i,
+         array_to_string(w[(i-1)*{_C4_LINE_TOKENS}+1 : least(i*{_C4_LINE_TOKENS}, len(w))], ' ')
+           || CASE WHEN i % 2 = 1 THEN '.' ELSE '' END AS line
+  FROM base,
+       unnest(generate_series(1, CAST(ceil(len(w) / {_C4_LINE_TOKENS}.0) AS BIGINT))) AS t(i)
+),
+judged AS (
+  SELECT doc_id, i, line,
+         CAST(regexp_matches(trim(line), '[.!?"]$')
+              AND len(string_split_regex(trim(line), '\s+')) >= 5
+              AND NOT contains(lower(trim(line)), 'javascript') AS INT) AS ok
+  FROM lines
+),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_lines_in,
+         CAST(sum(ok) AS INT) AS n_lines_kept,
+         array_to_string(list(CASE WHEN ok = 1 THEN line END ORDER BY i) FILTER (ok = 1),
+                         chr(10)) AS clean_text
+  FROM judged GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(coalesce(p.n_lines_in, 0) AS INT) AS n_lines_in,
+       CAST(coalesce(p.n_lines_kept, 0) AS INT) AS n_lines_kept,
+       CAST(coalesce(p.n_lines_kept, 0) >= 3 AS INT) AS kept,
+       CAST(CASE WHEN coalesce(p.n_lines_kept, 0) >= 3
+                 THEN length(p.clean_text) ELSE 0 END AS BIGINT) AS clean_len
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 _UNIMAX_EPOCHS = 2
 _UNIMAX_BUDGET_RATIO = 0.9  # budget = 90% of one epoch of everything —
 # with the corpus's ~100 skewed (source, lang) strata (27..900 tokens
@@ -3383,6 +3469,7 @@ QUERIES: dict[str, QuerySpec] = {
     "span_strip_bloom": QuerySpec(_q_span_strip_bloom, _SPAN_STRIP_SQL),
     "mixture_plan": QuerySpec(_q_mixture_plan, _MIXTURE_PLAN_SQL),
     "unimax_mixture": QuerySpec(_q_unimax_mixture, _UNIMAX_SQL),
+    "c4_line_stats": QuerySpec(_q_c4_line_stats, _C4_LINE_STATS_SQL),
     "shard_manifest": QuerySpec(_q_shard_manifest, _SHARD_MANIFEST_SQL),
     "embedding_dedup": QuerySpec(_q_embedding_dedup, _EMBEDDING_DEDUP_SQL),
     "curriculum_stages": QuerySpec(_q_curriculum_stages, _CURRICULUM_SQL),
