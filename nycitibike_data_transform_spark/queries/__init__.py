@@ -133,6 +133,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "inverted_index",
     "unimax_mixture",
     "url_host_stats",
+    "zipf_fit",
     "bpe_merges",
     "bpe_segment",
     "bucketed_join",
@@ -173,8 +174,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "span_dedup",
     "span_strip",
     "span_strip_bloom",
-    "stratified_sample",
     # ---- past the 50-entry driver window ----
+    "stratified_sample",
     "streaming_upsert_view",
     "string_functions",
     "table_profile",

@@ -2972,6 +2972,127 @@ SELECT source, available_tokens, target_tokens,
 FROM t
 """
 
+# --------------------------------------------------------- Zipf fit
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-law diagnostic: least-squares Zipf exponent over the
+    log-rank/log-frequency curve of the unigram vocabulary (the
+    power-law health check dataset reports quote; a slope far from the
+    natural-text ~-1 signals boilerplate or synthetic text), plus
+    vocab size, token mass, and the head term's share.
+
+    Determinism: ln() is libm-divergent, so each log lands as a SCALED
+    LONG (round(ln·10⁶)) and the regression runs entirely in exact
+    integer/decimal arithmetic — slope = (kΣxy − ΣxΣy)/(kΣx² − (Σx)²)
+    with decimal(38,0) sums of long products, divided once at the end.
+    The 10⁶ scaling cancels in the ratio.
+
+    Scale shape: frequency ranks come from the repo's two-level banded
+    rank (selection.py discipline), NOT a vocab-wide unpartitioned
+    window: within-band row_numbers partition by floor(log2(n)) —
+    order-consistent with the global (n desc, term) order because
+    bands are frequency-disjoint — and cross-band offsets use a
+    ≤64-row band summary. The regression sums are map-side-combinable
+    aggregates over the vocab relation. One corpus explode, two
+    vocab-sized shuffles, nothing corpus-sized through one task."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "documents")
+    from nycitibike_data_transform_spark.functions.text import token_array
+
+    counts = (
+        t["documents"]
+        .select(F.explode(token_array("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # two-level banded global rank by (n desc, term asc): bands are
+    # freq-disjoint so band order + in-band order == global order
+    banded = counts.withColumn("band", F.floor(F.log2("n")).cast("int"))
+    in_band = Window.partitionBy("band").orderBy(F.col("n").desc(), F.col("term"))
+    ranked = banded.withColumn("rb", F.row_number().over(in_band))
+    band_sizes = ranked.groupBy("band").agg(F.max("rb").alias("bn"))
+    off_w = Window.partitionBy().orderBy(F.col("band").desc())
+    offsets = band_sizes.select(
+        "band",
+        (F.coalesce(
+            F.sum("bn").over(off_w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )).alias("off"),
+    )
+    with_rank = ranked.join(F.broadcast(offsets), "band").select(
+        "term", "n", (F.col("off") + F.col("rb")).alias("rank")
+    )
+    x = F.round(F.ln(F.col("rank").cast("double")) * 1e6).cast("long")
+    y = F.round(F.ln(F.col("n").cast("double")) * 1e6).cast("long")
+    pts = with_rank.select(
+        "n",
+        x.alias("x"),
+        y.alias("y"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(d38(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("n"))).alias("n_tokens"),
+        F.max("n").alias("n_top"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        F.col("k").alias("vocab_size"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("zipf_slope"),
+        F.round(
+            F.col("n_top").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("top_share"),
+    )
+
+
+_ZIPF_FIT_SQL = r"""
+WITH toks AS (
+  SELECT t AS term
+  FROM documents,
+       unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS u(t)
+  WHERE length(t) > 0
+),
+counts AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank
+  FROM counts
+),
+pts AS (
+  SELECT n,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM ranked
+),
+agg AS (
+  SELECT count(*) AS k,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         max(n) AS n_top
+  FROM pts
+)
+SELECT k AS vocab_size,
+       n_tokens,
+       CASE WHEN k * sxx - sx * sx = 0 THEN 0.0
+            ELSE round(CAST(k * sxy - sx * sy AS DOUBLE)
+                       / CAST(k * sxx - sx * sx AS DOUBLE), 6) END AS zipf_slope,
+       round(CAST(n_top AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_share
+FROM agg
+"""
+
+
 # ------------------------------------------------- C4 line cleaning
 
 _C4_LINE_TOKENS = 10  # rendered line width (tokens)
@@ -3470,6 +3591,7 @@ QUERIES: dict[str, QuerySpec] = {
     "mixture_plan": QuerySpec(_q_mixture_plan, _MIXTURE_PLAN_SQL),
     "unimax_mixture": QuerySpec(_q_unimax_mixture, _UNIMAX_SQL),
     "c4_line_stats": QuerySpec(_q_c4_line_stats, _C4_LINE_STATS_SQL),
+    "zipf_fit": QuerySpec(_q_zipf_fit, _ZIPF_FIT_SQL),
     "shard_manifest": QuerySpec(_q_shard_manifest, _SHARD_MANIFEST_SQL),
     "embedding_dedup": QuerySpec(_q_embedding_dedup, _EMBEDDING_DEDUP_SQL),
     "curriculum_stages": QuerySpec(_q_curriculum_stages, _CURRICULUM_SQL),

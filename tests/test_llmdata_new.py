@@ -320,3 +320,74 @@ def test_gopher_repetition_tiebreak_prefers_longer_gram(spark):
     (row,) = gopher_repetition_signals(df).collect()
     # bigrams: 'aa bb'(5), 'bb c'(4), 'c d'(3) — all count 1 -> 'aa bb'
     assert row["top2_char_frac"] == pytest.approx(round(5 / 9, 6))
+
+
+# ------------------------------------------------------- Zipf fit
+
+
+def _zipf_ref(freqs: dict[str, int]) -> tuple[int, int, float, float]:
+    """Scaled-int regression reference with naive global ranks —
+    the Spark side uses banded ranks, so equality here proves the
+    band decomposition reproduces the global (n desc, term) order."""
+    import math
+
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (round(math.log(r) * 1e6), round(math.log(n) * 1e6))
+        for r, (_, n) in enumerate(ranked, start=1)
+    ]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = k * sxx - sx * sx
+    slope = 0.0 if den == 0 else round((k * sxy - sx * sy) / den, 6)
+    total = sum(freqs.values())
+    return k, total, slope, round(max(freqs.values()) / total, 6)
+
+
+def _zipf_run(spark, freqs: dict[str, int]):
+    from nycitibike_data_transform_spark.queries.llmdata import _q_zipf_fit  # noqa: F401
+    # drive the same pipeline through a crafted corpus: one doc per
+    # term, the term repeated n times
+    import tempfile, os
+
+    rows = [(i, " ".join([t] * n)) for i, (t, n) in enumerate(freqs.items())]
+    d = tempfile.mkdtemp(prefix="zipf_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    (row,) = _q_zipf_fit(spark, d).collect()
+    return row
+
+
+def test_zipf_fit_matches_scaled_int_reference(spark):
+    # frequencies spanning several log2 bands, with ties (same n,
+    # different terms) and band gaps — the banded rank must reproduce
+    # the naive global order exactly
+    freqs = {
+        "alpha": 1000, "beta": 500, "gamma": 500, "delta": 129,
+        "eps": 128, "zeta": 17, "eta": 17, "theta": 3, "iota": 1,
+        "kappa": 1,
+    }
+    row = _zipf_run(spark, freqs)
+    k, total, slope, top = _zipf_ref(freqs)
+    assert row["vocab_size"] == k
+    assert row["n_tokens"] == total
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-6)
+    assert row["top_share"] == pytest.approx(top, abs=1e-6)
+    assert row["zipf_slope"] < -0.5  # genuinely skewed corpus
+
+
+def test_zipf_fit_degenerate_single_term(spark):
+    row = _zipf_run(spark, {"solo": 7})
+    assert row["vocab_size"] == 1
+    assert row["zipf_slope"] == 0.0  # den = 0 guard, not NaN
+    assert row["top_share"] == 1.0
+
+
+def test_zipf_fit_uniform_corpus_slope_near_zero(spark):
+    row = _zipf_run(spark, {f"t{i}": 50 for i in range(20)})
+    # all-equal frequencies: y is constant, slope exactly 0
+    assert row["zipf_slope"] == pytest.approx(0.0, abs=1e-6)
