@@ -175,3 +175,21 @@ def test_unimax_validates(spark):
         unimax_allocation(df, ["src"], budget_tokens=1, max_epochs=0)
     with pytest.raises(ValueError):
         unimax_allocation(df, [], budget_tokens=1)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_unimax_random_cap_sets_match_reference(spark, seed):
+    # deterministic pseudo-random cap sets spanning ties, zeros, and
+    # budgets on both sides of the waterline
+    import random
+
+    rng = random.Random(seed)
+    avail = {f"s{i}": rng.choice([0, 1, 7, 7, 50, 300, 1000]) for i in range(12)}
+    total_cap = sum(n * 3 for n in avail.values())
+    for budget in (1, total_cap // 3, total_cap - 1, total_cap + 5):
+        got = _unimax_run(spark, avail, max_epochs=3, budget_tokens=budget)
+        ref = _unimax_ref({s: n * 3 for s, n in avail.items()}, budget)
+        for s in avail:
+            assert got[s]["allocation_tokens"] == pytest.approx(
+                ref[s], abs=1e-4
+            ), (seed, budget, s)

@@ -279,3 +279,24 @@ def test_cms_ignores_nulls_and_validates(spark):
         cms_point_estimates(df, "term", [])
     with pytest.raises(ValueError):
         cms_point_estimates(df, "term", ["a", "a"])
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=2, max_value=32),
+)
+@settings(max_examples=8, deadline=None)
+def test_cms_one_sided_property(spark, items, depth, width):
+    vals = [f"v{i}" for i in items]
+    probes = sorted(set(vals))[:5] + ["absent_probe"]
+    out = {
+        r["term"]: r
+        for r in cms_point_estimates(
+            _cms_df(spark, vals), "term", probes, depth=depth, width=width
+        ).collect()
+    }
+    for term in probes:
+        true = vals.count(term)
+        assert out[term]["exact_count"] == true
+        assert out[term]["cms_estimate"] >= true
