@@ -131,6 +131,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_ngram_select",
     "gopher_repetition",
     "inverted_index",
+    "token_entropy",
     "unimax_mixture",
     "url_host_stats",
     "zipf_fit",
@@ -173,8 +174,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "source_mix_report",
     "span_dedup",
     "span_strip",
-    "span_strip_bloom",
     # ---- past the 50-entry driver window ----
+    "span_strip_bloom",
     "stratified_sample",
     "streaming_upsert_view",
     "string_functions",

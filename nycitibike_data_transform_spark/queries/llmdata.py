@@ -2972,6 +2972,106 @@ SELECT source, available_tokens, target_tokens,
 FROM t
 """
 
+# ---------------------------------------------------- token entropy
+
+
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits) — the
+    information-theoretic quality signal next to the repetition
+    battery: template/boilerplate docs score low, diverse text scores
+    near log2(vocab). Uses the decomposition
+    ``H = log2(N) − (Σ n_i·log2(n_i)) / N`` so the per-term
+    contribution is a single libm call rounded to 6 decimals and the
+    fold is an exact DECIMAL sum (order-free, hash-stable
+    cross-engine); the one outer log2 rounds with the final
+    expression. ``entropy_norm`` = H / log2(distinct) ∈ [0, 1] for
+    docs with ≥2 distinct tokens.
+
+    Scale shape: one explode → per-(doc, term) map-side-combinable
+    counts → per-doc aggregate. No windows, nothing corpus-sized
+    through one task. Blank/NULL docs emit (0, 0, 0.0, 0.0) rows."""
+    from nycitibike_data_transform_spark.operators.dedup import tokenize
+
+    t = load(spark, sf_dir, "documents")
+    docs = tokenize(t["documents"], "text")
+    counts = (
+        docs.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    contrib = F.round(
+        F.col("n").cast("double") * F.log2(F.col("n").cast("double")), 6
+    ).cast("decimal(38,6)")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(contrib).alias("s"),
+    )
+    h = F.round(
+        F.log2(F.col("n_tokens").cast("double"))
+        - F.col("s").cast("double") / F.col("n_tokens").cast("double"),
+        6,
+    )
+    h_norm = F.when(F.col("n_distinct") <= 1, F.lit(0.0)).otherwise(
+        F.round(h / F.round(F.log2(F.col("n_distinct").cast("double")), 6), 6)
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        h.alias("token_entropy"),
+        h_norm.alias("entropy_norm"),
+    )
+    # tokenless docs never reach the aggregate — restore them with
+    # zero-entropy rows so every document is scored
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0).cast("long")).alias(
+                "n_distinct"
+            ),
+            F.coalesce(F.col("token_entropy"), F.lit(0.0)).alias("token_entropy"),
+            F.coalesce(F.col("entropy_norm"), F.lit(0.0)).alias("entropy_norm"),
+        )
+    )
+
+
+_TOKEN_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS u(t)
+  WHERE length(t) > 0
+),
+counts AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         CAST(sum(CAST(round(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)), 6)
+                       AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s
+  FROM counts GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         round(log2(CAST(n_tokens AS DOUBLE))
+               - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS h
+  FROM per_doc
+)
+SELECT d.doc_id,
+       coalesce(sc.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       coalesce(sc.n_distinct, CAST(0 AS BIGINT)) AS n_distinct,
+       coalesce(sc.h, 0.0) AS token_entropy,
+       CASE WHEN coalesce(sc.n_distinct, 0) <= 1 THEN 0.0
+            ELSE round(sc.h / round(log2(CAST(sc.n_distinct AS DOUBLE)), 6), 6)
+       END AS entropy_norm
+FROM documents d LEFT JOIN scored sc USING (doc_id)
+"""
+
+
 # --------------------------------------------------------- Zipf fit
 
 
@@ -3592,6 +3692,7 @@ QUERIES: dict[str, QuerySpec] = {
     "unimax_mixture": QuerySpec(_q_unimax_mixture, _UNIMAX_SQL),
     "c4_line_stats": QuerySpec(_q_c4_line_stats, _C4_LINE_STATS_SQL),
     "zipf_fit": QuerySpec(_q_zipf_fit, _ZIPF_FIT_SQL),
+    "token_entropy": QuerySpec(_q_token_entropy, _TOKEN_ENTROPY_SQL),
     "shard_manifest": QuerySpec(_q_shard_manifest, _SHARD_MANIFEST_SQL),
     "embedding_dedup": QuerySpec(_q_embedding_dedup, _EMBEDDING_DEDUP_SQL),
     "curriculum_stages": QuerySpec(_q_curriculum_stages, _CURRICULUM_SQL),

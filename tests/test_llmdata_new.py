@@ -391,3 +391,36 @@ def test_zipf_fit_uniform_corpus_slope_near_zero(spark):
     row = _zipf_run(spark, {f"t{i}": 50 for i in range(20)})
     # all-equal frequencies: y is constant, slope exactly 0
     assert row["zipf_slope"] == pytest.approx(0.0, abs=1e-6)
+
+
+# ------------------------------------------------------ token entropy
+
+
+def test_token_entropy_known_values(spark):
+    import math, os, tempfile
+
+    from nycitibike_data_transform_spark.queries.llmdata import _q_token_entropy
+
+    rows = [
+        (1, "a a b b"),      # uniform over 2 -> exactly 1 bit, norm 1
+        (2, "a a a a"),      # single symbol -> 0 bits, norm 0
+        (3, "a b c d"),      # uniform over 4 -> exactly 2 bits
+        (4, "a a a b"),      # skewed: 2 - (3*log2 3)/4
+        (5, ""),             # blank -> zero row
+        (6, None),           # NULL -> zero row
+    ]
+    d = tempfile.mkdtemp(prefix="entropy_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in _q_token_entropy(spark, d).collect()}
+    assert got[1]["token_entropy"] == 1.0 and got[1]["entropy_norm"] == 1.0
+    assert got[2]["token_entropy"] == 0.0 and got[2]["entropy_norm"] == 0.0
+    assert got[3]["token_entropy"] == 2.0
+    skew = round(2.0 - round(3 * math.log2(3), 6) / 4, 6)
+    assert got[4]["token_entropy"] == pytest.approx(skew, abs=1e-6)
+    for doc in (5, 6):
+        assert got[doc]["n_tokens"] == 0
+        assert got[doc]["token_entropy"] == 0.0
+        assert got[doc]["entropy_norm"] == 0.0
+    assert got[4]["n_distinct"] == 2 and got[3]["n_distinct"] == 4
