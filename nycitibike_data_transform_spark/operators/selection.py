@@ -116,35 +116,42 @@ def token_budget_select(
         tok.alias("__tok"),
     )
 
-    # band width from the observed score range (one metadata-sized agg)
-    rng = d.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).first()
-    if rng["lo"] is None:  # empty input: any constant band works
-        bucket = F.lit(0).cast("long").alias("__bucket")
-    elif rng["hi"] == rng["lo"]:
-        # degenerate: order is purely by id — bucket by id like packing
-        id_rng = d.agg(
-            F.min(F.col(id_col).cast("double")).alias("lo"),
-            F.max(F.col(id_col).cast("double")).alias("hi"),
-        ).first()
-        span = float(id_rng["hi"]) - float(id_rng["lo"]) + 1.0
-        iw = max(1, int(span / MAX_BUCKETS) + 1)
-        bucket = F.floor(F.col(id_col) / F.lit(iw)).cast("long").alias("__bucket")
-    else:
-        hi = float(rng["hi"])
-        width = (hi - float(rng["lo"])) / MAX_BUCKETS
-        if width <= 0.0:  # subnormal range underflowed the division:
-            width = 1.0   # one band — degenerate perf, still correct
-        # floor of a monotone map of score, SHIFTED so the quotient is
-        # bounded in [0, MAX_BUCKETS]: floor(-score/width) would
-        # overflow the long cast (ANSI error / silent collapse) for
-        # large-magnitude scores over a tiny range; (hi - score) is
-        # monotone DESC in score and bounded by the range itself
-        bucket = (
-            F.floor((F.lit(hi) - F.col("score")) / F.lit(width))
-            .cast("long")
-            .alias("__bucket")
-        )
-    d = d.select(id_col, "score", "__tok", bucket)
+    # Band width from the observed score range — computed IN-PLAN as a
+    # broadcast 1-row scalar instead of two eager ``.first()`` probes
+    # (OPTIMIZATION_r15, guide §5: plan-build driver actions serialize
+    # the whole scoring subtree into extra jobs before the real query
+    # even starts; measured ~1.3 s of the sf0.1 wrapper's cost). The
+    # two-phase prefix sum is exact for ANY monotone banding, so the
+    # only requirement is that the CASE below reproduces the same
+    # three regimes: empty input (any constant band), constant score
+    # (bucket by id, like packing), and the generic shifted-quotient
+    # band. All arithmetic mirrors the old driver-side Python float
+    # ops as Spark double exprs (same IEEE semantics).
+    params = d.agg(
+        F.min("score").alias("__lo"),
+        F.max("score").alias("__hi"),
+        F.min(F.col(id_col).cast("double")).alias("__ilo"),
+        F.max(F.col(id_col).cast("double")).alias("__ihi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(MAX_BUCKETS))
+    # subnormal range underflowed the division: one band — degenerate
+    # perf, still correct
+    width = F.when(width <= F.lit(0.0), F.lit(1.0)).otherwise(width)
+    span = F.col("__ihi") - F.col("__ilo") + F.lit(1.0)
+    iw = F.greatest(F.lit(1).cast("long"), F.floor(span / F.lit(MAX_BUCKETS)) + 1)
+    # floor of a monotone map of score, SHIFTED so the quotient is
+    # bounded in [0, MAX_BUCKETS]: floor(-score/width) would overflow
+    # the long cast (ANSI error / silent collapse) for large-magnitude
+    # scores over a tiny range; (hi - score) is monotone DESC in score
+    # and bounded by the range itself
+    bucket = (
+        F.when(F.col("__lo").isNull(), F.lit(0).cast("long"))
+        .when(F.col("__hi") == F.col("__lo"), F.floor(F.col(id_col) / iw))
+        .otherwise(F.floor((F.col("__hi") - F.col("score")) / width))
+        .cast("long")
+        .alias("__bucket")
+    )
+    d = d.crossJoin(F.broadcast(params)).select(id_col, "score", "__tok", bucket)
 
     w_in = (
         Window.partitionBy("__bucket")

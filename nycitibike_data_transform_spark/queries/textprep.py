@@ -26,6 +26,7 @@ from nycitibike_data_transform_spark.functions.text import (
     token_count,
 )
 from nycitibike_data_transform_spark.operators.dedup import containment_pairs
+from nycitibike_data_transform_spark.operators.util import fan_out
 from nycitibike_data_transform_spark.operators.selection import (
     deterministic_shuffle,
     token_budget_select,
@@ -46,7 +47,10 @@ def _q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive single-window formulation, proving the decomposition exact."""
     docs = load(spark, sf_dir, "documents")["documents"]
     sig = quality_score_columns(F.col("text"))
-    scored = docs.select(
+    # fan_out (OPTIMIZATION_r15): the stopword-ratio scoring is regex
+    # over every document and a compact input runs it on ONE core
+    # (one parquet file ⇒ one scan task); no-op at real scale.
+    scored = fan_out(docs).select(
         "doc_id",
         F.round(F.coalesce(sig["stopword_ratio"], F.lit(0.0)), 6).alias("score"),
         F.coalesce(token_count("text"), F.lit(0)).cast("long").alias("n_tokens"),
