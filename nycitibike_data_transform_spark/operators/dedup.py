@@ -139,8 +139,13 @@ def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame
     """The shared tokenizer (functions.text.token_array): NULL/blank
     text → empty array, so every downstream pipeline (shingles,
     MinHash, SimHash) agrees that contentless docs have no tokens —
-    a bare split() would hand SimHash a [''] token for blank docs."""
-    return df.withColumn(out_col, token_array(text_col))
+    a bare split() would hand SimHash a [''] token for blank docs.
+
+    fan_out here, at the shared choke point: every tokenize consumer
+    is a compute-bound regex/shingle stage, and a compact input (one
+    parquet file ⇒ one scan task) would otherwise run it on a single
+    core. No-op at real scale (inputs already wide)."""
+    return fan_out(df).withColumn(out_col, token_array(text_col))
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -296,7 +301,7 @@ def minhash_signatures(
     sh = (
         shingles_df
         if shingles_df is not None
-        else tokenize(fan_out(df), text_col).select(
+        else tokenize(df, text_col).select(
             F.col(id_col), F.explode(shingles(F.col("tokens"), n)).alias("shingle")
         )
     )
@@ -891,7 +896,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Catalyst treats as non-deterministic — it blocked exchange reuse
     in the simhash verdict query and TRIPLED its cold time (measured
     14.2 s vs 5.1 s); deterministic width beats a clever check."""
-    toks = tokenize(fan_out(df), text_col).select(
+    toks = tokenize(df, text_col).select(
         F.col(id_col), F.explode(F.array_distinct(F.col("tokens"))).alias("tok")
     )
     hashed = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))

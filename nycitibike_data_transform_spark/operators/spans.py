@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nycitibike_data_transform_spark.functions.text import token_array
+from nycitibike_data_transform_spark.operators.util import fan_out
 
 # backward-compatible alias: the helper was promoted to
 # functions.text.token_array (shared with packing and perplexity)
@@ -45,6 +46,7 @@ def _spans_with_positions(
 ) -> tuple[DataFrame, DataFrame]:
     """(base, spans): base = (doc_id, __w tokens, __n_tokens);
     spans = (doc_id, pos 1-based, __h md5-of-span)."""
+    docs = fan_out(docs)
     base = docs.select(
         F.col(id_col).alias("doc_id"), _token_array(text_col).alias("__w")
     ).withColumn("__n_tokens", F.size("__w"))

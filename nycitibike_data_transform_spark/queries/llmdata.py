@@ -829,7 +829,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir, "documents")
     docs = t["documents"]
-    # fan_out before the tokenize (OPTIMIZATION_r15): the shared
+    # tokenize fans out internally (OPTIMIZATION_r15): the shared
     # shingle relation is the plan's hottest subtree (every consumer —
     # exact self-join sides, sizes, MinHash signatures — hangs off its
     # exchange via AQE reuse), and a compact input serializes the whole
@@ -837,7 +837,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small parquet file ⇒ one scan task). Interleaved A/B at sf0.1:
     # min 2.39 s → 1.70 s (med 2.01 → 1.77). No-op at real scale.
     sh = (
-        tokenize(fan_out(docs), "text")
+        tokenize(docs, "text")
         .select(
             F.col("doc_id"),
             F.explode(shingle_sets(F.col("tokens"), _JACCARD_N)).alias("shingle"),
