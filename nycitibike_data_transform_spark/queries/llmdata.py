@@ -1204,7 +1204,13 @@ def _q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load(spark, sf_dir, "documents")
-    docs = t["documents"].select("doc_id")
+    # fan_out the doc_id feed (OPTIMIZATION_r15, guide §4/§6): the
+    # per-row PNG encode + full zlib/scanline decode are pure-Python
+    # CPU in two chained mapInPandas stages, single-task on a compact
+    # input. Interleaved min at sf0.1: 1.46 s → 0.62 s. audio_pipeline
+    # measured WORSE with the same fan (0.39 → 0.55 — its codec work
+    # is too light to amortize the shuffle) and keeps the plain feed.
+    docs = fan_out(t["documents"].select("doc_id"))
 
     def make(batches):
         for pdf in batches:
@@ -1333,7 +1339,12 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load(spark, sf_dir, "documents")
-    docs = t["documents"].select("doc_id")
+    # fan_out the doc_id feed (OPTIMIZATION_r15, guide §4/§6): the
+    # PNG encode+container pack below is pure-Python CPU in
+    # mapInPandas, and a compact one-file input ran ALL of it on a
+    # single task. The shuffled payload is one long column — the
+    # cheapest possible fan. Interleaved min at sf0.1: 2.33 s → 0.66 s.
+    docs = fan_out(t["documents"].select("doc_id"))
 
     def make(batches):
         for pdf in batches:
@@ -2620,19 +2631,34 @@ def _q_streaming_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = source_counts_stream(
             spark, f"{tmp}/feed", glob="*.parquet", max_files_per_trigger=1
         )
-        q = (
-            counts.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "streaming_source_mix: stream did not converge in 300s"
+        # State-store partitions are pinned at stream start from
+        # spark.sql.shuffle.partitions (AQE never touches streaming
+        # state). The aggregation key domain here is the (source, lang)
+        # enum cross — structurally ≤ ~100 groups at ANY corpus size —
+        # so state partitions beyond a handful are pure per-batch
+        # overhead (a state store instance + task per partition per
+        # micro-batch). 8 is a domain bound, not a core-count tune: the
+        # tokenize/partial-agg map side still parallelizes across input
+        # splits. Interleaved profile at sf0.1: stream phase
+        # 2.7 s → 1.5 s (OPTIMIZATION_r15, guide §2.4).
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                counts.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "streaming_source_mix: stream did not converge in 300s"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         return (
             spark.table(sink)
             .select("source", "lang", "n_docs", "n_tokens")
