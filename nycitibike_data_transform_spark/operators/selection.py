@@ -347,7 +347,15 @@ def dsir_hashed_ngram_weights(
     pass; shuffles on (doc, bucket) partial-agg, bucket, and doc; corpus
     scalars enter as a 1-row broadcast. The bucket table is ≤ B rows
     regardless of corpus size — at 100 TB the ratio join's build side is
-    a bounded 10k-row relation.
+    a bounded 10k-row relation, so the fold BROADCASTS it
+    (``broadcast_ratio=True``): the per-(doc,bucket) count relation —
+    the pipeline's largest — joins the ratio table as a broadcast hash
+    join instead of being re-shuffled on bucket (guide §3.1/§2.4: one
+    full shuffle of the big side removed at any scale; measured
+    plan-shape SortMergeJoin → BroadcastHashJoin, locally neutral at
+    sf0.1 — 3.43 s both sides, min-of-5 interleaved). The unigram
+    variant keeps the shuffle join: its ratio table is the observed
+    vocabulary, unbounded in corpus size.
     """
     feat_rows = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -355,7 +363,11 @@ def dsir_hashed_ngram_weights(
         F.explode(hashed_ngram_features(text_col, n_buckets)).alias("tok"),
     )
     return _dsir_ratio_fold(
-        feat_rows, id_col, count_alias="n_features", smooth_v=F.lit(n_buckets)
+        feat_rows,
+        id_col,
+        count_alias="n_features",
+        smooth_v=F.lit(n_buckets),
+        broadcast_ratio=True,
     )
 
 
@@ -364,6 +376,7 @@ def _dsir_ratio_fold(
     id_col: str,
     count_alias: str,
     smooth_v: F.Column | None = None,
+    broadcast_ratio: bool = False,
 ) -> DataFrame:
     """Shared DSIR pipeline from exploded (doc_id, __t, tok) feature
     rows to per-doc average log-ratio: per-(doc,feature) counts →
@@ -372,7 +385,11 @@ def _dsir_ratio_fold(
     DOUBLE additions run in the same order as the oracle's ORDER
     BY-qualified aggregate). ``smooth_v`` is the smoothing denominator
     — observed-vocabulary count when None (unigram), the fixed bucket
-    count for hashed features."""
+    count for hashed features. ``broadcast_ratio`` marks the ratio
+    table as a broadcast build side — ONLY safe when the feature space
+    is bounded by construction (the hashed-bucket variant); the
+    unigram ratio table grows with the corpus vocabulary and must stay
+    a shuffle join."""
     per = feat_rows.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("__m"),
         # is_target is constant per document; first() under the
@@ -404,6 +421,8 @@ def _dsir_ratio_fold(
             )
         ).alias("__lr"),
     )
+    if broadcast_ratio:
+        ratio = F.broadcast(ratio)
     return (
         per.join(ratio, "tok")
         .groupBy("doc_id")

@@ -87,10 +87,11 @@ def _spans_with_positions(
 #   when most span hashes are duplicated the probe passes nearly
 #   every row and the bitset buys nothing.
 #
-# The dup-key count needed for the decision is the SAME count the
-# bitset sizing needs, so deciding costs nothing extra on the on-path;
-# the off-path pays one checkpoint of the (small) dup-key relation,
-# which the join consumes anyway. Bitset ceiling at the gate boundary:
+# The estimate is checked FIRST (r15): at local/test scales it fails
+# the gate and the off-path costs only that one cheap scan — the
+# dup-key checkpoint + count run only when the estimate passes, and
+# that count is the SAME count the bitset sizing needs, so the on-path
+# decision costs nothing extra. Bitset ceiling at the gate boundary:
 # 50M rows × 25% dup keys × 16 bits = 25 MB broadcast — acceptable;
 # callers forcing True on larger dup sets should size bits_per_key
 # down or re-shard first.
@@ -113,12 +114,19 @@ def _resolve_bloom(
     output is bit-identical across all three modes (the prefilter is
     lossless — pinned in tests/test_spans.py both sides of the gate).
 
-    Laziness contract (r9 review): ``False`` builds a fully lazy plan;
-    ``True`` and ``"auto"`` EXECUTE at call time — both checkpoint and
-    count the dup-key relation (materializing the span groupBy), and
-    "auto" additionally scans the text column once for the size
-    estimate. Callers that only want to build/inspect a plan should
-    pass ``False``.
+    Laziness contract (r9 review, narrowed r15): ``False`` builds a
+    fully lazy plan; ``True`` EXECUTES at call time (checkpoint +
+    count + bitset collect — the measured-faster shape, see
+    ``_bloom_cut_probe_side``). ``"auto"`` executes ONE cheap
+    column-pruned text scan at call time for the span-row estimate;
+    only when that estimate passes the size gate (i.e. on the
+    cluster-scale ON path) does it additionally checkpoint and count
+    the dup-key relation — the count the gate's second condition and
+    the bitset sizing both need. At local/test scales the estimate
+    fails the gate first, so "auto" plans cost one metadata-cheap scan
+    instead of r14's checkpoint + count + scan (r15 opt: interleaved
+    A/B min-of-5 at sf0.1 — span_strip 2.58 → 2.05 s, span_dedup
+    1.75 → 1.32 s).
     """
     if mode is False:
         return spans, dup_keys
@@ -128,16 +136,17 @@ def _resolve_bloom(
         raise ValueError(
             f"bloom_prefilter must be True, False, or 'auto', got {mode!r}"
         )
+    total_chars = docs.agg(F.sum(F.length(text_col)).alias("c")).first()[0] or 0
+    est_span_rows = total_chars / _EST_CHARS_PER_TOKEN
+    if est_span_rows < BLOOM_AUTO_MIN_SPAN_ROWS:
+        # OFF path decided by the estimate alone — no dup-key
+        # materialization, fully lazy downstream plan
+        return spans, dup_keys
     dup_keys = dup_keys.localCheckpoint(eager=True)
     n_keys = dup_keys.count()
     if n_keys == 0:
         return spans, dup_keys  # nothing duplicated — the join is empty
-    total_chars = docs.agg(F.sum(F.length(text_col)).alias("c")).first()[0] or 0
-    est_span_rows = total_chars / _EST_CHARS_PER_TOKEN
-    if (
-        est_span_rows < BLOOM_AUTO_MIN_SPAN_ROWS
-        or n_keys > est_span_rows * BLOOM_AUTO_MAX_DUP_KEY_FRACTION
-    ):
+    if n_keys > est_span_rows * BLOOM_AUTO_MAX_DUP_KEY_FRACTION:
         return spans, dup_keys
     # same sized build as the forced-True path — shared helper so the
     # bitset sizing/FPR math can never diverge between modes (r9 review)
@@ -168,6 +177,17 @@ def _bloom_cut_probe_side(
     ADVICE r7). Returns (prefiltered spans, checkpointed dup_keys).
     Pass ``n_keys`` when the caller already checkpointed and counted
     (the auto gate) — the keys are then used as-is.
+
+    r15 opt round measured (and REJECTED) a fully lazy alternative —
+    the bitset built in-plan as a one-row relation (no checkpoint, no
+    count, no collect; dup-key aggregate shared via ReusedExchange).
+    One-session interleaved A/B at sf0.1, min of 5: span_strip_bloom
+    4.43 s eager vs 4.95 s lazy, decontaminate_bloom 2.70 vs 2.78 —
+    the lazy plan's deep SERIAL chain of broadcast stages (count →
+    bitset → probe, each a synchronous materialization on the critical
+    path) costs more than the three eager jobs it saves, and the
+    checkpoint additionally spares the probe-side plan one full
+    dup-key aggregate re-execution. Kept eager deliberately.
     """
     from nycitibike_data_transform_spark.operators.bloom import (
         bloom_build,
@@ -217,9 +237,11 @@ def strip_duplicate_spans(
     span rows whose hash provably isn't duplicated are dropped by a
     broadcast Bloom bitset before they shuffle — lossless, output
     bit-identical. "auto" engages it only past the size gate (see
-    ``_resolve_bloom``); True/False force either path. NOTE: with
-    "auto" (and True) plan CONSTRUCTION executes the dup-hash
-    count — pass False for a fully lazy plan.
+    ``_resolve_bloom``); True/False force either path. Laziness: False
+    builds a fully lazy plan; True executes the dup-hash count and
+    bitset build at plan construction; "auto" runs one column-pruned
+    text scan at plan construction, plus the dup-hash count only when
+    the size gate's ON path is reached (see ``_resolve_bloom``).
     """
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")

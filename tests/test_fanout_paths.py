@@ -99,3 +99,61 @@ def test_quantiles_array_percentile_matches_scalar(spark):
     assert sorted(map(tuple, arr.collect())) == sorted(
         map(tuple, scalar.collect())
     )
+
+
+# --- r15 second pass: auto-gate laziness + DSIR broadcast build side
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_span_auto_gate_off_path_never_materializes(spark, monkeypatch):
+    """The "auto" bloom gate must decide the OFF path from the cheap
+    text-length estimate ALONE: no localCheckpoint (and hence no
+    dup-key materialization or count job) may run at plan-build time
+    below the size gate. Pins the r15 reorder (estimate first,
+    checkpoint+count only on the ON path) — a revert to the r14 order
+    would checkpoint here and fail."""
+    from pyspark.sql import DataFrame
+
+    from nycitibike_data_transform_spark.operators.spans import (
+        strip_duplicate_spans,
+    )
+
+    calls = {"n": 0}
+    real = DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["n"] += 1
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = strip_duplicate_spans(docs, width=3, bloom_prefilter="auto")
+    assert calls["n"] == 0, "auto off-path must not checkpoint at plan build"
+    assert out.count() == 8  # plan still executes correctly
+
+
+def test_dsir_ngram_ratio_is_broadcast_build_right(spark):
+    """dsir_hashed_ngram_weights must pin the BOUNDED ratio table
+    (≤ n_buckets rows at any corpus size) as the broadcast build side.
+    Catalyst's post-aggregate size estimates were observed choosing
+    BuildLeft — broadcasting the per-(doc,bucket) relation that GROWS
+    with the corpus — so the explicit hint is a scale-correctness pin,
+    not a local tune (guide §3.1: use an explicit broadcast when
+    estimates are wrong)."""
+    from nycitibike_data_transform_spark.operators.selection import (
+        dsir_hashed_ngram_weights,
+    )
+
+    rows = [(i, f"code math token{i % 3} alpha", i % 2 == 0) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    w = dsir_hashed_ngram_weights(docs, is_target=F.col("t"), n_buckets=64)
+    plan = _plan_of(w)
+    assert "BroadcastHashJoin" in plan
+    assert "BuildLeft" not in plan, (
+        "the corpus-growing per-(doc,bucket) side must never be the "
+        "broadcast build side"
+    )
