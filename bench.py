@@ -172,6 +172,16 @@ def _cpu_calibration() -> dict[str, float]:
     single-core clock/thermal state; ``calib_cpu_nt_sec`` additionally
     moves with core contention. Compare rounds at equal fields before
     attributing a headline delta to code.
+
+    The pool is sized from the REQUESTED core count
+    (``$SPARK_GRAFT_CPUS``, same source as the Spark master), not
+    ``os.cpu_count()`` (VERDICT r15 item 2): a low-core driver run
+    (``cpus: 8``) probing at full box width read ``calib_cpu_threads:
+    32`` and tripped the driver's ``suspect_cpus_ignored`` heuristic.
+    The committed anchor was measured at the full width, so at a lower
+    requested width a clean box reads BELOW the anchor — the degraded
+    recheck stays conservative (it can only under-flag, never
+    false-flag, at reduced width).
     """
     import zlib
     from concurrent.futures import ThreadPoolExecutor
@@ -189,7 +199,7 @@ def _cpu_calibration() -> dict[str, float]:
     t0 = time.perf_counter()
     spin()
     t1 = time.perf_counter()
-    n = os.cpu_count() or 1
+    n = default_parallelism()
     with ThreadPoolExecutor(n) as ex:
         t2 = time.perf_counter()
         list(ex.map(spin, range(n)))
@@ -509,6 +519,12 @@ def main() -> None:
         "foreign_cpu_sec": round(foreign_cpu_sec, 1),
         "ancestor_cpu_sec": round(ancestor_cpu_sec, 1),
         "idle_wait_sec": round(waited, 1),
+        # requested core count echoed into the record (VERDICT r15
+        # item 2): the driver's scaling probe compares runs at
+        # different $SPARK_GRAFT_CPUS and needs the payload itself to
+        # say which width it ran at (the master is local[cpus],
+        # session.py)
+        "cpus": default_parallelism(),
         "sf": sf,
     }
     detail = dict(compact)

@@ -367,7 +367,13 @@ def dsir_hashed_ngram_weights(
         id_col,
         count_alias="n_features",
         smooth_v=F.lit(n_buckets),
-        broadcast_ratio=True,
+        # broadcast only while the ratio table is broadcast-SIZED
+        # (ADVICE r15): n_buckets is caller-controlled, and a huge
+        # bucket space (1e8+) would force a multi-GB broadcast build
+        # side; ~16 bytes/row keeps 4M buckets under ~100 MB framed —
+        # past that, fall back to the shuffle join like the unigram
+        # variant
+        broadcast_ratio=n_buckets <= 4_000_000,
     )
 
 

@@ -18,6 +18,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    # NOTE: the .rdd width probe forces PHYSICAL PLANNING of df's
+    # subtree at call time (no execution, but Catalyst runs). Cheap at
+    # today's plan depths (VERDICT r15 §minor) — if a caller ever hangs
+    # this off a very deep plan, prefer passing the known source width.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

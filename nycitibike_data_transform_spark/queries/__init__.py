@@ -124,57 +124,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r*.json evidence). Ranking: never-driver-green
     # first, then stalest-first, ties alphabetical. The first
     # 50 entries are the next driver correctness window.
-    "bm25_topk",
-    "c4_line_stats",
-    "cms_estimates",
-    "dedup_url",
-    "dsir_ngram_select",
-    "gopher_repetition",
-    "inverted_index",
-    "token_entropy",
-    "unimax_mixture",
-    "url_host_stats",
-    "zipf_fit",
-    "bpe_merges",
-    "bpe_segment",
-    "bucketed_join",
-    "chunk_documents",
-    "collection_functions",
-    "customer_distribution",
-    "date_functions",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "disjunctive_revenue",
-    "doc_fingerprint",
-    "embedding_norms",
-    "embedding_quantize",
-    "events_gapfill",
-    "heavy_hitters",
-    "idle_rich_customers",
-    "important_parts",
-    "incremental_bucketed",
-    "incremental_model",
-    "language_id",
-    "large_volume_customers",
-    "mg_estimates",
-    "multimodal_meta",
-    "pack_sequences",
-    "padded_batches",
-    "profit_by_nation_year",
-    "promo_revenue",
-    "quality_filter",
-    "quantiles",
-    "quantized_topk",
-    "repetition_ratio",
-    "resample_balanced",
-    "small_qty_revenue",
-    "snapshot_diff",
-    "source_mix_report",
-    "span_dedup",
-    "span_strip",
-    # ---- past the 50-entry driver window ----
     "span_strip_bloom",
     "stratified_sample",
     "streaming_upsert_view",
@@ -225,6 +174,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_join_events",
     "streaming_source_mix",
     "streaming_user_totals",
+    # ---- past the 50-entry driver window ----
     "surrogate_keys",
     "table_profile_approx",
     "token_budget_select",
@@ -285,6 +235,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "video_frames",
     "window_running_qty",
     "zonemap_scan",
+    "bm25_topk",
+    "bpe_merges",
+    "bpe_segment",
+    "bucketed_join",
+    "c4_line_stats",
+    "chunk_documents",
+    "cms_estimates",
+    "collection_functions",
+    "customer_distribution",
+    "date_functions",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_url",
+    "disjunctive_revenue",
+    "doc_fingerprint",
+    "dsir_ngram_select",
+    "embedding_norms",
+    "embedding_quantize",
+    "events_gapfill",
+    "gopher_repetition",
+    "heavy_hitters",
+    "idle_rich_customers",
+    "important_parts",
+    "incremental_bucketed",
+    "incremental_model",
+    "inverted_index",
+    "language_id",
+    "large_volume_customers",
+    "mg_estimates",
+    "multimodal_meta",
+    "pack_sequences",
+    "padded_batches",
+    "profit_by_nation_year",
+    "promo_revenue",
+    "quality_filter",
+    "quantiles",
+    "quantized_topk",
+    "repetition_ratio",
+    "resample_balanced",
+    "small_qty_revenue",
+    "snapshot_diff",
+    "source_mix_report",
+    "span_dedup",
+    "span_strip",
+    "token_entropy",
+    "unimax_mixture",
+    "url_host_stats",
+    "zipf_fit",
 )
 
 

@@ -567,12 +567,6 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_count_distinct`` (the approx tier already verdict-tested
     by ``approx_distinct``)."""
     t = load(spark, sf_dir, "orders")
-    # fan_out before the multi-countDistinct aggregate
-    # (OPTIMIZATION_r15): Spark plans N exact NDVs via Expand (input
-    # replicated N-fold), and a compact input runs that whole blowup
-    # on one scan task (guide §2.6/§6). Interleaved A/B at sf0.1:
-    # min 5.38 s → 3.71 s. No-op at real scale.
-    df = fan_out(t["orders"])
 
     def _render(c: str, kind: str) -> tuple[Column, Column]:
         if kind == "money":
@@ -584,16 +578,28 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(col).cast("string").alias(f"__mx_{c}"),
         )
 
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    # per-column exact NDVs as SEPARATE single-distinct aggregates,
+    # folded back as 1-row broadcast scalars (OPTIMIZATION_r16,
+    # VERDICT r15 item 6 / guide §2.3): one combined aggregate with
+    # N countDistincts plans as an Expand that replicates every row
+    # N-fold through a 7-key SortAggregate; a lone countDistinct plans
+    # as a plain two-phase distinct (partial group on the value — no
+    # Expand, no replication), and each branch's scan prunes to ONE
+    # parquet column. The non-distinct stats stay a single
+    # plain-aggregate pass. Interleaved A/B at sf0.1: min-of-5
+    # 2.647 → 0.991 s (plan: Expand gone, 1 scan → 7 column-pruned
+    # scans, the r15 fan_out no longer needed — the blowup it widened
+    # is gone). Replaces the r15 fan+Expand shape (5.38 → 3.71 s).
+    df = t["orders"]
+    base_aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c, kind in _PROFILE_COLS:
         mn, mx = _render(c, kind)
-        aggs += [
-            F.count(c).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            mn,
-            mx,
-        ]
-    stats = df.agg(*aggs)
+        base_aggs += [F.count(c).alias(f"__nn_{c}"), mn, mx]
+    stats = df.agg(*base_aggs)
+    for c, _ in _PROFILE_COLS:
+        stats = stats.join(
+            F.broadcast(df.agg(F.countDistinct(c).alias(f"__nd_{c}")))
+        )
     per_col = F.array(
         *[
             F.struct(
@@ -638,10 +644,11 @@ def column_profile(df: DataFrame, cols: list[str], ndv: str = "approx") -> DataF
     rsd=0.02, not a tighter 0.01: HLL cost scales ~(1/rsd)² registers
     and the measured wall time at 0.01 was 30× worse (4 s vs 0.13 s
     per 6-column aggregate at sf0.001) for accuracy the 5% profile
-    verdict doesn't need. ``ndv="exact"`` expands the input one row
-    per profiled column (Spark's Expand for multi-countDistinct) —
-    the right tier at audit cadence only. ``ndv="both"`` computes the
-    two side by side plus an ``approx_ndv_ok`` 5%-relative-error
+    verdict doesn't need. ``ndv="exact"`` runs one plain two-phase
+    distinct aggregate per column (column-pruned scans, no Expand —
+    OPTIMIZATION_r16) folded back as 1-row broadcast scalars — still
+    the audit-cadence tier (N extra passes). ``ndv="both"`` computes
+    the two side by side plus an ``approx_ndv_ok`` 5%-relative-error
     verdict column (the ``approx_distinct`` certification pattern).
 
     ``both`` runs the tiers as two SEPARATE 1-row aggregates joined as
@@ -655,11 +662,21 @@ def column_profile(df: DataFrame, cols: list[str], ndv: str = "approx") -> DataF
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.count(c).alias(f"__nn_{c}"))
-        if ndv in ("exact", "both"):
-            aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
         if ndv == "approx":
             aggs.append(F.approx_count_distinct(c, 0.02).alias(f"__ad_{c}"))
     stats = df.agg(*aggs)
+    if ndv in ("exact", "both"):
+        # per-column exact NDVs as separate single-distinct aggregates
+        # joined back as 1-row broadcast scalars (OPTIMIZATION_r16,
+        # guide §2.3) — the combined multi-countDistinct aggregate
+        # plans as an Expand replicating every row once per profiled
+        # column; a lone countDistinct is a plain two-phase distinct
+        # with a column-pruned scan. Same restructure measured on
+        # table_profile: 2.647 → 0.991 s min-of-5 interleaved at sf0.1.
+        for c in cols:
+            stats = stats.join(
+                F.broadcast(df.agg(F.countDistinct(c).alias(f"__nd_{c}")))
+            )
     if ndv == "both":
         approx_stats = df.agg(
             *[F.approx_count_distinct(c, 0.02).alias(f"__ad_{c}") for c in cols]

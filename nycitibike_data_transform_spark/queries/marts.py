@@ -895,11 +895,25 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "lineitem")
     li = t["lineitem"]
     q = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-    stats = li.groupBy("l_returnflag").agg(
+
+    # exact NDV split out of the mixed aggregate (OPTIMIZATION_r16,
+    # guide §2.3): countDistinct next to the HLL/percentile sketches
+    # plans as an Expand that replicates every lineitem row 2x AND
+    # regroups the sketch buffers per distinct value; a lone
+    # countDistinct plans as a plain two-phase distinct (partial
+    # group on (flag, partkey) — no Expand), joined back on the
+    # ~3-row flag domain as a broadcast. Interleaved A/B at sf0.1:
+    # min-of-5 3.585 → 1.597 s — the mechanism two rounds of fan_out
+    # attempts on this query couldn't reach (the Expand reshuffled
+    # whatever width the fan bought).
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("__approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         q.alias("__q"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    stats = sketches.join(F.broadcast(exact), "l_returnflag")
     fracs = (
         li.join(F.broadcast(stats.select("l_returnflag", "__q")), "l_returnflag")
         .groupBy("l_returnflag")

@@ -122,14 +122,28 @@ def test_ancestor_chain_is_not_foreign():
 
 def test_cpu_calibration_stamp_shape():
     """VERDICT r13 item 4: the fixed-work probe emits positive timings
-    and the full thread width, so box drift is readable from any single
-    payload."""
+    and the requested thread width, so box drift is readable from any
+    single payload."""
     from bench import _cpu_calibration
+
+    from nycitibike_data_transform_spark.session import default_parallelism
 
     c = _cpu_calibration()
     assert c["calib_cpu_1t_sec"] > 0
     assert c["calib_cpu_nt_sec"] > 0
-    assert c["calib_cpu_threads"] == (os.cpu_count() or 1)
+    assert c["calib_cpu_threads"] == default_parallelism()
+
+
+def test_cpu_calibration_pool_sized_from_requested_cpus(monkeypatch):
+    """VERDICT r15 item 2: a low-core driver run (SPARK_GRAFT_CPUS=8 on
+    a 32-core box) must probe at the REQUESTED width, not the box width
+    — the r15 c8 payload read ``calib_cpu_threads: 32`` and tripped the
+    driver's ``suspect_cpus_ignored`` heuristic."""
+    from bench import _cpu_calibration
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "2")
+    c = _cpu_calibration()
+    assert c["calib_cpu_threads"] == 2
 
 
 def test_calibration_recheck_redrains_once_when_degraded():

@@ -211,18 +211,27 @@ def test_skew_join_events_two_path_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_column_profile_approx_has_no_expand(spark, sf_dir):
-    """The approx (HLL) profile tier must be a single-pass aggregate:
-    no Expand operator (exact multi-countDistinct expands the input
-    one row per profiled column — the scan cost the scale tier
-    exists to avoid)."""
+def test_column_profile_no_tier_plans_an_expand(spark, sf_dir):
+    """The approx (HLL) tier must be a single-pass aggregate, and
+    since OPTIMIZATION_r16 the exact tier must not Expand either: each
+    exact NDV is its own plain two-phase distinct aggregate (partial
+    group on the value, column-pruned scan) folded back as a 1-row
+    broadcast scalar — the combined multi-countDistinct aggregate
+    Spark would otherwise plan replicates every input row once per
+    profiled column."""
     from nycitibike_data_transform_spark.catalog import load_table
     from nycitibike_data_transform_spark.queries.advanced import column_profile
 
     orders = load_table(spark, sf_dir, "orders")
     approx = column_profile(orders, ["o_orderkey", "o_custkey", "o_orderstatus"])
     assert "Expand" not in formatted_plan(approx)
-    exact = column_profile(
-        orders, ["o_orderkey", "o_custkey", "o_orderstatus"], ndv="exact"
+    exact_plan = formatted_plan(
+        column_profile(
+            orders, ["o_orderkey", "o_custkey", "o_orderstatus"], ndv="exact"
+        )
     )
-    assert "Expand" in formatted_plan(exact)
+    assert "Expand" not in exact_plan
+    # one scalar fold per profiled column, each a broadcast build side
+    # (formatted plans list each operator in the tree AND the detail
+    # section, so count >= columns rather than an exact match)
+    assert exact_plan.count("BroadcastNestedLoopJoin") >= 3
