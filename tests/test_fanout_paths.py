@@ -157,3 +157,40 @@ def test_dsir_ngram_ratio_is_broadcast_build_right(spark):
         "the corpus-growing per-(doc,bucket) side must never be the "
         "broadcast build side"
     )
+
+
+def test_stream_state_partitions_derive_from_feed_size(tmp_path):
+    """OPTIMIZATION_r16: the stateful stream's state-partition count is
+    DERIVED from the staged feed's bytes (floor 4, one per ~64 MB),
+    never a constant — small feeds stop paying a full-width state
+    store + commit per micro-batch, huge feeds still scale out."""
+    from nycitibike_data_transform_spark.queries.events import (
+        _stream_state_partitions,
+    )
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "part-0.parquet").write_bytes(b"x" * 1024)
+    assert _stream_state_partitions(str(small)) == 4
+
+    big = tmp_path / "big"
+    big.mkdir()
+    # sparse file: st_size is what the derivation reads, no real 10 GB
+    with open(big / "part-0.parquet", "wb") as f:
+        f.truncate(10 << 30)
+    assert _stream_state_partitions(str(big)) == 160  # ceil(10GiB/64MiB)
+
+
+def test_streaming_user_totals_restores_shuffle_partitions(spark, sf_dir):
+    from nycitibike_data_transform_spark.queries import _EAGER_CACHE
+    from nycitibike_data_transform_spark.queries.events import (
+        _q_streaming_user_totals,
+    )
+
+    _EAGER_CACHE.clear()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = _q_streaming_user_totals(spark, sf_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before, (
+        "state-partition override leaked out of the stream"
+    )
+    assert out.count() > 0
