@@ -94,10 +94,18 @@ def cdc_chunks(
     from pyspark.sql import Window as W
 
     from nycitibike_data_transform_spark.functions.text import token_array
+    from nycitibike_data_transform_spark.operators.util import fan_out
 
-    base = df.select(F.col(id_col), token_array(text_col).alias("__w")).withColumn(
-        "__n", F.size("__w")
-    )
+    # fan before the boundary-flag projection (OPTIMIZATION_r16, guide
+    # §2.6/§6): the O(n·window) per-token md5 slice hashing runs at the
+    # scan, and a compact input (one parquet file ⇒ one task) would
+    # compute every flag on one core — this operator builds its own
+    # token arrays, so the r15 fan inside the shared tokenize() never
+    # covered it. Interleaved A/B at sf0.1: min-of-5 1.576 → 1.435 s.
+    # No-op at real scale (inputs already wide).
+    base = fan_out(df).select(
+        F.col(id_col), token_array(text_col).alias("__w")
+    ).withColumn("__n", F.size("__w"))
     cells = F.expr(
         f"""transform(sequence(1, __n),
           i -> struct(
